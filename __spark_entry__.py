@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H Q1, reference:
+models/wh/rpt_pricing_summary.sql) at sf0.001. ``queries()`` exposes every
+implemented model/operator; ``oracle_sql()`` the DuckDB-equivalent SQL.
 """
 
 from __future__ import annotations
@@ -13,26 +11,50 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dbt_tpch_spark.plans import MODELS, Context, import_all_models
+from dbt_tpch_spark.models import oracle as _oracle
+
+import_all_models()
+
+#: model layers exposed as driver queries (base is ephemeral feedstock).
+_QUERY_LAYERS = {"ods", "wh", "intermediate", "metrics", "reports"}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    ctx = Context(spark, "/root/testdata/sf0.001")
+    return ctx.ref("rpt_pricing_summary")
+
+
+def _model_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return Context(spark, sf_dir).ref(name)
+
+    run.__name__ = f"query_{name}"
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, spec in MODELS.items():
+        if spec.layer in _QUERY_LAYERS:
+            out[name] = _model_query(name)
+    try:
+        from dbt_tpch_spark.operators import entries as _op_entries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out.update(_op_entries.queries())
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rendered = _oracle.all_rendered()
+    out = {name: rendered[name] for name in queries() if name in rendered}
+    try:
+        from dbt_tpch_spark.operators import entries as _op_entries
+
+        out.update(_op_entries.oracle_sql())
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,83 @@
+"""Benchmark runner: executes the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing model: per query, force full execution with a count-style action over
+all columns; the model DAG is rebuilt per query (cold Catalyst plan) but the
+SparkSession/JVM is shared, mirroring how the reference amortizes one
+warehouse connection across its dbt DAG (reference: profiles.yml threads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+#: headline queries — the flagship TPC-H report + the heaviest widely-fanned
+#: models; extended as coverage grows.
+HEADLINE = [
+    "rpt_pricing_summary",
+    "fct_orders",
+    "fct_orders_items",
+    "dim_customer",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from dbt_tpch_spark.plans import MODELS, Context, import_all_models
+    from dbt_tpch_spark.session import get_spark
+
+    import_all_models()
+    spark = get_spark("dbt-tpch-spark-bench")
+
+    try:
+        from dbt_tpch_spark.operators import entries as op_entries
+
+        extra = op_entries.bench_queries()
+    except ImportError:
+        extra = {}
+
+    names = [n for n in HEADLINE if n in MODELS] + list(extra)
+
+    # warm the JVM + parquet footers once with the cheapest model
+    Context(spark, sf_dir).ref("ods_orders").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        start = time.perf_counter()
+        if name in extra:
+            df = extra[name](spark, sf_dir)
+        else:
+            df = Context(spark, sf_dir).ref(name)
+        # force full materialization of every column (count() alone would let
+        # Catalyst prune the plan down to nothing)
+        df.agg(F.max(F.xxhash64(*df.columns))).collect()
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 3)
+        total += elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

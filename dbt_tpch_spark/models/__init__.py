@@ -1,0 +1,27 @@
+"""Model modules. ``load_all()`` imports every layer so the registries
+(:data:`dbt_tpch_spark.plans.MODELS`, :data:`.oracle.ORACLE`) are populated.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+_LAYER_MODULES = (
+    "dbt_tpch_spark.models.base",
+    "dbt_tpch_spark.models.ods",
+    "dbt_tpch_spark.models.wh",
+    "dbt_tpch_spark.models.intermediate",
+    "dbt_tpch_spark.models.metrics",
+    "dbt_tpch_spark.models.reports",
+)
+
+
+def load_all() -> None:
+    for mod in _LAYER_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as exc:
+            # layers are added incrementally; only swallow *our* missing
+            # modules, never a dependency typo inside an existing one
+            if exc.name != mod:
+                raise

@@ -1,0 +1,39 @@
+"""SparkSession factory tuned for the engine.
+
+Local test posture is ``local[$SPARK_GRAFT_CPUS]``; the same settings are the
+ones we would ship for a multi-executor cluster (AQE on, adaptive partition
+coalescing, broadcast threshold) — only memory/shuffle sizing changes with
+scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dbt-tpch-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # UTC so timestamp->date casts agree with the (timezone-naive) DuckDB
+        # oracle regardless of host timezone.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime coalescing of small shuffle partitions, dynamic
+        # broadcast conversion, and skew-join splitting — all required at the
+        # 100 TB posture and harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Arrow for any pandas_udf / toPandas path (extension operators).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,43 @@
+"""Schema-checked parquet source readers.
+
+The reference declares its sources in models/_source/source_tpch.yml:8-20 and
+enforces schemas warehouse-side (scripts/generate_data_postgres.py:23-119).
+Here each table is read from ``{sf_dir}/{name}.parquet`` and normalized:
+
+* date-valued timestamps (``l_shipdate``, ``o_orderdate``) are kept as
+  midnight TIMESTAMPs: the reference schema declares them DATE, but the test
+  corpus stores timestamps (TESTDATA.md) and the oracle comparison is
+  type-sensitive — date functions (datediff/date_trunc/extract) treat a
+  midnight timestamp identically on both engines.
+* everything else is kept at its parquet-native type; money stays DOUBLE (the
+  ``money()`` macro handles 4-dp rounding downstream).
+
+At 100 TB these readers are where partition pruning starts: facts would be
+laid out partitioned by month of the date column, and every model filter on
+dates prunes at the scan. The readers stay declarative (``spark.read``) so
+Catalyst keeps pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: all tables the driver corpus ships (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown source table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
