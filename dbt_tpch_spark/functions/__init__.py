@@ -57,6 +57,13 @@ def davg(col: Column) -> Column:
     return dsum(col) / F.count(col)
 
 
+def dsum_over(col: Column, window) -> Column:
+    """Order-independent windowed SUM of a double measure (exact decimal
+    accumulate inside the frame, final cast to double). Required because FP
+    accumulation inside window frames is engine-internal-order-dependent."""
+    return F.sum(col.cast(_ACC_DECIMAL)).over(window).cast("double")
+
+
 def isum(col: Column) -> Column:
     """SUM of an integral column as BIGINT (matches DuckDB's cast-to-bigint)."""
     return F.sum(col).cast("long")
@@ -73,8 +80,14 @@ def safe_div(num: Column, den: Column) -> Column:
 
 
 def rnd(col: Column, n: int) -> Column:
-    """round(x, n) on doubles; paired with ROUND() on the oracle side."""
-    return F.round(col, n)
+    """round(x, n) on doubles as ``floor(x*10^n + 0.5)/10^n``.
+
+    Same rationale as :func:`money`: Spark's ROUND (BigDecimal HALF_UP on the
+    exact binary expansion) and DuckDB's (scaled multiply) disagree near
+    boundaries; this explicit IEEE formula is bit-identical on both engines.
+    """
+    scale = F.lit(float(10**n))
+    return F.floor(col * scale + F.lit(0.5)) / scale
 
 
 def month_of(col: Column) -> Column:

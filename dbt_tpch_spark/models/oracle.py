@@ -52,6 +52,17 @@ def davg_sql(expr: str) -> str:
     return f"({dsum_sql(expr)} / COUNT({expr}))"
 
 
+def wsum_sql(expr: str, over: str) -> str:
+    """Windowed decimal-exact sum cast to double (twin of functions.dsum_over)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) OVER ({over}) AS DOUBLE)"
+
+
+def rnd_sql(expr: str, n: int) -> str:
+    # keep in lockstep with functions.rnd(): floor(x*10^n + 0.5)/10^n
+    scale = float(10**n)
+    return f"(FLOOR(({expr}) * {scale} + 0.5) / {scale})"
+
+
 def isum_sql(expr: str) -> str:
     return f"CAST(SUM({expr}) AS BIGINT)"
 
