@@ -17,7 +17,10 @@ from dbt_tpch_spark.models import oracle as _oracle
 import_all_models()
 
 #: model layers exposed as driver queries (base is ephemeral feedstock).
-_QUERY_LAYERS = {"ods", "wh", "intermediate", "metrics", "reports"}
+_QUERY_LAYERS = {"ods", "wh", "intermediate", "metrics", "reports", "operators", "streaming"}
+
+#: queries with no SQL-expressible oracle (driver records rows-only checks).
+NO_ORACLE: tuple[str, ...] = ()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -35,26 +38,13 @@ def _model_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, spec in MODELS.items():
-        if spec.layer in _QUERY_LAYERS:
-            out[name] = _model_query(name)
-    try:
-        from dbt_tpch_spark.operators import entries as _op_entries
-
-        out.update(_op_entries.queries())
-    except ImportError:
-        pass
-    return out
+    return {
+        name: _model_query(name)
+        for name, spec in MODELS.items()
+        if spec.layer in _QUERY_LAYERS
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     rendered = _oracle.all_rendered()
-    out = {name: rendered[name] for name in queries() if name in rendered}
-    try:
-        from dbt_tpch_spark.operators import entries as _op_entries
-
-        out.update(_op_entries.oracle_sql())
-    except ImportError:
-        pass
-    return out
+    return {name: rendered[name] for name in queries() if name in rendered}

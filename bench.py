@@ -19,13 +19,20 @@ import time
 from pyspark.sql import functions as F
 
 
-#: headline queries — the flagship TPC-H report + the heaviest widely-fanned
-#: models; extended as coverage grows.
+#: headline queries — the flagship TPC-H report, the heaviest relational
+#: models, and one representative of each extension-operator family.
 HEADLINE = [
     "rpt_pricing_summary",
     "fct_orders",
     "fct_orders_items",
     "dim_customer",
+    "int_market_basket",
+    "customer_rfm_segments",
+    "monthly_revenue_kpis",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "events_session_30m",
+    "doc_text_stats",
 ]
 
 

@@ -13,6 +13,12 @@ _LAYER_MODULES = (
     "dbt_tpch_spark.models.intermediate",
     "dbt_tpch_spark.models.metrics",
     "dbt_tpch_spark.models.reports",
+    # extension surfaces (operators/ and streaming/ register models too)
+    "dbt_tpch_spark.operators.text",
+    "dbt_tpch_spark.operators.dedup",
+    "dbt_tpch_spark.operators.similarity",
+    "dbt_tpch_spark.operators.multimodal",
+    "dbt_tpch_spark.streaming.windows",
 )
 
 

@@ -1,0 +1,542 @@
+"""Deduplication operators over ``documents`` / ``embeddings``: exact
+(hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+near-dup. All JVM-side Column expressions — no Python UDFs.
+
+Hash-function parity with the DuckDB oracle: every hash is md5 (identical
+hex on both engines); min-hashes are lexicographic minima of md5 strings;
+SimHash bits come from md5 nibble arithmetic written with engine-portable
+SQL (instr/substr/floor/%), generated once and used verbatim on both sides.
+
+Scale shapes (the reason each variant exists):
+* exact        — one shuffle on the content hash; linear.
+* ngram 5-gram — pairs via shared-shingle join: shuffle on shingle; output
+                 bounded by true near-dups (shingle specificity).
+* MinHash LSH  — the 100 TB path: K=16 signatures, 4 bands x 4 rows;
+                 candidate generation is a groupBy-join on band hashes
+                 (no quadratic stage); verification only touches candidates.
+* SimHash      — 64-bit signatures; 16-bit band blocking; hamming verify.
+* embedding    — brute-force O(n^2) at test scale; the LSH-bucketed ANN in
+                 similarity.py is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.functions import rnd
+from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.models.oracle import oracle, rnd_sql
+
+# --------------------------------------------------------------------------
+# shared expression text (valid in BOTH Spark SQL and DuckDB)
+# --------------------------------------------------------------------------
+
+_NORM_TEXT_DUCK = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def norm_text_col() -> F.Column:
+    """Whitespace-normalized lowercase text. Built with the Python API, NOT
+    F.expr — Spark SQL string literals eat the backslash in '\\s+'."""
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+def _nib(k: int, h: str = "h") -> str:
+    return f"(instr('0123456789abcdef', substr({h}, {k + 1}, 1)) - 1)"
+
+
+def _bit(j: int, h: str = "h") -> str:
+    p = 2 ** (3 - j % 4)
+    return f"(CAST(FLOOR({_nib(j // 4, h)} / {p}) AS INT) % 2)"
+
+
+def simhash_sum_exprs() -> list[str]:
+    """64 per-bit +1/-1 sums over md5('h') — portable SQL text."""
+    return [f"SUM(2 * {_bit(j)} - 1) AS s{j}" for j in range(64)]
+
+
+def simhash_bits_expr() -> str:
+    cases = ", ".join(f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(64))
+    return f"concat({cases})"
+
+
+def hamming_expr(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"CASE WHEN substr({a}, {j + 1}, 1) <> substr({b}, {j + 1}, 1) THEN 1 ELSE 0 END"
+        for j in range(64)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+# 3-gram-shingle Jaccard threshold: the corpus's tiny vocabulary makes word
+# sets nearly identical across ALL documents (unigram LSH degenerates into
+# an O(n^2) bucket), while 3-gram shingles cleanly separate the planted
+# near-duplicates (bimodal at ~0.5).
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 16
+COSINE_THRESHOLD = 0.5
+
+
+def minhash_exprs(words: str = "words") -> list[str]:
+    """K min-hashes: min over the word set of md5('<i>|' || w)."""
+    return [
+        f"array_min(transform({words}, w -> md5(concat('{i}|', w)))) AS mh{i}"
+        for i in range(MINHASH_K)
+    ]
+
+
+def minhash_exprs_duck(words: str = "words") -> list[str]:
+    return [
+        f"list_min(list_transform({words}, w -> md5(concat('{i}|', w)))) AS mh{i}"
+        for i in range(MINHASH_K)
+    ]
+
+
+def band_exprs() -> list[str]:
+    per = MINHASH_K // LSH_BANDS
+    return [
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * per + r}" for r in range(per))
+        + f")) AS band{b}"
+        for b in range(LSH_BANDS)
+    ]
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+@model("dedup_exact", layer="operators", materialization="view")
+def dedup_exact(ctx):
+    """Exact duplicate groups by md5 of normalized text: one groupBy shuffle
+    on the hash, linear at any scale."""
+    d = ctx.source("documents")
+    fp = F.md5(norm_text_col())
+    return (
+        d.select("doc_id", fp.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+oracle(
+    "dedup_exact",
+    ("documents",),
+    f"""SELECT
+    md5({_NORM_TEXT_DUCK}) AS content_hash,
+    COUNT(*) AS dup_count,
+    MIN(doc_id) AS canonical_doc_id,
+    MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1""",
+)
+
+
+# --------------------------------------------------------------------------
+# n-gram (5-gram shingle) Jaccard
+# --------------------------------------------------------------------------
+
+
+@model("dedup_ngram_jaccard", layer="operators", materialization="view")
+def dedup_ngram_jaccard(ctx):
+    """Pairwise 5-gram-shingle Jaccard for documents sharing at least one
+    shingle. The shared-shingle equi-join keeps this far from quadratic:
+    shuffle key is the shingle hash."""
+    d = ctx.source("documents")
+    toks = F.split(norm_text_col(), " ")
+    shingles = F.when(
+        F.size(toks) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 4),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"})
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection_size",
+            (F.col("size_a") + F.col("size_b") - F.col("intersection_size")).alias(
+                "union_size"
+            ),
+            rnd(
+                F.col("intersection_size").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection_size")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+oracle(
+    "dedup_ngram_jaccard",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT doc_id, string_split({_NORM_TEXT_DUCK}, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, UNNEST(
+        CASE WHEN len(t) >= 5
+             THEN list_distinct(list_transform(range(1, len(t) - 3),
+                  i -> array_to_string(list_slice(t, i, i + 4), ' ')))
+             ELSE [] END) AS shingle
+    FROM toks
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection_size
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT
+    i.doc_a,
+    i.doc_b,
+    i.intersection_size,
+    sa.n_shingles + sb.n_shingles - i.intersection_size AS union_size,
+    {rnd_sql('CAST(i.intersection_size AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.intersection_size)', 6)} AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id""",
+)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def _word_set_df(ctx):
+    d = ctx.source("documents")
+    words = F.array_distinct(F.split(norm_text_col(), " "))
+    return d.select("doc_id", words.alias("words"))
+
+
+_WORDS_DUCK = f"list_distinct(string_split({_NORM_TEXT_DUCK}, ' '))"
+
+
+def _shingle3_set_df(ctx):
+    """Distinct 3-gram word shingles per document (MinHash feedstock)."""
+    d = ctx.source("documents")
+    toks = F.split(norm_text_col(), " ")
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", shingles.alias("words"))
+
+
+_SHINGLE3_DUCK = (
+    f"CASE WHEN len(string_split({_NORM_TEXT_DUCK}, ' ')) >= 3 THEN "
+    f"list_distinct(list_transform(range(1, len(string_split({_NORM_TEXT_DUCK}, ' ')) - 1), "
+    f"i -> array_to_string(list_slice(string_split({_NORM_TEXT_DUCK}, ' '), i, i + 2), ' '))) "
+    f"ELSE [] END"
+)
+
+
+@model("dedup_minhash_lsh", layer="operators", materialization="view")
+def dedup_minhash_lsh(ctx):
+    """MinHash(K=16) + LSH(4 bands x 4) candidate generation over 3-gram
+    shingle sets, with exact-Jaccard verification of candidates at >= 0.5.
+
+    This is the 100 TB dedup path: signatures are a single projection,
+    candidates come from a groupBy-join on band hashes (shuffle bounded by
+    band-bucket sizes), and the expensive exact verify runs only on
+    candidate pairs."""
+    sigs = (
+        _shingle3_set_df(ctx)
+        .selectExpr("doc_id", *minhash_exprs())
+        .selectExpr("doc_id", *band_exprs())
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a = bands.withColumnsRenamed({"doc_id": "doc_a"})
+    b = bands.withColumnsRenamed({"doc_id": "doc_b"})
+    cands = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify with JVM-side array_intersect over the shingle-set arrays: two
+    # hash joins on doc ids, zero explode shuffles — the candidate list is
+    # tiny next to the corpus, so this stage stays cheap at scale
+    toks = _shingle3_set_df(ctx)
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b"))
+    joined = cands.join(ta, "doc_a").join(tb, "doc_b")
+    inter = F.size(F.array_intersect("words_a", "words_b")).cast("long")
+    union = (F.size("words_a") + F.size("words_b")).cast("long") - inter
+    jac = inter.cast("double") / union
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            inter.alias("intersection_size"),
+            union.alias("union_size"),
+            rnd(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+oracle(
+    "dedup_minhash_lsh",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT doc_id, {_SHINGLE3_DUCK} AS words FROM documents
+),
+sigs AS (
+    SELECT doc_id, {', '.join(minhash_exprs_duck())} FROM toks
+),
+banded AS (
+    SELECT doc_id, {', '.join(band_exprs())} FROM sigs
+),
+bands AS (
+    SELECT doc_id, k.k AS band_idx,
+        CASE k.k {' '.join(f'WHEN {b} THEN band{b}' for b in range(LSH_BANDS))} END AS band_hash
+    FROM banded CROSS JOIN (SELECT UNNEST([{', '.join(str(b) for b in range(LSH_BANDS))}]) AS k) k
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT
+        c.doc_a,
+        c.doc_b,
+        CAST(len(list_intersect(ta.words, tb.words)) AS BIGINT) AS intersection_size,
+        CAST(len(ta.words) + len(tb.words) - len(list_intersect(ta.words, tb.words)) AS BIGINT) AS union_size,
+        {rnd_sql('CAST(len(list_intersect(ta.words, tb.words)) AS DOUBLE) / (len(ta.words) + len(tb.words) - len(list_intersect(ta.words, tb.words)))', 6)} AS jaccard
+    FROM cands c
+    JOIN toks ta ON c.doc_a = ta.doc_id
+    JOIN toks tb ON c.doc_b = tb.doc_id
+)
+SELECT * FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}""",
+)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def _simhash_signatures_df(ctx):
+    ex = _word_set_df(ctx).select(
+        "doc_id", F.explode("words").alias("w")
+    ).select("doc_id", F.md5("w").alias("h"))
+    sums = ex.groupBy("doc_id").agg(
+        *[F.expr(e) for e in simhash_sum_exprs()]
+    )
+    per = 16
+    return sums.select(
+        "doc_id", F.expr(simhash_bits_expr()).alias("sig_bits")
+    ).select(
+        "doc_id",
+        "sig_bits",
+        *[
+            F.substring("sig_bits", 1 + b * per, per).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+
+
+_SIMHASH_SIG_DUCK = f"""WITH ex AS (
+    SELECT doc_id, md5(UNNEST(words)) AS h
+    FROM (SELECT doc_id, {_WORDS_DUCK} AS words FROM documents)
+),
+sums AS (
+    SELECT doc_id, {', '.join(simhash_sum_exprs())} FROM ex GROUP BY doc_id
+),
+sigs AS (
+    SELECT doc_id, {simhash_bits_expr()} AS sig_bits FROM sums
+)
+SELECT doc_id, sig_bits,
+    substr(sig_bits, 1, 16) AS band0,
+    substr(sig_bits, 17, 16) AS band1,
+    substr(sig_bits, 33, 16) AS band2,
+    substr(sig_bits, 49, 16) AS band3
+FROM sigs"""
+
+
+@model("dedup_simhash_signatures", layer="operators", materialization="view")
+def dedup_simhash_signatures(ctx):
+    """64-bit SimHash signatures (as bit strings) over document word sets,
+    plus 16-bit band keys for blocking."""
+    return _simhash_signatures_df(ctx)
+
+
+oracle("dedup_simhash_signatures", ("documents",), _SIMHASH_SIG_DUCK)
+
+
+@model("dedup_simhash_pairs", layer="operators", materialization="view")
+def dedup_simhash_pairs(ctx):
+    """SimHash near-dup candidates: documents sharing any 16-bit band,
+    verified by Hamming distance <= 16. Band blocking keeps candidate
+    generation a hash join, never a cross product."""
+    sigs = _simhash_signatures_df(ctx)
+    bands = sigs.select(
+        "doc_id",
+        "sig_bits",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(4)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig_bits").alias("sig_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig_bits").alias("sig_b"),
+        "band_idx",
+        "band_val",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming_distance", F.expr(hamming_expr("sig_a", "sig_b")))
+        .filter(F.col("hamming_distance") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming_distance")
+    )
+
+
+oracle(
+    "dedup_simhash_pairs",
+    ("documents",),
+    f"""WITH sigs AS (
+{_SIMHASH_SIG_DUCK}
+),
+bands AS (
+    SELECT doc_id, sig_bits, k.k AS band_idx,
+        CASE k.k WHEN 0 THEN band0 WHEN 1 THEN band1 WHEN 2 THEN band2 ELSE band3 END AS band_val
+    FROM sigs CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.sig_bits AS sig_a, b.sig_bits AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, {hamming_expr('sig_a', 'sig_b')} AS hamming_distance
+FROM pairs
+WHERE {hamming_expr('sig_a', 'sig_b')} <= {SIMHASH_MAX_HAMMING}""",
+)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+#: exact-decimal dot product of two float vectors: products quantized to
+#: DECIMAL(38,18) (deterministic nearest-rounding on both engines, no ties
+#: possible from dyadic doubles), summed exactly, cast back to double.
+DOT_SPARK = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
+    " CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))),"
+    " CAST(0 AS DECIMAL(38,18)), (acc, v) -> CAST(acc + v AS DECIMAL(38,18)))"
+    " AS DOUBLE)"
+)
+
+
+def dot_duck(a: str, b: str) -> str:
+    return (
+        f"CAST((SELECT SUM(CAST(CAST(z.xa AS DOUBLE) * CAST(z.xb AS DOUBLE)"
+        f" AS DECIMAL(38,18))) FROM (SELECT UNNEST({a}) AS xa, UNNEST({b}) AS xb) z)"
+        f" AS DOUBLE)"
+    )
+
+
+@model("dedup_embedding_cosine", layer="operators", materialization="view")
+def dedup_embedding_cosine(ctx):
+    """Embedding near-dup: all pairs with cosine >= 0.5. Brute force at test
+    scale; the LSH-bucketed ANN (similarity.py) is the 100 TB path."""
+    e = ctx.source("embeddings")
+    norms = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias("norm_sq"),
+    )
+    a = norms.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm_sq").alias("norm_a"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm_sq").alias("norm_b"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.expr(DOT_SPARK.format(a="emb_a", b="emb_b")) / (
+        F.sqrt(F.col("norm_a")) * F.sqrt(F.col("norm_b"))
+    )
+    return (
+        pairs.withColumn("cosine", rnd(cos, 6))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+oracle(
+    "dedup_embedding_cosine",
+    ("embeddings",),
+    f"""WITH norms AS (
+    SELECT vec_id, embedding, {dot_duck('embedding', 'embedding')} AS norm_sq
+    FROM embeddings
+),
+pairs AS (
+    SELECT
+        a.vec_id AS vec_a,
+        b.vec_id AS vec_b,
+        {rnd_sql(f"{dot_duck('a.embedding', 'b.embedding')} / (sqrt(a.norm_sq) * sqrt(b.norm_sq))", 6)} AS cosine
+    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine
+FROM pairs
+WHERE cosine >= {COSINE_THRESHOLD}""",
+)

@@ -1,0 +1,207 @@
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k (exactness baseline) and a random-hyperplane LSH-bucketed variant
+(the scale path: bucket first, rank only within buckets).
+
+Vector math is exact-decimal dot products (see dedup.DOT_SPARK) evaluated
+JVM-side with zip_with/aggregate — no per-element explode on the Spark hot
+path, no Python UDFs. Hyperplanes are deterministic md5-derived constants
+shared verbatim with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.functions import rnd
+from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.models.oracle import oracle, rnd_sql
+from dbt_tpch_spark.operators.dedup import DOT_SPARK, dot_duck
+
+TOP_K = 10
+N_QUERIES = 10  # vec_id < 10 act as the query set
+# 8 sign bits -> 256 buckets: sized for the test corpus (500 vectors) so
+# buckets actually collide; a 100 TB deployment raises this with corpus size
+# (and/or multi-probe) to trade recall vs candidate count.
+N_HYPERPLANES = 8
+EMBEDDING_DIM = 64
+
+
+def hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): md5-derived so
+    both engines share identical literals (no RNG, no seed state)."""
+    planes = []
+    for i in range(N_HYPERPLANES):
+        row = []
+        for d in range(EMBEDDING_DIM):
+            h = hashlib.md5(f"{i}|{d}".encode()).hexdigest()[:8]
+            row.append(round(int(h, 16) / 2**32 * 2 - 1, 6))
+        planes.append(row)
+    return planes
+
+
+def _norms(e):
+    return e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("emb"),
+        F.sqrt(F.expr(DOT_SPARK.format(a="embedding", b="embedding"))).alias("norm"),
+    )
+
+
+@model("ann_cosine_topk", layer="operators", materialization="view")
+def ann_cosine_topk(ctx):
+    """Brute-force cosine top-10 neighbors for the query set (vec_id < 10).
+    Exactness baseline: O(Q x N) with the corpus side broadcast when small;
+    at 100 TB the LSH variant below replaces the full scan."""
+    e = ctx.source("embeddings")
+    n = _norms(e)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = F.expr(DOT_SPARK.format(a="q_emb", b="c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", rnd(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+    )
+
+
+oracle(
+    "ann_cosine_topk",
+    ("embeddings",),
+    f"""WITH norms AS (
+    SELECT vec_id, label, embedding,
+           sqrt({dot_duck('embedding', 'embedding')}) AS norm
+    FROM embeddings
+),
+scored AS (
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        c.label AS neighbor_label,
+        {rnd_sql(f"{dot_duck('q.embedding', 'c.embedding')} / (q.norm * c.norm)", 6)} AS cosine
+    FROM norms q
+    JOIN norms c ON q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+),
+ranked AS (
+    SELECT *,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+FROM ranked
+WHERE rank <= {TOP_K}""",
+)
+
+
+def _bucket_spark():
+    """Sign-bucket string from the 16 hyperplane dot products."""
+    signs = []
+    for plane in hyperplanes():
+        arr = "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
+        dot = DOT_SPARK.format(a="embedding", b=arr)
+        signs.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ", ".join(signs) + ")")
+
+
+def _bucket_duck() -> str:
+    signs = []
+    for plane in hyperplanes():
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        dot = dot_duck("embedding", arr)
+        signs.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(signs) + ")"
+
+
+@model("ann_lsh_topk", layer="operators", materialization="view")
+def ann_lsh_topk(ctx):
+    """Random-hyperplane LSH ANN: 16-bit sign buckets, candidates share the
+    query's bucket, ranked by exact cosine within the bucket.
+
+    Scale shape: bucketing is a single projection; the candidate join
+    shuffles on the bucket key (2^16 buckets), so no full cross product —
+    recall trades off against bucket granularity."""
+    e = ctx.source("embeddings")
+    n = _norms(e.withColumn("bucket", _bucket_spark()))
+    buckets = ctx.source("embeddings").withColumn("bucket", _bucket_spark()).select(
+        "vec_id", "bucket"
+    )
+    n = n.join(buckets, "vec_id")
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        "bucket",
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        "bucket",
+    )
+    cos = F.expr(DOT_SPARK.format(a="q_emb", b="c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", rnd(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "cosine", "rank")
+    )
+
+
+oracle(
+    "ann_lsh_topk",
+    ("embeddings",),
+    f"""WITH bucketed AS (
+    SELECT vec_id, embedding, {_bucket_duck()} AS bucket,
+           sqrt({dot_duck('embedding', 'embedding')}) AS norm
+    FROM embeddings
+),
+scored AS (
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        q.bucket,
+        {rnd_sql(f"{dot_duck('q.embedding', 'c.embedding')} / (q.norm * c.norm)", 6)} AS cosine
+    FROM bucketed q
+    JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+    SELECT *,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, bucket, cosine, rank
+FROM ranked
+WHERE rank <= {TOP_K}""",
+)

@@ -1,0 +1,251 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID heuristics, and document fingerprinting.
+
+These are extension operators (no counterpart in the reference, which has no
+string processing beyond md5 surrogate keys — SURVEY §2.9); they are the
+text half of a training-data pipeline. Everything compiles to JVM Catalyst
+expressions (split/transform/filter/aggregate lambdas) — zero Python UDFs —
+so the operators scale like any other relational op: one scan, no shuffle
+for per-doc stats.
+
+Tokenization convention shared with the DuckDB oracle: lowercase, trim,
+split on single space; "BPE-ish" token count via regexp_extract_all with a
+simple letters/digits/other pattern (same RE2-compatible pattern on both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.functions import rnd
+from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.models.oracle import oracle, rnd_sql
+
+#: small English-ish stopword inventory (shared with the oracle SQL).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+#: language marker words for the n-gram/marker heuristic. The driver corpus
+#: is synthetic (English-ish word salad tagged with a lang label), so the
+#: heuristic's *accuracy* is structural — what matters is the operator shape.
+LANG_MARKERS = {
+    "de": ("der", "die", "und", "nicht", "das"),
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@model("doc_text_stats", layer="operators", materialization="view")
+def doc_text_stats(ctx):
+    """Per-document token/char counts, punctuation & stopword ratios, and a
+    composite quality score — the standard quality-filter features of a
+    pretraining data pipeline."""
+    d = ctx.source("documents")
+    ltext = F.lower(F.trim(F.col("text")))
+    words = F.split(ltext, " ")
+    n_tokens = F.size(words).cast("long")
+    n_chars = F.length(F.col("text")).cast("long")
+    token_chars = F.expr(
+        "aggregate(transform(split(lower(trim(text)), ' '), w -> length(w)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    ).cast("long")
+    punct_chars = F.length(
+        F.regexp_replace(ltext, "[a-z0-9 ]", "")
+    ).cast("long")
+    n_bpe = F.size(F.regexp_extract_all(ltext, F.lit(BPE_PATTERN), 0)).cast("long")
+    punct_ratio = punct_chars.cast("double") / F.nullif(n_chars, F.lit(0))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    quality = (
+        F.lit(0.4) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * stop_ratio
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        n_chars.alias("n_chars"),
+        rnd(token_chars.cast("double") / F.nullif(n_tokens, F.lit(0)), 4).alias(
+            "avg_token_len"
+        ),
+        rnd(punct_ratio, 6).alias("punct_ratio"),
+        rnd(stop_ratio, 6).alias("stopword_ratio"),
+        rnd(quality, 6).alias("quality_score"),
+    )
+
+
+oracle(
+    "doc_text_stats",
+    ("documents",),
+    f"""WITH base AS (
+    SELECT
+        doc_id,
+        lang,
+        source,
+        text,
+        lower(trim(text)) AS ltext,
+        string_split(lower(trim(text)), ' ') AS words
+    FROM documents
+),
+feat AS (
+    SELECT
+        doc_id,
+        lang,
+        source,
+        CAST(len(words) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_tokens,
+        CAST(len(regexp_extract_all(ltext, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS token_chars,
+        CAST(len(list_filter(words, w -> w IN ({_sql_list(STOPWORDS)}))) AS BIGINT) AS n_stop,
+        CAST(length(regexp_replace(ltext, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars
+    FROM base
+)
+SELECT
+    doc_id,
+    lang,
+    source,
+    n_tokens,
+    n_distinct_tokens,
+    n_bpe_tokens,
+    n_chars,
+    {rnd_sql('CAST(token_chars AS DOUBLE) / NULLIF(n_tokens, 0)', 4)} AS avg_token_len,
+    {rnd_sql('CAST(punct_chars AS DOUBLE) / NULLIF(n_chars, 0)', 6)} AS punct_ratio,
+    {rnd_sql('CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0)', 6)} AS stopword_ratio,
+    {rnd_sql('0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)'
+             ' + 0.3 * (1.0 - CAST(punct_chars AS DOUBLE) / NULLIF(n_chars, 0))'
+             ' + 0.3 * CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0)', 6)} AS quality_score
+FROM feat""",
+)
+
+
+@model("doc_language_id", layer="operators", materialization="view")
+def doc_language_id(ctx):
+    """Marker-word language-ID heuristic with per-language scores and an
+    accuracy flag against the corpus label. Argmax ties break alphabetically
+    (deterministic on both engines)."""
+    d = ctx.source("documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+
+    def _marker_pred(markers):
+        # single-arg lambda required: pyspark binds one Column per parameter
+        return lambda w: w.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(words, _marker_pred(markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    df = d.select("doc_id", "lang", *[s.alias(f"score_{k}") for k, s in scores.items()])
+    langs = sorted(LANG_MARKERS)  # alphabetical tie-break
+    best = F.col(f"score_{langs[0]}")
+    pred = F.lit(langs[0])
+    for k in langs[1:]:
+        cond = F.col(f"score_{k}") > best
+        pred = F.when(cond, k).otherwise(pred)
+        best = F.when(cond, F.col(f"score_{k}")).otherwise(best)
+    return df.select(
+        "doc_id",
+        "lang",
+        *[f"score_{k}" for k in langs],
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n        ".join(
+        f"CAST(len(list_filter(words, w -> w IN ({_sql_list(LANG_MARKERS[k])}))) AS BIGINT) AS score_{k}"
+        for k in langs
+    )
+    # same fold as the Spark side: later lang wins only on strictly greater
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for k in langs[1:]:
+        pred = f"CASE WHEN score_{k} > {best} THEN '{k}' ELSE {pred} END"
+        best = f"CASE WHEN score_{k} > {best} THEN score_{k} ELSE {best} END"
+    return f"""WITH base AS (
+    SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS words
+    FROM documents
+),
+scored AS (
+    SELECT
+        doc_id,
+        lang,
+        {score_cols}
+    FROM base
+)
+SELECT
+    doc_id,
+    lang,
+    {', '.join(f'score_{k}' for k in langs)},
+    {pred} AS predicted_lang,
+    ({pred} = lang) AS is_correct
+FROM scored"""
+
+
+oracle("doc_language_id", ("documents",), _lang_id_oracle())
+
+
+@model("doc_fingerprints", layer="operators", materialization="view")
+def doc_fingerprints(ctx):
+    """Document fingerprints: md5 of whitespace-normalized text (exact-dup
+    key) and a 3-gram min-hash fingerprint (rolling-window content hash)."""
+    d = ctx.source("documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("exact_fp"),
+        F.array_min(F.transform(shingles, F.md5)).alias("minhash_fp"),
+        F.size(shingles).cast("long").alias("n_shingles"),
+    )
+
+
+oracle(
+    "doc_fingerprints",
+    ("documents",),
+    r"""WITH base AS (
+    SELECT
+        doc_id,
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT
+        doc_id,
+        norm,
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+             ELSE [] END AS shingles
+    FROM base
+)
+SELECT
+    doc_id,
+    md5(norm) AS exact_fp,
+    list_min(list_transform(shingles, s -> md5(s))) AS minhash_fp,
+    CAST(len(shingles) AS BIGINT) AS n_shingles
+FROM sh""",
+)

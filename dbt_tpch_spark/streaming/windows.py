@@ -1,0 +1,289 @@
+"""Tumbling / sliding / session windows + JSON props extraction over events.
+
+Batch forms are driver queries with DuckDB oracles; streaming forms are
+builders used by tests (and by any deployment reading a live source).
+
+Scale notes: windowed groupBys shuffle on (window, keys) — bounded state;
+the session window in streaming mode uses Spark's native session_window
+state store; watermarks bound late-data state for both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.functions import davg, dsum, isum
+from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.models.oracle import (
+    davg_sql,
+    dsum_sql,
+    isum_sql,
+    oracle,
+    rnd_sql,
+)
+from dbt_tpch_spark.functions import rnd
+
+
+@model("events_tumbling_10m", layer="streaming", materialization="view")
+def events_tumbling_10m(ctx):
+    """Tumbling 10-minute window aggregation (batch form of
+    ``groupBy(F.window(ts, '10 minutes'))``)."""
+    e = ctx.source("events")
+    w = F.window("ts", "10 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value")).alias("total_value"),
+            davg(F.col("value")).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+oracle(
+    "events_tumbling_10m",
+    ("events",),
+    f"""SELECT
+    time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+    time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+    event_type,
+    COUNT(*) AS n_events,
+    COUNT(DISTINCT user_id) AS n_users,
+    {dsum_sql('value')} AS total_value,
+    {davg_sql('value')} AS avg_value
+FROM events
+GROUP BY 1, 2, 3""",
+)
+
+
+@model("events_sliding_10m_5m", layer="streaming", materialization="view")
+def events_sliding_10m_5m(ctx):
+    """Sliding window: 10-minute length, 5-minute slide (each event lands in
+    two windows)."""
+    e = ctx.source("events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+oracle(
+    "events_sliding_10m_5m",
+    ("events",),
+    f"""WITH slid AS (
+    SELECT
+        e.*,
+        time_bucket(INTERVAL '5 minutes', e.ts) - (k.k * INTERVAL '5 minutes') AS window_start
+    FROM events e
+    CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+)
+SELECT
+    window_start,
+    window_start + INTERVAL '10 minutes' AS window_end,
+    COUNT(*) AS n_events,
+    {dsum_sql('value')} AS total_value
+FROM slid
+WHERE ts >= window_start AND ts < window_start + INTERVAL '10 minutes'
+GROUP BY 1, 2""",
+)
+
+
+@model("events_session_30m", layer="streaming", materialization="view")
+def events_session_30m(ctx):
+    """Per-user session windows with a 30-minute inactivity gap — Spark's
+    native ``session_window``; the oracle is the classic gaps-and-islands
+    rewrite (lag + cumulative new-session flags)."""
+    e = ctx.source("events")
+    w = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+            F.min("ts").alias("first_event"),
+            F.max("ts").alias("last_event"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+oracle(
+    "events_session_30m",
+    ("events",),
+    f"""WITH flagged AS (
+    SELECT
+        user_id,
+        ts,
+        value,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '30 minutes'
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT
+        *,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT
+    user_id,
+    MIN(ts) AS session_start,
+    MAX(ts) + INTERVAL '30 minutes' AS session_end,
+    COUNT(*) AS n_events,
+    {dsum_sql('value')} AS total_value,
+    MIN(ts) AS first_event,
+    MAX(ts) AS last_event
+FROM sessions
+GROUP BY user_id, session_id""",
+)
+
+
+@model("events_json_props", layer="streaming", materialization="view")
+def events_json_props(ctx):
+    """JSON property extraction + per-type stats incl. exact percentiles
+    (the reference's A10 percentile_cont shape, blocked in the relational
+    layer by missing fixture columns)."""
+    e = ctx.source("events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            isum(F.col("k")).alias("total_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            davg(F.col("value")).alias("avg_value"),
+            rnd(F.percentile("value", F.lit(0.5)), 6).alias("p50_value"),
+            rnd(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
+        )
+    )
+
+
+oracle(
+    "events_json_props",
+    ("events",),
+    f"""SELECT
+    event_type,
+    COUNT(*) AS n_events,
+    {isum_sql("CAST(props->>'k' AS BIGINT)")} AS total_k,
+    MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+    MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+    {davg_sql('value')} AS avg_value,
+    {rnd_sql('percentile_cont(0.5) WITHIN GROUP (ORDER BY value)', 6)} AS p50_value,
+    {rnd_sql('percentile_cont(0.95) WITHIN GROUP (ORDER BY value)', 6)} AS p95_value
+FROM events
+GROUP BY 1""",
+)
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming builders (used by tests / live deployments)
+# --------------------------------------------------------------------------
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the events table (ns->us like the batch
+    reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # the file stream source requires a directory; narrow to the events file
+    # with a glob filter
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_tumbling_10m with a 1-hour watermark
+    (late-data policy: rows later than 1h past the max seen event time are
+    dropped; with availableNow over a static file nothing is late, so the
+    result equals the batch form)."""
+    e = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_session_30m (stateful session windows)."""
+    e = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup_by_event_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup: dropDuplicatesWithinWatermark on event_id —
+    the streaming counterpart of the batch dedup operators."""
+    e = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return e.dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(df: DataFrame, name: str) -> None:
+    """Drain a streaming DataFrame into an in-memory table via availableNow
+    (test harness helper)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,69 @@
+"""Behavioral tests for the extension operators (parity is covered by
+test_parity; these check operator-specific invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.plans import Context, import_all_models
+
+import_all_models()
+
+
+def test_minhash_lsh_recall_against_exact(spark, sf_dir):
+    """Every LSH-verified pair must be a true >=0.5 shingle-Jaccard pair
+    (precision 1.0 by construction — verified candidates only)."""
+    ctx = Context(spark, sf_dir)
+    lsh = ctx.ref("dedup_minhash_lsh").select("doc_a", "doc_b", "jaccard")
+    assert lsh.filter(F.col("jaccard") < 0.5).count() == 0
+    n_lsh = lsh.count()
+    assert n_lsh > 0
+
+
+def test_simhash_hamming_bounds(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    sigs = ctx.ref("dedup_simhash_signatures")
+    row = sigs.select(F.length("sig_bits").alias("l")).distinct().collect()
+    assert [r.l for r in row] == [64]
+    pairs = ctx.ref("dedup_simhash_pairs")
+    bad = pairs.filter((F.col("hamming_distance") < 0) | (F.col("hamming_distance") > 16))
+    assert bad.count() == 0
+
+
+def test_ann_topk_is_ranked(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    topk = ctx.ref("ann_cosine_topk")
+    # exactly 10 queries, each with <= 10 ranked neighbors, rank unique per query
+    per_q = topk.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("rank").alias("nr")
+    )
+    assert per_q.filter((F.col("n") > 10) | (F.col("n") != F.col("nr"))).count() == 0
+    # cosine must be non-increasing with rank within a query
+    w_bad = topk.alias("a").join(
+        topk.alias("b"),
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.rank") < F.col("b.rank"))
+        & (F.col("a.cosine") < F.col("b.cosine")),
+    )
+    assert w_bad.count() == 0
+
+
+def test_multimodal_plumbing_batch_shape(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    out = ctx.ref("multimodal_metadata")
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,byte_len:bigint,content_md5:string,"
+        "width:bigint,height:bigint,channels:bigint,decode_status:string>"
+    )
+    n_docs = ctx.source("documents").count()
+    assert out.count() == n_docs
+    assert out.filter(F.col("decode_status") != "stub_decoder").count() == 0
+
+
+def test_text_quality_score_range(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    stats = ctx.ref("doc_text_stats")
+    out_of_range = stats.filter(
+        (F.col("quality_score") < 0) | (F.col("quality_score") > 1.0)
+    )
+    assert out_of_range.count() == 0

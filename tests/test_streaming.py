@@ -1,0 +1,59 @@
+"""Structured Streaming forms must agree with their batch twins (run with
+an availableNow trigger over the static events parquet — nothing is late,
+so watermarking drops no rows and results are equal)."""
+
+from __future__ import annotations
+
+from dbt_tpch_spark.plans import Context, import_all_models
+from dbt_tpch_spark.streaming import windows as W
+
+import_all_models()
+
+
+def _drain(spark, df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _canon(df, cols):
+    return sorted(tuple(str(v) for v in row) for row in df.select(*cols).collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream = _drain(
+        spark, W.streaming_tumbling_10m(spark, sf_dir), "t_tumbling"
+    )
+    batch = Context(spark, sf_dir).ref("events_tumbling_10m")
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    assert _canon(stream, cols) == _canon(batch, cols)
+
+
+def test_streaming_session_equals_batch(spark, sf_dir):
+    stream = _drain(spark, W.streaming_session_30m(spark, sf_dir), "t_session")
+    batch = Context(spark, sf_dir).ref("events_session_30m")
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _canon(stream, cols) == _canon(batch, cols)
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    df = W.streaming_dedup_by_event_id(spark, sf_dir)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_dedup")
+    n_events = Context(spark, sf_dir).source("events").count()
+    # events are unique by event_id in the corpus: dedup must be lossless
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
