@@ -233,8 +233,18 @@ JOIN sizes sb ON i.doc_b = sb.doc_id""",
 # --------------------------------------------------------------------------
 
 
+def _doc_parallelism(ctx) -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
 def _word_set_df(ctx):
-    d = ctx.source("documents")
+    # documents is a single small parquet file -> one input partition; the
+    # downstream per-token hashing is CPU-bound, so spread it across cores
+    # (at 100 TB the scan itself produces enough partitions and this
+    # repartition is a no-op policy knob)
+    d = ctx.source("documents").repartition(_doc_parallelism(ctx), "doc_id")
     words = F.array_distinct(F.split(norm_text_col(), " "))
     return d.select("doc_id", words.alias("words"))
 
@@ -244,7 +254,7 @@ _WORDS_DUCK = f"list_distinct(string_split({_NORM_TEXT_DUCK}, ' '))"
 
 def _shingle3_set_df(ctx):
     """Distinct 3-gram word shingles per document (MinHash feedstock)."""
-    d = ctx.source("documents")
+    d = ctx.source("documents").repartition(_doc_parallelism(ctx), "doc_id")
     toks = F.split(norm_text_col(), " ")
     shingles = F.when(
         F.size(toks) >= 3,
