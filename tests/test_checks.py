@@ -1,0 +1,39 @@
+"""The reference's declarative schema-test suite must pass on the built
+warehouse (SURVEY §5.1), and the probes must actually detect violations."""
+
+from __future__ import annotations
+
+from dbt_tpch_spark.checks import (
+    check_not_null,
+    check_relationships,
+    check_unique,
+    run_reference_checks,
+)
+from dbt_tpch_spark.plans import Context, import_all_models
+
+import_all_models()
+
+
+def test_reference_suite(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    results = run_reference_checks(ctx)
+    failed = {(r.model, r.check, r.column) for r in results if not r.passed}
+    # known corpus property: the synthetic lineitem does NOT enforce the
+    # TPC-H (l_orderkey, l_linenumber) primary key (1,161 duplicate pairs at
+    # sf0.001), so the reference's `unique` test on the surrogate key
+    # correctly reports violations — everything else must pass
+    assert failed == {("fct_orders_items", "unique", "order_item_key")}, (
+        f"unexpected check outcomes: {sorted(failed)}"
+    )
+    assert len(results) == 19
+
+
+def test_probes_detect_violations(spark):
+    dup = spark.createDataFrame([(1, None), (1, 2)], ["k", "v"])
+    assert check_unique(dup, "k") > 0
+    assert check_not_null(dup, "v") > 0
+    parent = spark.createDataFrame([(1,)], ["pk"])
+    nulls_only = spark.createDataFrame([(None,)], "k int")
+    assert check_relationships(nulls_only, "k", parent, "pk") == 0  # nulls skipped
+    child = spark.createDataFrame([(9,)], ["k"])
+    assert check_relationships(child, "k", parent, "pk") > 0

@@ -1,0 +1,61 @@
+"""Registry/materializer behavior (the engine's dbt-DAG equivalent)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.plans import MODELS, Context, import_all_models
+
+import_all_models()
+
+
+def test_registry_covers_all_layers():
+    layers = {spec.layer for spec in MODELS.values()}
+    assert {"base", "ods", "wh", "intermediate", "metrics", "reports",
+            "operators", "streaming"} <= layers
+    # base models are ephemeral like the reference (dbt_project.yml:29-30)
+    assert all(
+        spec.materialization == "ephemeral"
+        for spec in MODELS.values()
+        if spec.layer == "base"
+    )
+
+
+def test_ref_memoizes(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    assert ctx.ref("fct_orders") is ctx.ref("fct_orders")
+
+
+def test_parquet_table_policy_roundtrip(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as wh:
+        lazy = Context(spark, sf_dir).ref("rpt_pricing_summary")
+        mat = Context(
+            spark, sf_dir, table_policy="parquet", warehouse_dir=wh
+        ).ref("rpt_pricing_summary")
+        a = {tuple(r) for r in lazy.collect()}
+        b = {tuple(r) for r in mat.collect()}
+        assert a == b
+
+
+def test_cache_table_policy(spark, sf_dir):
+    ctx = Context(spark, sf_dir, table_policy="cache")
+    df = ctx.ref("fct_orders")
+    try:
+        assert df.count() == df.count() > 0
+        assert df.storageLevel.useMemory
+    finally:
+        df.unpersist()
+
+
+def test_config_var_drives_q1_cutoff(spark, sf_dir):
+    """The reference's var('max_ship_date') (dbt_project.yml:42-43) is an
+    engine config: moving it changes the Q1 filter window."""
+    base = Context(spark, sf_dir).ref("rpt_pricing_summary")
+    moved = Context(
+        spark, sf_dir, variables={"max_ship_date": "1997-06-01"}
+    ).ref("rpt_pricing_summary")
+    n_base = base.agg(F.sum("order_item_count")).collect()[0][0]
+    n_moved = moved.agg(F.sum("order_item_count")).collect()[0][0]
+    assert n_moved < n_base
