@@ -17,7 +17,16 @@ from dbt_tpch_spark.models import oracle as _oracle
 import_all_models()
 
 #: model layers exposed as driver queries (base is ephemeral feedstock).
-_QUERY_LAYERS = {"ods", "wh", "intermediate", "metrics", "reports", "operators", "streaming"}
+_QUERY_LAYERS = {
+    "ods",
+    "wh",
+    "intermediate",
+    "metrics",
+    "reports",
+    "extended",
+    "operators",
+    "streaming",
+}
 
 #: queries with no SQL-expressible oracle (driver records rows-only checks).
 NO_ORACLE: tuple[str, ...] = ()

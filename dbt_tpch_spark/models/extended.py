@@ -1,0 +1,134 @@
+"""Extended relational surface: operations the reference does NOT use
+(SURVEY §2.5 notes no GROUPING SETS/ROLLUP/CUBE, §2.8 no set operations)
+but that Spark provides natively and a complete engine must expose.
+Each is oracle-checked like everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.functions import dsum
+from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.models.oracle import dsum_sql, oracle
+
+
+@model("sales_rollup_region_nation", layer="extended", materialization="view")
+def sales_rollup_region_nation(ctx):
+    """ROLLUP(region, nation) revenue hierarchy: per-nation rows, per-region
+    subtotals, and a grand total, tagged with grouping_id.
+
+    Spark's rollup is the same expand-based plan DuckDB generates — one
+    aggregation pass over the expanded grouping sets."""
+    o = ctx.ref("fct_orders")
+    c = ctx.ref("dim_customer")
+    return (
+        o.join(
+            F.broadcast(
+                c.select("customer_key", "customer_region_name", "customer_nation_name")
+            ),
+            "customer_key",
+        )
+        .rollup(
+            F.col("customer_region_name").alias("region_name"),
+            F.col("customer_nation_name").alias("nation_name"),
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_level"),
+            F.countDistinct("order_key").alias("order_count"),
+            dsum(F.col("gross_item_sales_amount")).alias("gross_revenue"),
+        )
+    )
+
+
+oracle(
+    "sales_rollup_region_nation",
+    ("fct_orders", "dim_customer"),
+    f"""SELECT
+    c.customer_region_name AS region_name,
+    c.customer_nation_name AS nation_name,
+    CAST(GROUPING(c.customer_region_name) * 2 + GROUPING(c.customer_nation_name) AS BIGINT) AS grouping_level,
+    COUNT(DISTINCT o.order_key) AS order_count,
+    {dsum_sql('o.gross_item_sales_amount')} AS gross_revenue
+FROM fct_orders o
+JOIN dim_customer c ON o.customer_key = c.customer_key
+GROUP BY ROLLUP(c.customer_region_name, c.customer_nation_name)""",
+)
+
+
+@model("sales_cube_status_priority", layer="extended", materialization="view")
+def sales_cube_status_priority(ctx):
+    """CUBE(order_status, order_priority): all 4 grouping-set combinations
+    in one aggregation pass."""
+    o = ctx.ref("fct_orders")
+    return o.cube("order_status_code", "order_priority_code").agg(
+        F.grouping_id().cast("long").alias("grouping_level"),
+        F.countDistinct("order_key").alias("order_count"),
+        dsum(F.col("gross_item_sales_amount")).alias("gross_revenue"),
+    )
+
+
+oracle(
+    "sales_cube_status_priority",
+    ("fct_orders",),
+    f"""SELECT
+    order_status_code,
+    order_priority_code,
+    CAST(GROUPING(order_status_code) * 2 + GROUPING(order_priority_code) AS BIGINT) AS grouping_level,
+    COUNT(DISTINCT order_key) AS order_count,
+    {dsum_sql('gross_item_sales_amount')} AS gross_revenue
+FROM fct_orders
+GROUP BY CUBE(order_status_code, order_priority_code)""",
+)
+
+
+@model("customer_setops", layer="extended", materialization="view")
+def customer_setops(ctx):
+    """UNION / INTERSECT / EXCEPT over two customer populations:
+    A = customers with any 1998+ order, B = customers holding an
+    above-average account balance."""
+    o = ctx.ref("fct_orders")
+    c = ctx.ref("dim_customer")
+    a = (
+        o.filter(F.col("order_date") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("customer_key")
+        .distinct()
+    )
+    # exact-decimal average (see functions.davg): a plain double avg is
+    # accumulation-order-dependent and the threshold could flip rows
+    avg_bal = c.agg(
+        (dsum(F.col("customer_account_balance")) / F.count("customer_account_balance")).alias("ab")
+    )
+    b = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("customer_account_balance") > F.col("ab"))
+        .select("customer_key")
+    )
+    return (
+        a.union(b).distinct().withColumn("set_op", F.lit("union"))
+        .unionAll(a.intersect(b).withColumn("set_op", F.lit("intersect")))
+        .unionAll(a.subtract(b).withColumn("set_op", F.lit("except")))
+        .select("set_op", "customer_key")
+    )
+
+
+oracle(
+    "customer_setops",
+    ("fct_orders", "dim_customer"),
+    """WITH a AS (
+    SELECT DISTINCT customer_key FROM fct_orders
+    WHERE order_date >= TIMESTAMP '1998-01-01'
+),
+b AS (
+    SELECT customer_key FROM dim_customer
+    WHERE customer_account_balance >
+        (SELECT CAST(SUM(CAST(customer_account_balance AS DECIMAL(27,6))) AS DOUBLE)
+                / COUNT(customer_account_balance)
+         FROM dim_customer)
+)
+SELECT 'union' AS set_op, customer_key FROM (SELECT customer_key FROM a UNION SELECT customer_key FROM b)
+UNION ALL
+SELECT 'intersect' AS set_op, customer_key FROM (SELECT customer_key FROM a INTERSECT SELECT customer_key FROM b)
+UNION ALL
+SELECT 'except' AS set_op, customer_key FROM (SELECT customer_key FROM a EXCEPT SELECT customer_key FROM b)""",
+)

@@ -1,0 +1,105 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState`` —
+the escape hatch for semantics Spark's built-in windows can't express
+(SURVEY §7.1 step 7; the reference has no streaming at all, SURVEY §2.10).
+
+The operator keeps per-user running state across micro-batches: event count,
+exact value sum (integer-cents arithmetic so state is order-stable), max
+inter-event gap, and first/last event times. With an ``availableNow`` run
+over a static file the emitted final state must equal the batch groupBy —
+which is exactly what tests/test_streaming.py asserts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_value_cents long, "
+    "max_gap_seconds double, first_ts timestamp, last_ts timestamp"
+)
+STATE_SCHEMA = (
+    "n long, cents long, max_gap double, first_us long, last_us long"
+)
+
+
+def _update_user_state(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch of one user's events into running state and
+    emit the refreshed totals (update semantics)."""
+    (user_id,) = key
+    if state.exists:
+        n, cents, max_gap, first_us, last_us = state.get
+    else:
+        n, cents, max_gap, first_us, last_us = 0, 0, 0.0, None, None
+
+    for pdf in batches:
+        pdf = pdf.sort_values("ts")
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()  # ns -> us
+        # per-row integer cents: deterministic accumulation across batches
+        # (matches the batch twin's per-row round-then-sum)
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        n += len(pdf)
+        for t in ts_us:
+            if last_us is not None:
+                max_gap = max(max_gap, (t - last_us) / 1e6)
+            if first_us is None:
+                first_us = t
+            last_us = max(last_us, t) if last_us is not None else t
+
+    state.update((n, cents, max_gap, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value_cents": [cents],
+            "max_gap_seconds": [max_gap],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful per-user running stats over the events stream."""
+    from dbt_tpch_spark.streaming.windows import read_events_stream
+
+    e = read_events_stream(spark, sf_dir)
+    return e.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming_user_stats (ground truth for tests)."""
+    from dbt_tpch_spark.sources import read_table
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn(
+        "gap_s",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) / 1e6,
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "approx_total_value_cents"
+        ),
+        F.coalesce(F.max("gap_s"), F.lit(0.0)).alias("max_gap_seconds"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -57,3 +57,42 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     # events are unique by event_id in the corpus: dedup must be lossless
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stateful_user_stats_equals_batch(spark, sf_dir):
+    """applyInPandasWithState final state == batch groupBy ground truth."""
+    from dbt_tpch_spark.streaming import stateful
+
+    stream_df = stateful.streaming_user_stats(spark, sf_dir)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode may emit multiple rows per user across batches; the final
+    # (max n_events) row per user is the end state
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    out = spark.table("t_stateful")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    batch = stateful.batch_user_stats(spark, sf_dir)
+
+    cols = ["user_id", "n_events", "first_ts", "last_ts"]
+    a = sorted(tuple(str(v) for v in r) for r in final.select(*cols).collect())
+    b = sorted(tuple(str(v) for v in r) for r in batch.select(*cols).collect())
+    assert a == b
+
+    # cents and max-gap agree too (per-row rounding on both sides)
+    joined = final.alias("s").join(batch.alias("b"), "user_id")
+    bad = joined.filter(
+        (F.col("s.total_value_cents") != F.col("b.approx_total_value_cents"))
+        | (F.abs(F.col("s.max_gap_seconds") - F.col("b.max_gap_seconds")) > 1e-6)
+    )
+    assert bad.count() == 0
