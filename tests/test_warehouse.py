@@ -1,0 +1,60 @@
+"""Physical-layout checks: partition pruning must reach the scan, bucketed
+joins must be exchange-free — the two properties that decide whether the
+plan survives a 100x scale-up."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.plans import Context, import_all_models
+from dbt_tpch_spark.warehouse import read_partitioned, write_bucketed, write_partitioned
+
+import_all_models()
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    fct = ctx.ref("fct_orders")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/fct_orders_by_month"
+        write_partitioned(fct, path, "order_month", source_col="order_date")
+        back = read_partitioned(spark, path)
+        one_month = back.filter(F.col("order_month") == "1998-01")
+        plan = _physical_plan(one_month)
+        # the partition predicate must appear as a partition filter on the
+        # scan, not a post-scan Filter
+        assert "PartitionFilters" in plan and "1998-01" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        n_total = back.count()
+        n_month = one_month.count()
+        assert 0 < n_month < n_total
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ctx = Context(spark, sf_dir)
+        orders = ctx.ref("ods_orders")
+        items = ctx.ref("orders_items").select(
+            "order_key", "quantity", "gross_item_sales_amount"
+        )
+        write_bucketed(orders, spark, "b_orders", "order_key", 8)
+        write_bucketed(items, spark, "b_items", "order_key", 8)
+        j = spark.table("b_orders").join(spark.table("b_items"), "order_key")
+        plan = _physical_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
