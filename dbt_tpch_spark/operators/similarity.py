@@ -205,3 +205,124 @@ SELECT query_id, neighbor_id, bucket, cosine, rank
 FROM ranked
 WHERE rank <= {TOP_K}""",
 )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# --------------------------------------------------------------------------
+
+N_CELLS = 16
+N_PROBE = 4
+#: deterministic centroid choice: a fixed mid-corpus slice of vectors. A real
+#: deployment would k-means these; the IVF *plan shape* (assign -> probe ->
+#: rank within probed cells) is identical either way.
+CENTROID_LO, CENTROID_HI = 100, 100 + N_CELLS
+
+
+@model("ann_ivf_topk", layer="operators", materialization="view")
+def ann_ivf_topk(ctx):
+    """IVF ANN: corpus vectors are assigned to their nearest of 16 centroid
+    cells (one broadcast join against the centroids — no O(n^2) stage);
+    each query probes its 4 nearest cells and ranks candidates by exact
+    cosine within them.
+
+    Scale shape: assignment is linear with a broadcast centroid table;
+    search touches ~nprobe/ncells of the corpus. Recall < 1 by design —
+    ann_cosine_topk is the exactness baseline."""
+    e = ctx.source("embeddings")
+    n = _norms(e)
+    cents = n.filter(
+        (F.col("vec_id") >= CENTROID_LO) & (F.col("vec_id") < CENTROID_HI)
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("emb").alias("cent_emb"),
+        F.col("norm").alias("cent_norm"),
+    )
+    cos_to_cent = F.expr(DOT_SPARK.format(a="emb", b="cent_emb")) / (
+        F.col("norm") * F.col("cent_norm")
+    )
+    scored_cells = n.crossJoin(F.broadcast(cents)).withColumn(
+        "cell_cos", cos_to_cent
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_cos").desc(), F.col("cell_id")
+    )
+    ranked_cells = scored_cells.withColumn(
+        "cell_rank", F.row_number().over(w_cell)
+    ).select("vec_id", "label", "emb", "norm", "cell_id", "cell_rank")
+    assign = ranked_cells.filter(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        "cell_id",
+    )
+    probes = ranked_cells.filter(
+        (F.col("cell_rank") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        "cell_id",
+    )
+    cos = F.expr(DOT_SPARK.format(a="q_emb", b="c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        probes.join(assign, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", rnd(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell_id", "cosine", "rank")
+    )
+
+
+oracle(
+    "ann_ivf_topk",
+    ("embeddings",),
+    f"""WITH norms AS (
+    SELECT vec_id, label, embedding,
+           sqrt({dot_duck('embedding', 'embedding')}) AS norm
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cell_id, embedding AS cent_emb, norm AS cent_norm
+    FROM norms WHERE vec_id >= {CENTROID_LO} AND vec_id < {CENTROID_HI}
+),
+ranked_cells AS (
+    SELECT
+        n.vec_id, n.embedding, n.norm, c.cell_id,
+        ROW_NUMBER() OVER (
+            PARTITION BY n.vec_id
+            ORDER BY {dot_duck('n.embedding', 'c.cent_emb')} / (n.norm * c.cent_norm) DESC, c.cell_id
+        ) AS cell_rank
+    FROM norms n CROSS JOIN cents c
+),
+assign AS (
+    SELECT vec_id AS neighbor_id, embedding AS c_emb, norm AS c_norm, cell_id
+    FROM ranked_cells WHERE cell_rank = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cell_id
+    FROM ranked_cells WHERE cell_rank <= {N_PROBE} AND vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT
+        p.query_id, a.neighbor_id, a.cell_id,
+        {rnd_sql(f"{dot_duck('p.q_emb', 'a.c_emb')} / (p.q_norm * a.c_norm)", 6)} AS cosine
+    FROM probes p
+    JOIN assign a ON p.cell_id = a.cell_id AND p.query_id != a.neighbor_id
+),
+ranked AS (
+    SELECT *,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cell_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}""",
+)
