@@ -45,6 +45,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # default (PARQUET_TYPE_ILLEGAL). Read nanos as LONG and truncate to
         # microseconds — exactly what DuckDB does when it coerces ns->us.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros() yields session-local timestamps; pin UTC so the
+        # wall-clock values match the timezone-naive DuckDB oracle even when
+        # the caller's session (e.g. the driver's) wasn't built by
+        # session.get_spark()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
