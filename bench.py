@@ -73,6 +73,24 @@ def main() -> None:
         timings[name] = round(elapsed, 3)
         total += elapsed
 
+    # full-DAG warehouse build: the engine analogue of the reference's
+    # headline number (`dbt build`, all models, threads=4 —
+    # BASELINE.md row 1)
+    import tempfile
+
+    from dbt_tpch_spark.warehouse import build_warehouse
+
+    with tempfile.TemporaryDirectory() as d:
+        start = time.perf_counter()
+        paths = build_warehouse(
+            spark,
+            sf_dir,
+            d,
+            parallelism=4,
+            layers=("ods", "wh", "intermediate", "metrics", "reports", "extended"),
+        )
+        full_build = time.perf_counter() - start
+
     print(
         json.dumps(
             {
@@ -81,6 +99,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "full_dag_build_sec": round(full_build, 3),
+                "full_dag_tables": len(paths),
             }
         )
     )

@@ -14,6 +14,7 @@ _LAYER_MODULES = (
     "dbt_tpch_spark.models.metrics",
     "dbt_tpch_spark.models.reports",
     "dbt_tpch_spark.models.extended",
+    "dbt_tpch_spark.models.quality",
     # extension surfaces (operators/ and streaming/ register models too)
     "dbt_tpch_spark.operators.text",
     "dbt_tpch_spark.operators.dedup",

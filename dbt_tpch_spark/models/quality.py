@@ -1,0 +1,106 @@
+"""Data-quality summary as a first-class query: the reference's declared
+schema tests (SURVEY §5.1) computed in one pass and returned as rows, so the
+DQ state of the warehouse is itself queryable (and oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.models.oracle import oracle
+
+
+@model("dq_summary", layer="extended", materialization="view")
+def dq_summary(ctx):
+    """One row per declared check with its violation count: unique via
+    group-by-having, not_null via filter-count, relationships via left-anti
+    count (dbt's generated-SQL semantics, models/wh/fct_orders.yml:9-60)."""
+    fo = ctx.ref("fct_orders")
+    foi = ctx.ref("fct_orders_items")
+    dc = ctx.ref("dim_customer")
+    dp = ctx.ref("dim_part")
+    ds = ctx.ref("dim_supplier")
+
+    def unique_violations(df, col, model_name):
+        return (
+            df.groupBy(col)
+            .count()
+            .filter(F.col("count") > 1)
+            .agg(F.count(F.lit(1)).alias("violations"))
+            .select(
+                F.lit(model_name).alias("model"),
+                F.lit("unique").alias("check"),
+                F.lit(col).alias("column"),
+                F.col("violations").cast("long").alias("violations"),
+            )
+        )
+
+    def not_null_violations(df, col, model_name):
+        return df.agg(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("violations")
+        ).select(
+            F.lit(model_name).alias("model"),
+            F.lit("not_null").alias("check"),
+            F.lit(col).alias("column"),
+            "violations",
+        )
+
+    def fk_violations(child, col, parent, pcol, model_name):
+        return (
+            child.select(F.col(col).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .join(parent.select(F.col(pcol).alias("k")).distinct(), "k", "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+            .select(
+                F.lit(model_name).alias("model"),
+                F.lit("relationships").alias("check"),
+                F.lit(col).alias("column"),
+                "violations",
+            )
+        )
+
+    parts = [
+        unique_violations(fo, "order_key", "fct_orders"),
+        not_null_violations(fo, "customer_key", "fct_orders"),
+        fk_violations(fo, "customer_key", dc, "customer_key", "fct_orders"),
+        unique_violations(foi, "order_item_key", "fct_orders_items"),
+        not_null_violations(foi, "ship_date", "fct_orders_items"),
+        fk_violations(foi, "part_key", dp, "part_key", "fct_orders_items"),
+        fk_violations(foi, "supplier_key", ds, "supplier_key", "fct_orders_items"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+oracle(
+    "dq_summary",
+    ("fct_orders", "fct_orders_items", "dim_customer", "dim_part", "dim_supplier"),
+    """SELECT 'fct_orders' AS model, 'unique' AS "check", 'order_key' AS "column",
+       CAST((SELECT COUNT(*) FROM (SELECT order_key FROM fct_orders GROUP BY 1 HAVING COUNT(*) > 1)) AS BIGINT) AS violations
+UNION ALL
+SELECT 'fct_orders', 'not_null', 'customer_key',
+       CAST((SELECT COALESCE(SUM(CASE WHEN customer_key IS NULL THEN 1 ELSE 0 END), 0) FROM fct_orders) AS BIGINT)
+UNION ALL
+SELECT 'fct_orders', 'relationships', 'customer_key',
+       CAST((SELECT COUNT(*) FROM fct_orders o WHERE o.customer_key IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM dim_customer c WHERE c.customer_key = o.customer_key)) AS BIGINT)
+UNION ALL
+SELECT 'fct_orders_items', 'unique', 'order_item_key',
+       CAST((SELECT COUNT(*) FROM (SELECT order_item_key FROM fct_orders_items GROUP BY 1 HAVING COUNT(*) > 1)) AS BIGINT)
+UNION ALL
+SELECT 'fct_orders_items', 'not_null', 'ship_date',
+       CAST((SELECT COALESCE(SUM(CASE WHEN ship_date IS NULL THEN 1 ELSE 0 END), 0) FROM fct_orders_items) AS BIGINT)
+UNION ALL
+SELECT 'fct_orders_items', 'relationships', 'part_key',
+       CAST((SELECT COUNT(*) FROM fct_orders_items i WHERE i.part_key IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM dim_part p WHERE p.part_key = i.part_key)) AS BIGINT)
+UNION ALL
+SELECT 'fct_orders_items', 'relationships', 'supplier_key',
+       CAST((SELECT COUNT(*) FROM fct_orders_items i WHERE i.supplier_key IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM dim_supplier s WHERE s.supplier_key = i.supplier_key)) AS BIGINT)""",
+)

@@ -56,3 +56,108 @@ def write_bucketed(
         .sortBy(bucket_col)
         .saveAsTable(table_name)
     )
+
+
+# --------------------------------------------------------------------------
+# full-DAG warehouse build (dbt's threads-N scheduler equivalent)
+# --------------------------------------------------------------------------
+
+
+def _topo_levels(targets: set[str]) -> list[list[str]]:
+    """Topological levels of the model DAG restricted to ``targets``, using
+    the dependency edges declared in the oracle registry (same DAG as the
+    Spark side)."""
+    from dbt_tpch_spark.models.oracle import ORACLE
+
+    def table_deps(name: str, seen: set[str]) -> set[str]:
+        out: set[str] = set()
+        for d in ORACLE.get(name, ((), ""))[0]:
+            if d in seen:
+                continue
+            seen.add(d)
+            if d in targets:
+                out.add(d)
+            else:
+                out |= table_deps(d, seen)
+        return out
+
+    deps = {n: table_deps(n, set()) for n in targets}
+    levels: list[list[str]] = []
+    remaining = dict(deps)
+    while remaining:
+        ready = sorted(n for n, ds in remaining.items() if not ds & set(remaining))
+        if not ready:
+            raise ValueError(f"dependency cycle among {sorted(remaining)}")
+        levels.append(ready)
+        for n in ready:
+            del remaining[n]
+    return levels
+
+
+def build_warehouse(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse_dir: str,
+    parallelism: int = 4,
+    layers: tuple[str, ...] = ("ods", "wh", "metrics", "reports"),
+) -> dict[str, str]:
+    """Materialize every table-model of the given layers to parquet,
+    level-by-level (downstream levels read the written artifacts, exactly
+    like dbt's CTAS boundaries), with ``parallelism`` concurrent writes per
+    level (dbt's ``threads: 4`` — reference profiles.yml:8).
+
+    Spark's scheduler accepts concurrent job submission from threads; each
+    write is an independent job so executors stay busy across models.
+    Returns {model: artifact_path}.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dbt_tpch_spark.plans import MODELS, Context
+
+    ctx = Context(spark, sf_dir)
+    targets = {
+        n
+        for n, s in MODELS.items()
+        if s.materialization == "table" and s.layer in layers
+    }
+    paths: dict[str, str] = {}
+
+    def write(name: str) -> None:
+        df = MODELS[name].fn(ctx)
+        path = f"{warehouse_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        paths[name] = path
+
+    for level in _topo_levels(targets):
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            list(pool.map(write, level))
+        # downstream levels must read the materialized artifacts
+        for name in level:
+            ctx._built[name] = spark.read.parquet(paths[name])
+    return paths
+
+
+# --------------------------------------------------------------------------
+# incremental materialization
+# --------------------------------------------------------------------------
+
+
+def write_incremental(df: DataFrame, spark: SparkSession, path: str, watermark_col: str) -> int:
+    """Append-only incremental build keyed on a monotone watermark column
+    (dbt's incremental materialization; the reference declares event_time
+    metadata for this but never uses it — SURVEY §2.10). First run writes
+    everything; later runs append only rows past the stored high-water mark.
+    Returns the number of rows written."""
+    import os
+
+    if os.path.exists(path):
+        high = (
+            spark.read.parquet(path).agg(F.max(watermark_col).alias("h")).first().h
+        )
+        fresh = df.filter(F.col(watermark_col) > F.lit(high))
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").parquet(path)
+        return n
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()

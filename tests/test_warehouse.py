@@ -58,3 +58,42 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_build_warehouse_concurrent(spark, sf_dir, tmp_path):
+    from dbt_tpch_spark.warehouse import build_warehouse
+
+    paths = build_warehouse(
+        spark, sf_dir, str(tmp_path / "wh"), parallelism=4, layers=("ods", "wh")
+    )
+    # every table-model of those layers materialized
+    assert {"ods_orders", "orders_items", "fct_orders", "fct_orders_items",
+            "dim_customer", "dim_part", "dim_supplier",
+            "rpt_pricing_summary"} <= set(paths)
+    # artifacts equal the lazy computation
+    ctx = Context(spark, sf_dir)
+    lazy = {tuple(r) for r in ctx.ref("rpt_pricing_summary").collect()}
+    built = {tuple(r) for r in spark.read.parquet(paths["rpt_pricing_summary"]).collect()}
+    assert lazy == built
+
+
+def test_write_incremental(spark, sf_dir, tmp_path):
+    from dbt_tpch_spark.warehouse import write_incremental
+
+    ctx = Context(spark, sf_dir)
+    daily = ctx.ref("metrics_daily_revenue")
+    cutoff = "1998-01-01"
+    old = daily.filter(F.col("order_date") < cutoff)
+    path = str(tmp_path / "daily")
+
+    n1 = write_incremental(old, spark, path, "order_date")
+    assert n1 == old.count() > 0
+    # second run with the full frame appends only the new dates
+    n2 = write_incremental(daily, spark, path, "order_date")
+    assert n2 == daily.count() - old.count() > 0
+    # incremental result == full rebuild
+    final = {tuple(r) for r in spark.read.parquet(path).collect()}
+    full = {tuple(r) for r in daily.collect()}
+    assert final == full
+    # idempotent third run
+    assert write_incremental(daily, spark, path, "order_date") == 0
