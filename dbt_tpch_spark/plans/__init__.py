@@ -73,6 +73,12 @@ class Context:
         self.table_policy = table_policy
         self.warehouse_dir = warehouse_dir
         self._built: dict[str, DataFrame] = {}
+        # build_warehouse materializes level-mates from worker threads; the
+        # lock keeps ref() memoization single-writer (DataFrames themselves
+        # are immutable, so races would only waste plan construction)
+        import threading
+
+        self._lock = threading.RLock()
 
     def source(self, name: str) -> DataFrame:
         return read_table(self.spark, self.sf_dir, name)
@@ -81,13 +87,14 @@ class Context:
         return self.vars[key]
 
     def ref(self, name: str) -> DataFrame:
-        if name not in self._built:
-            spec = MODELS[name]
-            df = spec.fn(self)
-            if spec.materialization == "table":
-                df = self._apply_table_policy(name, df)
-            self._built[name] = df
-        return self._built[name]
+        with self._lock:
+            if name not in self._built:
+                spec = MODELS[name]
+                df = spec.fn(self)
+                if spec.materialization == "table":
+                    df = self._apply_table_policy(name, df)
+                self._built[name] = df
+            return self._built[name]
 
     def _apply_table_policy(self, name: str, df: DataFrame) -> DataFrame:
         if self.table_policy == "cache":
