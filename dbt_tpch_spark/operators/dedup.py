@@ -76,6 +76,11 @@ LSH_BANDS = 4  # 4 bands x 4 rows
 JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 16
 COSINE_THRESHOLD = 0.5
+#: LSH hot-bucket valve: a band bucket larger than this is skipped for
+#: candidate generation (quadratic blowup guard for degenerate data — the
+#: unigram corpus showed 2,300-doc buckets => 2.8M pairs per bucket). A
+#: no-op on healthy 3-gram buckets; documented recall tradeoff when it trips.
+MAX_BAND_BUCKET = 1000
 
 
 def minhash_exprs(words: str = "words") -> list[str]:
@@ -290,12 +295,20 @@ def dedup_minhash_lsh(ctx):
         .selectExpr("doc_id", *minhash_exprs())
         .selectExpr("doc_id", *band_exprs())
     )
+    from pyspark.sql import Window
+
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias(
             "band_idx", "band_hash"
         ),
     )
+    # hot-bucket valve: one window count on the same key the join shuffles
+    # on (partitioning reused), drop degenerate buckets before pairing
+    w_bucket = Window.partitionBy("band_idx", "band_hash")
+    bands = bands.withColumn("bsize", F.count(F.lit(1)).over(w_bucket)).filter(
+        F.col("bsize") <= MAX_BAND_BUCKET
+    ).drop("bsize")
     a = bands.withColumnsRenamed({"doc_id": "doc_a"})
     b = bands.withColumnsRenamed({"doc_id": "doc_b"})
     cands = (
@@ -338,10 +351,16 @@ sigs AS (
 banded AS (
     SELECT doc_id, {', '.join(band_exprs())} FROM sigs
 ),
-bands AS (
+bands_all AS (
     SELECT doc_id, k.k AS band_idx,
         CASE k.k {' '.join(f'WHEN {b} THEN band{b}' for b in range(LSH_BANDS))} END AS band_hash
     FROM banded CROSS JOIN (SELECT UNNEST([{', '.join(str(b) for b in range(LSH_BANDS))}]) AS k) k
+),
+bands AS (
+    SELECT doc_id, band_idx, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsize
+        FROM bands_all
+    ) WHERE bsize <= {MAX_BAND_BUCKET}
 ),
 cands AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

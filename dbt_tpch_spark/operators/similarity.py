@@ -326,3 +326,105 @@ ranked AS (
 SELECT query_id, neighbor_id, cell_id, cosine, rank
 FROM ranked WHERE rank <= {TOP_K}""",
 )
+
+
+# --------------------------------------------------------------------------
+# multi-probe LSH
+# --------------------------------------------------------------------------
+
+
+def _flip_sql(bucket: str, k: str) -> str:
+    """Bucket with bit ``k`` flipped (k=0 -> unchanged) — portable SQL."""
+    nb = N_HYPERPLANES
+    return (
+        f"CASE WHEN {k} = 0 THEN {bucket} ELSE concat("
+        f"substr({bucket}, 1, {k} - 1), "
+        f"CASE substr({bucket}, {k}, 1) WHEN '1' THEN '0' ELSE '1' END, "
+        f"substr({bucket}, {k} + 1, {nb} - {k})) END"
+    )
+
+
+@model("ann_lsh_multiprobe_topk", layer="operators", materialization="view")
+def ann_lsh_multiprobe_topk(ctx):
+    """Multi-probe LSH ANN: each query probes its own sign bucket plus the
+    8 hamming-distance-1 buckets, then ranks candidates by exact cosine.
+
+    Scale shape: probes multiply the *query* side only (9x a tiny set); the
+    corpus is still bucketed once. Multi-probe is the standard recall lever
+    that avoids doubling hyperplanes (which would halve bucket occupancy).
+    """
+    e = ctx.source("embeddings")
+    n = _norms(e).join(
+        ctx.source("embeddings").withColumn("bucket", _bucket_spark()).select("vec_id", "bucket"),
+        "vec_id",
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        "bucket",
+    )
+    q = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            "bucket",
+            F.explode(F.sequence(F.lit(0), F.lit(N_HYPERPLANES))).alias("k"),
+        )
+        .withColumn("probe_bucket", F.expr(_flip_sql("bucket", "k")))
+        .select("query_id", "q_emb", "q_norm", F.col("probe_bucket").alias("bucket"))
+    )
+    cos = F.expr(DOT_SPARK.format(a="q_emb", b="c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .distinct()  # a neighbor can surface via several probes
+        .withColumn("cosine", rnd(F.col("cosine"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+oracle(
+    "ann_lsh_multiprobe_topk",
+    ("embeddings",),
+    f"""WITH bucketed AS (
+    SELECT vec_id, embedding, {_bucket_duck()} AS bucket,
+           sqrt({dot_duck('embedding', 'embedding')}) AS norm
+    FROM embeddings
+),
+probes AS (
+    SELECT
+        b.vec_id AS query_id, b.embedding AS q_emb, b.norm AS q_norm,
+        {_flip_sql('b.bucket', 'k.k')} AS bucket
+    FROM bucketed b
+    CROSS JOIN (SELECT UNNEST(range(0, {N_HYPERPLANES + 1})) AS k) k
+    WHERE b.vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT DISTINCT
+        p.query_id, c.vec_id AS neighbor_id,
+        {dot_duck('p.q_emb', 'c.embedding')} / (p.q_norm * c.norm) AS raw_cos
+    FROM probes p
+    JOIN bucketed c ON p.bucket = c.bucket AND p.query_id != c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+        {rnd_sql('raw_cos', 6)} AS cosine,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {rnd_sql('raw_cos', 6)} DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}""",
+)

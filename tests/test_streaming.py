@@ -96,3 +96,64 @@ def test_stateful_user_stats_equals_batch(spark, sf_dir):
         | (F.abs(F.col("s.max_gap_seconds") - F.col("b.max_gap_seconds")) > 1e-6)
     )
     assert bad.count() == 0
+
+
+def test_stateful_accumulates_across_microbatches(spark, sf_dir, tmp_path):
+    """Split events into per-day files and stream them one file per
+    micro-batch: per-user state must genuinely accumulate across batches
+    and still equal the batch ground truth."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from dbt_tpch_spark.sources import read_table
+    from dbt_tpch_spark.streaming import stateful
+
+    src = str(tmp_path / "events_days")
+    events = read_table(spark, sf_dir, "events")
+    events.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "day"
+    ).mode("overwrite").parquet(src)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(src)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        stateful._update_user_state,
+        outputStructType=stateful.OUTPUT_SCHEMA,
+        stateStructType=stateful.STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_multibatch")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+    emitted = spark.table("t_multibatch")
+    # several micro-batches -> several emissions per user (state carried over)
+    assert emitted.count() > emitted.select("user_id").distinct().count()
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = emitted.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    batch = stateful.batch_user_stats(spark, sf_dir)
+    a = sorted(
+        tuple(str(v) for v in r)
+        for r in final.select("user_id", "n_events", "total_value_cents").collect()
+    )
+    b = sorted(
+        tuple(str(v) for v in r)
+        for r in batch.select(
+            "user_id", "n_events", "approx_total_value_cents"
+        ).collect()
+    )
+    assert a == b
