@@ -69,6 +69,23 @@ def isum(col: Column) -> Column:
     return F.sum(col).cast("long")
 
 
+def dvar_samp(col: Column) -> Column:
+    """Order-independent sample variance from exact decimal sums:
+    (sum(x^2) - sum(x)^2/n) / (n-1). Native stddev/variance aggregate in
+    either engine accumulates doubles in engine order — nondeterministic
+    across engines — so the moments are decimal-exact and the final
+    arithmetic is identical IEEE double ops."""
+    n = F.count(col)
+    sx = F.sum(col.cast(_ACC_DECIMAL)).cast("double")
+    sxx = F.sum((col * col).cast(_ACC_DECIMAL)).cast("double")
+    return F.when(n > 1, (sxx - sx * sx / n) / (n - F.lit(1)))
+
+
+def dstddev_samp(col: Column) -> Column:
+    """Order-independent sample standard deviation (see dvar_samp)."""
+    return F.sqrt(dvar_samp(col))
+
+
 def days_between(end: Column, start: Column) -> Column:
     """date - date -> integer days (DuckDB/Postgres semantics), as BIGINT."""
     return F.datediff(end, start).cast("long")

@@ -132,3 +132,45 @@ SELECT 'intersect' AS set_op, customer_key FROM (SELECT customer_key FROM a INTE
 UNION ALL
 SELECT 'except' AS set_op, customer_key FROM (SELECT customer_key FROM a EXCEPT SELECT customer_key FROM b)""",
 )
+
+
+@model("order_value_dispersion", layer="extended", materialization="view")
+def order_value_dispersion(ctx):
+    """Dispersion stats per order status (the reference's A9 stddev shape —
+    models/reports/supplier_lead_time_distribution.sql:26-27 — whose own
+    model is blocked on receipt dates). Variance/stddev come from exact
+    decimal moments (functions.dvar_samp) so both engines agree bit-for-bit.
+    """
+    from dbt_tpch_spark.functions import davg, dstddev_samp, dvar_samp, rnd
+
+    o = ctx.ref("fct_orders")
+    g = F.col("gross_item_sales_amount")
+    return o.groupBy("order_status_code").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        davg(g).alias("mean_order_value"),
+        rnd(dvar_samp(g), 4).alias("var_order_value"),
+        rnd(dstddev_samp(g), 4).alias("stddev_order_value"),
+        rnd(dstddev_samp(g) / davg(g), 6).alias("coeff_of_variation"),
+    )
+
+
+from dbt_tpch_spark.models.oracle import (  # noqa: E402
+    davg_sql as _davg_sql,
+    dstddev_samp_sql as _dstd_sql,
+    dvar_samp_sql as _dvar_sql,
+    rnd_sql as _rnd_sql,
+)
+
+oracle(
+    "order_value_dispersion",
+    ("fct_orders",),
+    f"""SELECT
+    order_status_code,
+    COUNT(*) AS n_orders,
+    {_davg_sql('gross_item_sales_amount')} AS mean_order_value,
+    {_rnd_sql(_dvar_sql('gross_item_sales_amount'), 4)} AS var_order_value,
+    {_rnd_sql(_dstd_sql('gross_item_sales_amount'), 4)} AS stddev_order_value,
+    {_rnd_sql(_dstd_sql('gross_item_sales_amount') + ' / ' + _davg_sql('gross_item_sales_amount'), 6)} AS coeff_of_variation
+FROM fct_orders
+GROUP BY 1""",
+)

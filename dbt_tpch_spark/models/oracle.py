@@ -67,6 +67,18 @@ def isum_sql(expr: str) -> str:
     return f"CAST(SUM({expr}) AS BIGINT)"
 
 
+def dvar_samp_sql(expr: str) -> str:
+    # keep in lockstep with functions.dvar_samp()
+    sx = f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST((({expr}) * ({expr})) AS DECIMAL(27,6))) AS DOUBLE)"
+    n = f"COUNT({expr})"
+    return f"CASE WHEN {n} > 1 THEN ({sxx} - {sx} * {sx} / {n}) / ({n} - 1) END"
+
+
+def dstddev_samp_sql(expr: str) -> str:
+    return f"sqrt({dvar_samp_sql(expr)})"
+
+
 def days_between_sql(end: str, start: str) -> str:
     return f"CAST(DATEDIFF('day', {start}, {end}) AS BIGINT)"
 

@@ -55,3 +55,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# auxiliary source/sink formats (reference S7: bulk CSV load path,
+# scripts/generate_data_postgres.py:152-168 — not on the correctness path)
+# --------------------------------------------------------------------------
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink with header; one directory of part files (S7 equivalent)."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema-enforced CSV source (no inference jobs at scale)."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).json(path)

@@ -287,3 +287,25 @@ def run_to_memory(df: DataFrame, name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_events_to_parquet(
+    spark: SparkSession, sf_dir: str, out_path: str, checkpoint: str
+) -> None:
+    """foreachBatch deployment sink: each micro-batch lands as an append to
+    a parquet table (the hook where dedup/quality transforms run per batch
+    in a production pipeline)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -67,3 +67,21 @@ def test_text_quality_score_range(spark, sf_dir):
         (F.col("quality_score") < 0) | (F.col("quality_score") > 1.0)
     )
     assert out_of_range.count() == 0
+
+
+def test_sketch_aggregates_accuracy(spark, sf_dir):
+    """Approximate aggregates (the 100 TB path where exact distinct counts
+    and percentiles are too expensive): HLL++ and KLL-style sketches must
+    land within their documented error of the exact answers."""
+    ctx = Context(spark, sf_dir)
+    o = ctx.ref("fct_orders")
+    row = o.agg(
+        F.countDistinct("customer_key").alias("exact_cd"),
+        F.approx_count_distinct("customer_key", rsd=0.02).alias("approx_cd"),
+        F.expr("percentile(gross_item_sales_amount, 0.5)").alias("exact_p50"),
+        F.expr(
+            "approx_percentile(gross_item_sales_amount, 0.5, 10000)"
+        ).alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row.approx_cd - row.exact_cd) <= 0.05 * row.exact_cd
+    assert abs(row.approx_p50 - row.exact_p50) <= 0.05 * abs(row.exact_p50)
