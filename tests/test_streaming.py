@@ -157,3 +157,10 @@ def test_stateful_accumulates_across_microbatches(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert a == b
+
+
+def test_streaming_sliding_equals_batch(spark, sf_dir):
+    stream = _drain(spark, W.streaming_sliding_10m_5m(spark, sf_dir), "t_sliding")
+    batch = Context(spark, sf_dir).ref("events_sliding_10m_5m")
+    cols = ["window_start", "window_end", "n_events", "total_value"]
+    assert _canon(stream, cols) == _canon(batch, cols)
