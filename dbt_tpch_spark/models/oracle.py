@@ -114,6 +114,9 @@ def render(name: str) -> str:
         return body
     ctes = ",\n".join(f"{n} AS (\n{ORACLE[n][1]}\n)" for n in order)
     stripped = body.lstrip()
+    if stripped.upper().startswith("WITH RECURSIVE "):
+        # RECURSIVE applies to the merged clause as a whole
+        return f"WITH RECURSIVE {ctes},\n{stripped[len('WITH RECURSIVE '):]}"
     if stripped.upper().startswith("WITH "):
         # merge the body's own CTE list into the prelude
         return f"WITH {ctes},\n{stripped[5:]}"

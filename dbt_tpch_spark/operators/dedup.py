@@ -569,3 +569,103 @@ SELECT vec_a, vec_b, cosine
 FROM pairs
 WHERE cosine >= {COSINE_THRESHOLD}""",
 )
+
+
+# --------------------------------------------------------------------------
+# dedup clusters (connected components over verified near-dup pairs)
+# --------------------------------------------------------------------------
+
+
+@model("dedup_clusters", layer="operators", materialization="view")
+def dedup_clusters(ctx):
+    """Connected components over the verified MinHash near-dup pairs:
+    every document in a component gets the component's minimum doc_id as
+    cluster id (the canonical survivor a dedup pass keeps).
+
+    Implemented as iterative min-label propagation — the standard
+    large-graph DataFrame pattern: join + re-aggregate until fixpoint, with
+    an eager ``localCheckpoint`` per round to truncate lineage (without it
+    the logical plan nests exponentially and analysis alone stalls).
+    Converges in O(component diameter) rounds; early-stops when labels are
+    stable. The oracle reaches the same fixpoint with a recursive CTE
+    (transitive closure + MIN per node)."""
+    pairs = ctx.ref("dedup_minhash_lsh").select("doc_a", "doc_b")
+    # undirected edges, both directions; checkpointed once (reused per round)
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    max_rounds = 16  # >> any realistic near-dup component diameter
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+oracle(
+    "dedup_clusters",
+    ("dedup_minhash_lsh",),
+    """WITH RECURSIVE edges AS (
+    SELECT doc_a, doc_b FROM dedup_minhash_lsh
+    UNION
+    SELECT doc_b, doc_a FROM dedup_minhash_lsh
+),
+nodes AS (
+    SELECT DISTINCT doc_a AS doc_id FROM edges
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT r.src, e.doc_b
+    FROM reach r JOIN edges e ON r.dst = e.doc_a
+),
+labels AS (
+    SELECT src AS doc_id, MIN(dst) AS cluster_id
+    FROM reach
+    GROUP BY src
+)
+SELECT
+    cluster_id,
+    COUNT(*) AS cluster_size,
+    MIN(doc_id) AS canonical_doc_id,
+    MAX(doc_id) AS max_doc_id
+FROM labels
+GROUP BY 1""",
+)
