@@ -21,6 +21,7 @@ _LAYER_MODULES = (
     "dbt_tpch_spark.operators.similarity",
     "dbt_tpch_spark.operators.multimodal",
     "dbt_tpch_spark.operators.pipeline",
+    "dbt_tpch_spark.operators.temporal",
     "dbt_tpch_spark.streaming.windows",
 )
 

@@ -85,3 +85,75 @@ def test_sketch_aggregates_accuracy(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx_cd - row.exact_cd) <= 0.05 * row.exact_cd
     assert abs(row.approx_p50 - row.exact_p50) <= 0.05 * abs(row.exact_p50)
+
+
+def test_pandas_udf_cosine_agrees_with_jvm_expression(spark, sf_dir):
+    """The Arrow-vectorized cosine must agree with the exact-decimal JVM
+    expression to float tolerance (different summation schemes: einsum
+    pairwise vs exact decimal — not bit-identical by design)."""
+    from dbt_tpch_spark.operators.dedup import DOT_SPARK
+    from dbt_tpch_spark.operators.similarity import cosine_pandas_udf
+    from dbt_tpch_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").limit(50)
+    a = e.selectExpr("vec_id AS va", "embedding AS ea")
+    b = e.selectExpr("vec_id AS vb", "embedding AS eb")
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    jvm = F.expr(DOT_SPARK.format(a="ea", b="eb")) / (
+        F.sqrt(F.expr(DOT_SPARK.format(a="ea", b="ea")))
+        * F.sqrt(F.expr(DOT_SPARK.format(a="eb", b="eb")))
+    )
+    cos_udf = cosine_pandas_udf()
+    out = pairs.select(
+        jvm.alias("jvm"), cos_udf(F.col("ea"), F.col("eb")).alias("arrow")
+    )
+    bad = out.filter(F.abs(F.col("jvm") - F.col("arrow")) > 1e-9)
+    assert bad.count() == 0
+    assert out.count() == 50 * 49 // 2
+
+
+def test_asof_join_invariants_and_plan(spark, sf_dir):
+    """As-of semantics: click at-or-before the anchor (gap_us >= 0), and the
+    physical plan must contain no join at all — the union+window form's
+    whole point is replacing a theta join (BroadcastNestedLoopJoin) with
+    one shuffle."""
+    ctx = Context(spark, sf_dir)
+    out = ctx.ref("events_asof_last_click")
+    assert out.filter(F.col("gap_us") < 0).count() == 0
+    n_errors = ctx.source("events").filter(F.col("event_type") == "error").count()
+    assert out.count() == n_errors
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_range_context_matches_naive_and_avoids_nlj(spark, sf_dir):
+    """The bucketed range join must equal the naive theta-join result and
+    must plan as an equi-join (no BroadcastNestedLoopJoin / cartesian)."""
+    ctx = Context(spark, sf_dir)
+    out = ctx.ref("events_range_context")
+    e = ctx.source("events")
+    anchors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_id"), F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    naive = (
+        anchors.join(
+            e,
+            (F.col("user_id") == F.col("a_user"))
+            & (F.col("ts") >= F.col("a_ts") - F.expr("INTERVAL 300 SECONDS"))
+            & (F.col("ts") < F.col("a_ts")),
+            "left",
+        )
+        .groupBy("a_id")
+        .agg(F.count("event_id").alias("n_naive"))
+    )
+    diff = (
+        out.join(naive, out.event_id == naive.a_id)
+        .filter(F.col("n_context") != F.col("n_naive"))
+        .count()
+    )
+    assert diff == 0
+    assert out.count() == anchors.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
