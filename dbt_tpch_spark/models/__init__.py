@@ -22,6 +22,8 @@ _LAYER_MODULES = (
     "dbt_tpch_spark.operators.multimodal",
     "dbt_tpch_spark.operators.pipeline",
     "dbt_tpch_spark.operators.temporal",
+    "dbt_tpch_spark.operators.sampling",
+    "dbt_tpch_spark.operators.kmeans",
     "dbt_tpch_spark.streaming.windows",
 )
 

@@ -1,0 +1,193 @@
+"""Deterministic sampling / sharding / chunking operators — the corpus-
+management half of a training-data pipeline (the reference has no
+counterpart; extension surface mandated by the task).
+
+Design rule: every "random" choice is a pure function of the row key via a
+salted md5, so results are reproducible run-to-run, engine-to-engine, and
+partition-layout-independent — the property that makes a 100 TB sampling
+job resumable and auditable. No ``rand()`` anywhere (Spark's ``rand`` is
+seed+partition dependent and would never hash-match an oracle).
+
+Bernoulli-by-hash: md5 hex is uniform over [0, 16^32); "keep with rate r"
+becomes the *string* comparison ``md5(salt|key) < hex_threshold(r)``, which
+both engines evaluate identically on lowercase hex — no hex→int conversion
+needed (DuckDB has no ``conv``). Rates are expressed in 1/16ths here
+(one-hex-digit thresholds); finer rates just use longer prefixes.
+
+Scale notes: sampling and chunking are stateless per-row maps — no shuffle,
+fully pushdown-friendly; shard stats are one hash aggregation on a
+16-value key (tiny result, map-side combine does nearly all the work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.models.oracle import isum_sql, oracle
+
+#: per-language keep rates in 1/16ths (hex-digit threshold). The majority
+#: class (en) is downsampled hard, mid-resource kept at half, the rarest
+#: (zh) kept fully — the standard rebalancing shape.
+LANG_RATES = {"en": 4, "de": 8, "es": 8, "fr": 8, "zh": 16}
+
+#: threshold char for rate r/16: md5 < chr — 'g' sorts above every hex char.
+_THRESH = {k: ("g" if v >= 16 else format(v, "x")) for k, v in LANG_RATES.items()}
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+N_SHARDS = 16
+
+SAMPLE_SALT = "sample|"
+SHARD_SALT = "shard|"
+
+
+@model("docs_sample_stratified", layer="operators", materialization="view")
+def docs_sample_stratified(ctx):
+    """Stratified deterministic Bernoulli sample of ``documents`` with
+    per-language keep rates (LANG_RATES/16). A doc survives iff
+    ``md5('sample|' || doc_id) < threshold(lang)`` — reproducible and
+    engine-portable by construction."""
+    d = ctx.source("documents")
+    key = F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")))
+    thresh = F.create_map(
+        *[x for k, v in sorted(_THRESH.items()) for x in (F.lit(k), F.lit(v))]
+    )[F.col("lang")]
+    return (
+        d.withColumn("sample_key", key)
+        .filter(F.col("sample_key") < thresh)
+        .select("doc_id", "lang", "source", "n_chars", "sample_key")
+    )
+
+
+def _sample_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(_THRESH.items())
+    )
+    return f"""SELECT
+    doc_id,
+    lang,
+    source,
+    n_chars,
+    md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+WHERE md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR))
+      < (CASE lang {cases} END)"""
+
+
+oracle("docs_sample_stratified", ("documents",), _sample_oracle())
+
+
+@model("docs_shard_assignment", layer="operators", materialization="view")
+def docs_shard_assignment(ctx):
+    """Hash-sharding for training output: shard = first hex nibble of the
+    salted doc hash (16 shards), with per-shard balance stats (doc count,
+    token mass, language spread). At scale this is the write-partitioning
+    key: ``df.repartition('shard_id').write.partitionBy('shard_id')`` gives
+    statistically balanced shards regardless of input order or skew."""
+    d = ctx.source("documents")
+    nibble = F.substring(
+        F.md5(F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string"))), 1, 1
+    )
+    shard = (F.instr(F.lit("0123456789abcdef"), nibble) - 1).cast("long")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).cast("long")
+    return (
+        d.select(
+            shard.alias("shard_id"),
+            n_tokens.alias("n_tokens"),
+            "doc_id",
+            "lang",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .withColumn("total_tokens", F.col("total_tokens").cast("long"))
+    )
+
+
+oracle(
+    "docs_shard_assignment",
+    ("documents",),
+    f"""WITH assigned AS (
+    SELECT
+        CAST(strpos('0123456789abcdef',
+                    substring(md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 1))
+             - 1 AS BIGINT) AS shard_id,
+        CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+        doc_id,
+        lang
+    FROM documents
+)
+SELECT
+    shard_id,
+    COUNT(*) AS n_docs,
+    {isum_sql('n_tokens')} AS total_tokens,
+    COUNT(DISTINCT lang) AS n_langs,
+    MIN(doc_id) AS min_doc_id,
+    MAX(doc_id) AS max_doc_id
+FROM assigned
+GROUP BY 1""",
+)
+
+
+@model("doc_chunks", layer="operators", materialization="view")
+def doc_chunks(ctx):
+    """Context-window chunking: split each document's token stream into
+    CHUNK_TOKENS-token windows advancing by CHUNK_STRIDE (16-token overlap)
+    — the standard pretraining sequence-packing precursor. Emits chunk
+    index, exact token count, and an md5 content fingerprint per chunk.
+
+    Pure per-row array math (sequence → slice → explode): no shuffle, scales
+    as a map over the corpus. chunk_idx derives arithmetically from the
+    start offset, so no ordering dependency survives the explode."""
+    d = ctx.source("documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+    exploded = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.explode(starts).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.least(
+            F.lit(CHUNK_TOKENS).cast("long"),
+            F.col("n_tokens") - F.col("start") + 1,
+        ).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+oracle(
+    "doc_chunks",
+    ("documents",),
+    f"""WITH base AS (
+    SELECT
+        doc_id,
+        string_split(lower(trim(text)), ' ') AS toks,
+        CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+exploded AS (
+    SELECT
+        doc_id,
+        toks,
+        n_tokens,
+        UNNEST(range(1, n_tokens + 1, {CHUNK_STRIDE})) AS start
+    FROM base
+)
+SELECT
+    doc_id,
+    CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+    CAST(least({CHUNK_TOKENS}, n_tokens - start + 1) AS BIGINT) AS n_chunk_tokens,
+    md5(array_to_string(list_slice(toks, start, start + {CHUNK_TOKENS} - 1), ' ')) AS chunk_md5
+FROM exploded""",
+)
