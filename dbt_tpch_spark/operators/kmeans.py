@@ -1,0 +1,308 @@
+"""Distributed k-means (Lloyd's) over the ``embeddings`` table, and the
+IVF-ANN variant that searches with the learned centroids — the upgrade the
+fixed-slice ``ann_ivf_topk`` docstring promises.
+
+This is an *iterative* DataFrame algorithm with full DuckDB-oracle parity,
+which most engines can't hash-match because Lloyd's is floating-point all
+the way down. It works here because every arithmetic step uses the repo's
+determinism conventions:
+
+- distances: squared L2 decomposed into three exact-decimal dot products
+  (``d2 = <v,v> - 2<v,c> + <c,c>``, each DECIMAL(38,18)-accumulated then
+  cast to double) — identical IEEE results on both engines;
+- argmin: ties broken on cell_id;
+- centroid update: per-dimension mean as exact DECIMAL(27,6) sum / count
+  (the dsum convention) — order-independent;
+- seeding: the K vectors with the smallest ``md5('kmeans|' || vec_id)`` —
+  no RNG, a deterministic uniform scatter.
+
+The oracle unrolls the fixed ITERS Lloyd's rounds as generated CTE text
+(assign_i → cents_i), the SQL mirror of the Spark loop.
+
+Scale shapes: each round is one broadcast of K·DIMS doubles against the
+corpus (linear scan, no shuffle for assignment) plus one (cell, dim)
+aggregation (K·DIMS groups — tiny). Seeding's global sort is a top-K, not a
+full sort. At 100 TB you run the *fit* on a hash-sample (docs_sample_*
+machinery) and only the final assignment over the full corpus; the
+per-round plan here is exactly that final-assignment plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.functions import dsum, rnd
+from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
+from dbt_tpch_spark.operators.dedup import DOT_SPARK, dot_duck
+from dbt_tpch_spark.operators.similarity import N_QUERIES, TOP_K
+
+K_CELLS = 16
+ITERS = 3
+DIMS = 64
+N_PROBE = 4
+SEED_SALT = "kmeans|"
+
+
+# --------------------------------------------------------------------------
+# Spark side
+# --------------------------------------------------------------------------
+
+
+def _d2():
+    """Squared L2 via three exact-decimal dots (columns vv, emb, cent, cc)."""
+    return (
+        F.col("vv")
+        - F.lit(2.0) * F.expr(DOT_SPARK.format(a="emb", b="cent"))
+        + F.col("cc")
+    )
+
+
+def _vectors(ctx):
+    e = ctx.source("embeddings")
+    return e.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias("vv"),
+    )
+
+
+def _fit(ctx):
+    """Run ITERS Lloyd's rounds; returns (vectors, final centroids with cc).
+    localCheckpoint per round keeps the logical plan shallow (same pattern
+    as dedup_clusters)."""
+    v = _vectors(ctx).localCheckpoint(eager=True)
+    seeds = ctx.source("embeddings").select(
+        "embedding",
+        F.md5(F.concat(F.lit(SEED_SALT), F.col("vec_id").cast("string"))).alias("sk"),
+    )
+    w_seed = Window.orderBy("sk")
+    cents = (
+        seeds.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") <= K_CELLS)
+        .select(
+            (F.col("rn") - 1).cast("long").alias("cell_id"),
+            F.col("embedding").alias("cent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell_id"))
+    for _ in range(ITERS):
+        assigned = (
+            v.crossJoin(
+                F.broadcast(
+                    cents.withColumn(
+                        "cc", F.expr(DOT_SPARK.format(a="cent", b="cent"))
+                    )
+                )
+            )
+            .withColumn("d2", _d2())
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+        )
+        cents = (
+            assigned.select("cell_id", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(
+                (dsum(F.col("val").cast("double")) / F.count(F.lit(1))).alias("m")
+            )
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v, cents.withColumn("cc", F.expr(DOT_SPARK.format(a="cent", b="cent")))
+
+
+def _assign_ranked(v, cents):
+    """Every vector scored against every final centroid, ranked by d2."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell_id"))
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("d2", _d2())
+        .withColumn("rn", F.row_number().over(w))
+    )
+
+
+@model("kmeans_cells", layer="operators", materialization="view")
+def kmeans_cells(ctx):
+    """Per-cell summary after ITERS Lloyd's rounds: membership count,
+    centroid norm, and within-cell inertia (sum of squared distances)."""
+    v, cents = _fit(ctx)
+    final = _assign_ranked(v, cents).filter(F.col("rn") == 1)
+    return final.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        rnd(F.sqrt(F.first("cc")), 6).alias("centroid_norm"),
+        rnd(dsum(F.col("d2")), 6).alias("inertia"),
+    )
+
+
+@model("ann_ivf_kmeans_topk", layer="operators", materialization="view")
+def ann_ivf_kmeans_topk(ctx):
+    """IVF ANN over learned k-means cells: queries (vec_id < N_QUERIES)
+    probe their N_PROBE nearest cells; candidates are ranked by exact
+    cosine within the probed cells only."""
+    v, cents = _fit(ctx)
+    ranked = _assign_ranked(v, cents)
+    members = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("vv").alias("c_vv"),
+        "cell_id",
+    )
+    probes = ranked.filter(
+        (F.col("rn") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("vv").alias("q_vv"),
+        "cell_id",
+    )
+    cos = F.expr(DOT_SPARK.format(a="q_emb", b="c_emb")) / (
+        F.sqrt(F.col("q_vv")) * F.sqrt(F.col("c_vv"))
+    )
+    scored = (
+        probes.join(members, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", rnd(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell_id", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle: the same Lloyd's rounds unrolled as generated CTEs
+# --------------------------------------------------------------------------
+
+
+def _d2_sql(emb: str, cent: str, vv: str, cc: str) -> str:
+    return f"({vv} - 2.0 * {dot_duck(emb, cent)} + {cc})"
+
+
+def _kmeans_prelude() -> str:
+    parts = [
+        f"""v AS (
+    SELECT vec_id, embedding AS emb,
+           {dot_duck('embedding', 'embedding')} AS vv
+    FROM embeddings
+)""",
+        f"""cents0 AS (
+    SELECT CAST(rn - 1 AS BIGINT) AS cell_id, embedding AS cent
+    FROM (
+        SELECT embedding,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('{SEED_SALT}' || CAST(vec_id AS VARCHAR))
+               ) AS rn
+        FROM embeddings
+    ) WHERE rn <= {K_CELLS}
+)""",
+    ]
+    prev = "cents0"
+    for i in range(1, ITERS + 1):
+        parts.append(
+            f"""assign{i} AS (
+    SELECT vec_id, emb, cell_id
+    FROM (
+        SELECT s.vec_id, s.emb, s.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id ORDER BY s.d2 ASC, s.cell_id
+               ) AS rn
+        FROM (
+            SELECT v.vec_id, v.emb, c.cell_id,
+                   {_d2_sql('v.emb', 'c.cent', 'v.vv',
+                            dot_duck('c.cent', 'c.cent'))} AS d2
+            FROM v CROSS JOIN {prev} c
+        ) s
+    ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""cents{i} AS (
+    SELECT cell_id, list(m ORDER BY pos) AS cent
+    FROM (
+        SELECT a.cell_id, p.pos,
+               {dsum_sql('CAST(a.emb[p.pos] AS DOUBLE)')} / COUNT(*) AS m
+        FROM assign{i} a
+        CROSS JOIN (SELECT UNNEST(range(1, {DIMS + 1})) AS pos) p
+        GROUP BY 1, 2
+    ) GROUP BY cell_id
+)"""
+        )
+        prev = f"cents{i}"
+    parts.append(
+        f"""final_cents AS (
+    SELECT cell_id, cent, {dot_duck('cent', 'cent')} AS cc
+    FROM {prev}
+)""",
+    )
+    parts.append(
+        """final_ranked AS (
+    SELECT s.vec_id, s.emb, s.vv, s.cell_id, s.d2,
+           ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id ORDER BY s.d2 ASC, s.cell_id
+           ) AS rn
+    FROM (
+        SELECT v.vec_id, v.emb, v.vv, c.cell_id, c.cc,
+               %s AS d2
+        FROM v CROSS JOIN final_cents c
+    ) s
+)"""
+        % _d2_sql("v.emb", "c.cent", "v.vv", "c.cc")
+    )
+    return ",\n".join(parts)
+
+
+oracle(
+    "kmeans_cells",
+    ("embeddings",),
+    f"""WITH {_kmeans_prelude()}
+SELECT
+    f.cell_id,
+    COUNT(*) AS n_members,
+    {rnd_sql('sqrt(ANY_VALUE(c.cc))', 6)} AS centroid_norm,
+    {rnd_sql(dsum_sql('f.d2'), 6)} AS inertia
+FROM final_ranked f
+JOIN final_cents c ON f.cell_id = c.cell_id
+WHERE f.rn = 1
+GROUP BY 1""",
+)
+
+
+oracle(
+    "ann_ivf_kmeans_topk",
+    ("embeddings",),
+    f"""WITH {_kmeans_prelude()},
+members AS (
+    SELECT vec_id AS neighbor_id, emb AS c_emb, vv AS c_vv, cell_id
+    FROM final_ranked WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, emb AS q_emb, vv AS q_vv, cell_id
+    FROM final_ranked WHERE rn <= {N_PROBE} AND vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT
+        p.query_id, m.neighbor_id, m.cell_id,
+        {rnd_sql(f"{dot_duck('p.q_emb', 'm.c_emb')} / (sqrt(p.q_vv) * sqrt(m.c_vv))", 6)} AS cosine
+    FROM probes p
+    JOIN members m ON p.cell_id = m.cell_id AND p.query_id != m.neighbor_id
+),
+ranked AS (
+    SELECT *,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cell_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}""",
+)

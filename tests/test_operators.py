@@ -157,3 +157,132 @@ def test_range_context_matches_naive_and_avoids_nlj(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    """Per-stratum keep rates must track LANG_RATES/16 (binomial tolerance)
+    and the sample must be bit-identical across runs (hash-determined)."""
+    from dbt_tpch_spark.operators.sampling import LANG_RATES
+
+    ctx = Context(spark, sf_dir)
+    docs = ctx.source("documents")
+    kept = ctx.ref("docs_sample_stratified")
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept_n = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    import math
+    for lang, rate16 in LANG_RATES.items():
+        n, p = totals[lang], rate16 / 16.0
+        got = kept_n.get(lang, 0)
+        tol = 4 * math.sqrt(n * p * (1 - p)) + 1  # 4 sigma
+        assert abs(got - n * p) <= tol, (lang, got, n * p, tol)
+    a = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    b = sorted(r.doc_id for r in ctx_fresh(spark, sf_dir).ref("docs_sample_stratified").select("doc_id").collect())
+    assert a == b
+
+
+def ctx_fresh(spark, sf_dir):
+    return Context(spark, sf_dir)
+
+
+def test_shard_assignment_covers_and_balances(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    shards = ctx.ref("docs_shard_assignment").collect()
+    n_docs_total = ctx.source("documents").count()
+    assert sum(r.n_docs for r in shards) == n_docs_total
+    assert all(0 <= r.shard_id <= 15 for r in shards)
+    counts = [r.n_docs for r in shards]
+    # md5 sharding at corpus size: no shard dominates (loose 4x bound)
+    assert max(counts) <= 4 * max(1, min(counts))
+
+
+def test_doc_chunks_cover_every_token_once_per_stride(spark, sf_dir):
+    """Chunk starts advance by exactly STRIDE: per doc, n_chunks =
+    ceil(n_tokens / stride), first chunk full-size (or doc length), and the
+    token mass of stride-prefixes reconstructs the doc token count."""
+    from dbt_tpch_spark.operators.sampling import CHUNK_STRIDE, CHUNK_TOKENS
+
+    ctx = Context(spark, sf_dir)
+    chunks = ctx.ref("doc_chunks")
+    stats = ctx.ref("doc_text_stats").select("doc_id", "n_tokens")
+    agg = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("n_chunk_tokens").alias("max_len"),
+            F.countDistinct("chunk_idx").alias("n_idx"),
+        )
+        .join(stats, "doc_id")
+    )
+    bad = agg.filter(
+        (F.col("n_chunks") != F.ceil(F.col("n_tokens") / CHUNK_STRIDE))
+        | (F.col("n_idx") != F.col("n_chunks"))
+        | (F.col("max_len") > CHUNK_TOKENS)
+    )
+    assert bad.count() == 0
+    assert chunks.filter(F.col("n_chunk_tokens") <= 0).count() == 0
+
+
+def test_kmeans_inertia_decreases_and_partitions(spark, sf_dir):
+    """Lloyd's must not increase total inertia round over round, and the
+    final assignment must partition the corpus."""
+    from dbt_tpch_spark.operators import kmeans as km
+
+    ctx = Context(spark, sf_dir)
+    v = km._vectors(ctx).localCheckpoint(eager=True)
+    # re-run the fit round by round, tracking inertia under each centroid set
+    seeds = ctx.source("documents")  # placeholder; real seeds below
+    inertias = []
+    import dbt_tpch_spark.operators.kmeans as K
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    e = ctx.source("embeddings").select(
+        "embedding",
+        F2.md5(F2.concat(F2.lit(K.SEED_SALT), F2.col("vec_id").cast("string"))).alias("sk"),
+    )
+    cents = (
+        e.withColumn("rn", F2.row_number().over(Window.orderBy("sk")))
+        .filter(F2.col("rn") <= K.K_CELLS)
+        .select((F2.col("rn") - 1).cast("long").alias("cell_id"), F2.col("embedding").alias("cent"))
+        .localCheckpoint(eager=True)
+    )
+    from dbt_tpch_spark.operators.dedup import DOT_SPARK
+
+    for _ in range(K.ITERS):
+        withcc = cents.withColumn("cc", F2.expr(DOT_SPARK.format(a="cent", b="cent")))
+        ranked = K._assign_ranked(v, withcc)
+        best = ranked.filter(F2.col("rn") == 1)
+        inertias.append(best.agg(F2.sum("d2")).collect()[0][0])
+        cents = (
+            best.select("cell_id", F2.posexplode("emb").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg((F2.avg(F2.col("val").cast("double"))).alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F2.transform(
+                    F2.sort_array(F2.collect_list(F2.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent")
+            )
+            .localCheckpoint(eager=True)
+        )
+    assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:])), inertias
+    cells = ctx.ref("kmeans_cells")
+    n_vecs = ctx.source("embeddings").count()
+    assert sum(r.n_members for r in cells.collect()) == n_vecs
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
+    """Probing 4/16 learned cells must recover a nontrivial share of the
+    true top-10 (and behave strictly better than random cell choice would
+    in expectation: 4/16 = 25% floor)."""
+    ctx = Context(spark, sf_dir)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in ctx.ref("ann_cosine_topk").collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ctx.ref("ann_ivf_kmeans_topk").collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, recall
