@@ -174,3 +174,51 @@ oracle(
 FROM fct_orders
 GROUP BY 1""",
 )
+
+
+@model("orders_pivot_status", layer="extended", materialization="view")
+def orders_pivot_status(ctx):
+    """PIVOT: monthly order counts and revenue spread across order-status
+    columns (long -> wide). Spark's ``.pivot()`` with an explicit value list
+    compiles to a single aggregation with conditional branches — identical
+    to the manual CASE form and to DuckDB's PIVOT desugaring; the explicit
+    list matters at scale (without it Spark runs an extra distinct-values
+    job and the plan depends on data).
+
+    The unpivot inverse (wide -> long, ``unpivot``/``stack``) is exercised
+    in tests/test_operators.py against this model's output."""
+    o = ctx.source("orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    return (
+        o.groupBy(month.alias("order_month"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("rev"),
+        )
+        .select(
+            "order_month",
+            F.coalesce(F.col("F_n"), F.lit(0)).cast("long").alias("fulfilled_n"),
+            F.col("F_rev").alias("fulfilled_rev"),
+            F.coalesce(F.col("O_n"), F.lit(0)).cast("long").alias("open_n"),
+            F.col("O_rev").alias("open_rev"),
+            F.coalesce(F.col("P_n"), F.lit(0)).cast("long").alias("partial_n"),
+            F.col("P_rev").alias("partial_rev"),
+        )
+    )
+
+
+oracle(
+    "orders_pivot_status",
+    ("orders",),
+    f"""SELECT
+    date_trunc('month', o_orderdate) AS order_month,
+    CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS fulfilled_n,
+    {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS fulfilled_rev,
+    CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_n,
+    {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS open_rev,
+    CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS partial_n,
+    {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS partial_rev
+FROM orders
+GROUP BY 1""",
+)

@@ -191,3 +191,99 @@ SELECT
     md5(array_to_string(list_slice(toks, start, start + {CHUNK_TOKENS} - 1), ' ')) AS chunk_md5
 FROM exploded""",
 )
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concatenate-and-split over chunks)
+# --------------------------------------------------------------------------
+
+SEQ_CAPACITY = 256  # tokens per training sequence (4 full chunks)
+
+
+def _shard_expr_spark():
+    nibble = F.substring(
+        F.md5(F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string"))), 1, 1
+    )
+    return (F.instr(F.lit("0123456789abcdef"), nibble) - 1).cast("long")
+
+
+_SHARD_EXPR_DUCK = (
+    f"CAST(strpos('0123456789abcdef', "
+    f"substring(md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)"
+)
+
+
+@model("doc_pack_sequences", layer="operators", materialization="view")
+def doc_pack_sequences(ctx):
+    """Concatenate-and-split sequence packing: within each shard, chunks are
+    laid out in (doc_id, chunk_idx) order and cut into SEQ_CAPACITY-token
+    training sequences; a chunk belongs to the sequence where its first
+    token lands (``seq_id = start_offset div capacity``). Reports per-
+    sequence packing stats.
+
+    Scale shape: ONE window cumsum per shard partition (integer-exact, no
+    float accumulation) + one small aggregation — this is the whole cost of
+    packing a 100 TB corpus, and the shard key keeps every partition
+    independent (no global ordering, no driver loop)."""
+    from pyspark.sql import Window
+
+    chunks = ctx.ref("doc_chunks").withColumn("shard_id", _shard_expr_spark())
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chunk_tokens").over(w).cast("long")
+    with_seq = chunks.withColumn(
+        "seq_id",
+        ((cum - F.col("n_chunk_tokens")) / SEQ_CAPACITY).cast("long"),
+    )
+    return (
+        with_seq.groupBy("shard_id", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_chunk_tokens").cast("long").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.floor(
+                F.col("seq_tokens") / F.lit(float(SEQ_CAPACITY)) * 1000000.0 + 0.5
+            )
+            / 1000000.0,
+        )
+    )
+
+
+oracle(
+    "doc_pack_sequences",
+    ("doc_chunks",),
+    f"""WITH sharded AS (
+    SELECT
+        doc_id, chunk_idx, n_chunk_tokens,
+        {_SHARD_EXPR_DUCK} AS shard_id
+    FROM doc_chunks
+),
+offs AS (
+    SELECT
+        *,
+        CAST(SUM(n_chunk_tokens) OVER (
+            PARTITION BY shard_id ORDER BY doc_id, chunk_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) - n_chunk_tokens AS start_off
+    FROM sharded
+)
+SELECT
+    shard_id,
+    CAST(start_off // {SEQ_CAPACITY} AS BIGINT) AS seq_id,
+    COUNT(*) AS n_chunks,
+    COUNT(DISTINCT doc_id) AS n_docs,
+    CAST(SUM(n_chunk_tokens) AS BIGINT) AS seq_tokens,
+    MIN(doc_id) AS first_doc_id,
+    MAX(doc_id) AS last_doc_id,
+    FLOOR(CAST(SUM(n_chunk_tokens) AS BIGINT) / {float(SEQ_CAPACITY)} * 1000000.0 + 0.5) / 1000000.0 AS fill_ratio
+FROM offs
+GROUP BY 1, 2""",
+)

