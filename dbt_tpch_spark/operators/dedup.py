@@ -83,17 +83,55 @@ COSINE_THRESHOLD = 0.5
 MAX_BAND_BUCKET = 1000
 
 
-def minhash_exprs(words: str = "words") -> list[str]:
-    """K min-hashes: min over the word set of md5('<i>|' || w)."""
+def _hex32(h: str, off: int) -> str:
+    """32-bit unsigned int from 8 hex nibbles of ``h`` starting at ``off``
+    (0-based) — portable instr/substr arithmetic, same text both engines."""
+    terms = " + ".join(
+        # BIGINT before the scale multiply: nibble * 16^7 overflows INT32
+        # under Spark's ANSI arithmetic
+        f"CAST(instr('0123456789abcdef', substr({h}, {off + k + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    return f"({terms})"
+
+
+_MOD32 = 4294967296
+
+# Carter-Wegman K-minhash: ONE md5 per shingle (not K) giving two 32-bit
+# words (h1, h2 | h2 forced odd), then hash_i(w) = (h1 + i*h2) mod 2^32 —
+# a pairwise-independent family computed with integer ops. ~8x cheaper than
+# K salted md5 calls at equal LSH quality; the md5 happens in a separate
+# projection so codegen evaluates it once per element, not once per i.
+
+
+def hashpair_spark(hs: str = "hs") -> str:
+    return (
+        f"transform({hs}, h -> named_struct("
+        f"'h1', CAST({_hex32('h', 0)} AS BIGINT), "
+        f"'h2', CAST({_hex32('h', 8)} AS BIGINT) * 2 + 1))"
+    )
+
+
+def hashpair_duck(hs: str = "hs") -> str:
+    return (
+        f"list_transform({hs}, h -> struct_pack("
+        f"h1 := CAST({_hex32('h', 0)} AS BIGINT), "
+        f"h2 := CAST({_hex32('h', 8)} AS BIGINT) * 2 + 1))"
+    )
+
+
+def minhash_exprs(hp: str = "hp") -> list[str]:
+    """K min-hashes over the (h1, h2) pair array (Carter-Wegman family)."""
     return [
-        f"array_min(transform({words}, w -> md5(concat('{i}|', w)))) AS mh{i}"
+        f"array_min(transform({hp}, p -> (p.h1 + {i} * p.h2) % {_MOD32})) AS mh{i}"
         for i in range(MINHASH_K)
     ]
 
 
-def minhash_exprs_duck(words: str = "words") -> list[str]:
+def minhash_exprs_duck(hp: str = "hp") -> list[str]:
     return [
-        f"list_min(list_transform({words}, w -> md5(concat('{i}|', w)))) AS mh{i}"
+        f"list_min(list_transform({hp}, p -> (p.h1 + {i} * p.h2) % {_MOD32})) AS mh{i}"
         for i in range(MINHASH_K)
     ]
 
@@ -292,6 +330,8 @@ def dedup_minhash_lsh(ctx):
     candidate pairs."""
     sigs = (
         _shingle3_set_df(ctx)
+        .selectExpr("doc_id", "transform(words, w -> md5(w)) AS hs")
+        .selectExpr("doc_id", f"{hashpair_spark()} AS hp")
         .selectExpr("doc_id", *minhash_exprs())
         .selectExpr("doc_id", *band_exprs())
     )
@@ -345,8 +385,14 @@ oracle(
     f"""WITH toks AS (
     SELECT doc_id, {_SHINGLE3_DUCK} AS words FROM documents
 ),
+hashed AS (
+    SELECT doc_id, list_transform(words, w -> md5(w)) AS hs FROM toks
+),
+paired AS (
+    SELECT doc_id, {hashpair_duck()} AS hp FROM hashed
+),
 sigs AS (
-    SELECT doc_id, {', '.join(minhash_exprs_duck())} FROM toks
+    SELECT doc_id, {', '.join(minhash_exprs_duck())} FROM paired
 ),
 banded AS (
     SELECT doc_id, {', '.join(band_exprs())} FROM sigs
