@@ -33,6 +33,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "events_session_30m",
     "doc_text_stats",
+    # one representative per round-1 extension family
+    "events_asof_last_click",
+    "doc_pack_sequences",
+    "kmeans_cells",
 ]
 
 

