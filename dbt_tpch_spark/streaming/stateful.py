@@ -103,3 +103,81 @@ def batch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas twin (Spark 4's arbitrary-stateful-operator API)
+# --------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class UserStatsProcessor(StatefulProcessor):
+    """transformWithState port of ``_update_user_state``: identical fold,
+    but state lives in a named ValueState on the new operator's state store
+    (RocksDB-backed in a cluster deployment, with TTL/timers available —
+    the API Spark 4 positions as the applyInPandasWithState successor).
+
+    Runtime gate: the operator's Python worker speaks protobuf to the state
+    server; this container has no ``protobuf`` package, so the equivalence
+    test skips (tests/test_streaming.py) and the applyInPandasWithState
+    operator above remains the tested deployment path here."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._stats = handle.getValueState("stats", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        if self._stats.exists():
+            n, cents, max_gap, first_us, last_us = self._stats.get()
+        else:
+            n, cents, max_gap, first_us, last_us = 0, 0, 0.0, None, None
+        for pdf in rows:
+            pdf = pdf.sort_values("ts")
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            n += len(pdf)
+            for t in ts_us:
+                if last_us is not None:
+                    max_gap = max(max_gap, (t - last_us) / 1e6)
+                if first_us is None:
+                    first_us = t
+                last_us = max(last_us, t) if last_us is not None else t
+        self._stats.update((n, cents, max_gap, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value_cents": [cents],
+                "max_gap_seconds": [max_gap],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_user_stats on the transformWithStateInPandas API; must
+    emit the same final state (asserted against the batch twin in tests)."""
+    from dbt_tpch_spark.streaming.windows import read_events_stream
+
+    # transformWithState is only implemented on the RocksDB state store
+    # (session-level conf, read at query start; the older operators run on
+    # either provider)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    e = read_events_stream(spark, sf_dir)
+    return e.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStatsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -176,3 +176,41 @@ def test_kafka_builder_contract(spark):
     with pytest.raises(Exception) as exc:
         read_events_kafka(spark, "localhost:9092")
     assert "kafka" in str(exc.value).lower()
+
+
+def test_transform_with_state_equals_batch(spark, sf_dir):
+    """transformWithStateInPandas twin emits the same final state as the
+    applyInPandasWithState operator and the batch ground truth.
+
+    Gated: the operator's Python state-server protocol needs protobuf,
+    which this container lacks (no pip install allowed) — skip, don't
+    fail, exactly like the Kafka package gate."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import Window
+    from dbt_tpch_spark.streaming import stateful
+
+    stream_df = stateful.streaming_user_stats_tws(spark, sf_dir)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_tws")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    batch = stateful.batch_user_stats(spark, sf_dir)
+    cols = ["user_id", "n_events", "first_ts", "last_ts"]
+    a = sorted(tuple(str(v) for v in r) for r in final.select(*cols).collect())
+    b = sorted(tuple(str(v) for v in r) for r in batch.select(*cols).collect())
+    assert a == b
+    joined = final.alias("s").join(batch.alias("b"), "user_id")
+    bad = joined.filter(
+        (F.col("s.total_value_cents") != F.col("b.approx_total_value_cents"))
+        | (F.abs(F.col("s.max_gap_seconds") - F.col("b.max_gap_seconds")) > 1e-6)
+    )
+    assert bad.count() == 0
