@@ -60,7 +60,13 @@ def _d2():
 
 
 def _vectors(ctx):
-    e = ctx.source("embeddings")
+    from dbt_tpch_spark.operators.dedup import _doc_parallelism
+
+    # the corpus parquet is a single row group -> one input partition; the
+    # per-round assignment is CPU-bound decimal math, so spread it across
+    # cores ON THE WINDOW KEY (vec_id) — every round's ranking window then
+    # reuses this partitioning with zero further exchanges
+    e = ctx.source("embeddings").repartition(_doc_parallelism(ctx), "vec_id")
     return e.select(
         "vec_id",
         F.col("embedding").alias("emb"),
