@@ -356,3 +356,61 @@ def read_events_kafka(
     return raw.select(
         F.from_json(F.col("value").cast("string"), schema).alias("e")
     ).select("e.*")
+
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500.0, 20
+
+
+@model("events_value_histogram", layer="streaming", materialization="view")
+def events_value_histogram(ctx):
+    """Fixed-bin histogram of event values per type: 20 bins over
+    [0, 500), overflow clamped into the last bin. Explicit floor bucket
+    arithmetic (portable — DuckDB 1.0 has no width_bucket) keeps bin edges
+    engine-identical. One hash aggregation on (event_type, bin): the
+    map-side combine reduces each partition to <= types x bins rows, so the
+    shuffle is O(cardinality), not O(rows) — the right histogram shape at
+    any scale."""
+    e = ctx.source("events")
+    span = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bin_ = F.least(
+        F.lit(HIST_BUCKETS - 1),
+        F.floor((F.col("value") - F.lit(HIST_LO)) / F.lit(span)).cast("long"),
+    )
+    return (
+        e.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("bin_value_sum"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            (F.lit(HIST_LO) + F.col("bin") * F.lit(span)).alias("bin_lo"),
+            (F.lit(HIST_LO) + (F.col("bin") + 1) * F.lit(span)).alias("bin_hi"),
+            "n",
+            "bin_value_sum",
+        )
+    )
+
+
+oracle(
+    "events_value_histogram",
+    ("events",),
+    f"""WITH binned AS (
+    SELECT
+        event_type,
+        value,
+        least({HIST_BUCKETS - 1},
+              CAST(FLOOR((value - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BUCKETS}) AS BIGINT)) AS bin
+    FROM events
+)
+SELECT
+    event_type,
+    bin,
+    {HIST_LO} + bin * {(HIST_HI - HIST_LO) / HIST_BUCKETS} AS bin_lo,
+    {HIST_LO} + (bin + 1) * {(HIST_HI - HIST_LO) / HIST_BUCKETS} AS bin_hi,
+    COUNT(*) AS n,
+    {dsum_sql('value')} AS bin_value_sum
+FROM binned
+GROUP BY 1, 2""",
+)
