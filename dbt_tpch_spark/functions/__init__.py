@@ -132,3 +132,17 @@ def housekeeping(batch_id: str, batch_ts: str):
         F.lit(batch_id).alias("dbt_batch_id"),
         F.lit(batch_ts).cast("timestamp").alias("dbt_batch_ts"),
     ]
+
+
+def with_global_aggs(df, aggs):
+    """The 100 TB-safe rewrite of a whole-table window
+    (``F.sum(x).over(Window.partitionBy())``): compute the scalar
+    aggregates ONCE, then broadcast the 1-row result back with a cross
+    join. A whole-table WindowExec moves every row to a single partition;
+    this plans as partial+final agg (tree reduction) plus a 1-row
+    broadcast — no data movement beyond the aggregate itself.
+
+    ``aggs``: mapping of output column name -> aggregate Column.
+    """
+    totals = df.agg(*[c.alias(n) for n, c in aggs.items()])
+    return df.crossJoin(F.broadcast(totals))

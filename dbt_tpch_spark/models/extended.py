@@ -222,3 +222,51 @@ oracle(
 FROM orders
 GROUP BY 1""",
 )
+
+
+@model("order_revenue_share", layer="extended", materialization="view")
+def order_revenue_share(ctx):
+    """Fact-grain share-of-total: every order's fraction of global revenue.
+
+    This is the query shape where a naive ``over ()`` whole-table window
+    melts down at scale (single-partition WindowExec over the full fact
+    table). Implemented with functions.with_global_aggs — scalar aggregate
+    + 1-row broadcast — the rewrite PLANS.md note 2 documents; the plan is
+    asserted window-free in tests/test_plans.py."""
+    from dbt_tpch_spark.functions import dsum, rnd, with_global_aggs
+
+    o = ctx.source("orders")
+    shared = with_global_aggs(
+        o,
+        {
+            "grand_total": dsum(F.col("o_totalprice")),
+            "n_orders": F.count(F.lit(1)),
+        },
+    )
+    return shared.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("order_total"),
+        rnd(F.col("o_totalprice") / F.col("grand_total"), 9).alias("revenue_share"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+def _rnd9_sql(expr: str) -> str:
+    return f"(FLOOR(({expr}) * 1000000000.0 + 0.5) / 1000000000.0)"
+
+
+oracle(
+    "order_revenue_share",
+    ("orders",),
+    f"""WITH totals AS (
+    SELECT {dsum_sql('o_totalprice')} AS grand_total,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+)
+SELECT
+    o.o_orderkey AS order_key,
+    o.o_totalprice AS order_total,
+    {_rnd9_sql('o.o_totalprice / t.grand_total')} AS revenue_share,
+    t.n_orders
+FROM orders o CROSS JOIN totals t""",
+)

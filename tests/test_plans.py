@@ -59,3 +59,17 @@ def test_config_var_drives_q1_cutoff(spark, sf_dir):
     n_base = base.agg(F.sum("order_item_count")).collect()[0][0]
     n_moved = moved.agg(F.sum("order_item_count")).collect()[0][0]
     assert n_moved < n_base
+
+
+def test_global_agg_rewrite_is_window_free(spark, sf_dir):
+    """order_revenue_share must plan with NO Window node and no
+    single-partition exchange on the fact path — the whole point of the
+    scalar-agg + broadcast rewrite (PLANS.md note 2)."""
+    from dbt_tpch_spark.plans import Context
+
+    df = Context(spark, sf_dir).ref("order_revenue_share")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan.replace(
+        "Exchange SinglePartition", "", 1
+    ), plan  # the one legal single-partition exchange is the 1-row scalar agg
