@@ -55,3 +55,94 @@ WHERE s.n_tokens >= {MIN_TOKENS}
   AND s.quality_score >= {MIN_QUALITY}
   AND NOT EXISTS (SELECT 1 FROM dedup_minhash_lsh d WHERE d.doc_b = s.doc_id)""",
 )
+
+
+@model("docs_training_manifest", layer="operators", materialization="view")
+def docs_training_manifest(ctx):
+    """The full pretraining-data pipeline as ONE declarative plan:
+
+        quality gate -> near-dup removal (docs_clean_corpus)
+        -> stratified language rebalancing (sample-by-hash)
+        -> context-window chunking -> shard assignment
+        -> sequence packing -> per-(shard, seq) manifest row
+
+    Each stage is a model ref, so Catalyst fuses the whole thing; the
+    output is the manifest a trainer consumes (sequence id, token count,
+    chunk/doc lineage counts). The packing cumsum keys on the cleaned +
+    sampled chunk stream, so sequences are dense over exactly the
+    surviving data — this is what `write.partitionBy(shard_id)` would
+    materialize at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    from dbt_tpch_spark.operators.sampling import (
+        SEQ_CAPACITY,
+        _shard_expr_spark,
+    )
+
+    kept = ctx.ref("docs_clean_corpus").select("doc_id")
+    sampled = ctx.ref("docs_sample_stratified").select("doc_id")
+    chunks = (
+        ctx.ref("doc_chunks")
+        .join(kept, "doc_id")
+        .join(sampled, "doc_id")
+        .withColumn("shard_id", _shard_expr_spark())
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chunk_tokens").over(w).cast("long")
+    with_seq = chunks.withColumn(
+        "seq_id", ((cum - F.col("n_chunk_tokens")) / SEQ_CAPACITY).cast("long")
+    )
+    return with_seq.groupBy("shard_id", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chunk_tokens").cast("long").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+def _manifest_oracle() -> str:
+    from dbt_tpch_spark.operators.sampling import (
+        SEQ_CAPACITY,
+        _SHARD_EXPR_DUCK,
+    )
+
+    return f"""WITH survivors AS (
+    SELECT c.doc_id, c.chunk_idx, c.n_chunk_tokens
+    FROM doc_chunks c
+    JOIN docs_clean_corpus k ON c.doc_id = k.doc_id
+    JOIN docs_sample_stratified s ON c.doc_id = s.doc_id
+),
+sharded AS (
+    SELECT *, {_SHARD_EXPR_DUCK} AS shard_id FROM survivors
+),
+offs AS (
+    SELECT *,
+        CAST(SUM(n_chunk_tokens) OVER (
+            PARTITION BY shard_id ORDER BY doc_id, chunk_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) - n_chunk_tokens AS start_off
+    FROM sharded
+)
+SELECT
+    shard_id,
+    CAST(start_off // {SEQ_CAPACITY} AS BIGINT) AS seq_id,
+    COUNT(*) AS n_chunks,
+    COUNT(DISTINCT doc_id) AS n_docs,
+    CAST(SUM(n_chunk_tokens) AS BIGINT) AS seq_tokens,
+    MIN(doc_id) AS first_doc_id,
+    MAX(doc_id) AS last_doc_id
+FROM offs
+GROUP BY 1, 2"""
+
+
+oracle(
+    "docs_training_manifest",
+    ("doc_chunks", "docs_clean_corpus", "docs_sample_stratified"),
+    _manifest_oracle(),
+)
