@@ -24,6 +24,8 @@ _LAYER_MODULES = (
     "dbt_tpch_spark.operators.temporal",
     "dbt_tpch_spark.operators.sampling",
     "dbt_tpch_spark.operators.kmeans",
+    "dbt_tpch_spark.operators.retrieval",
+    "dbt_tpch_spark.operators.timeseries",
     "dbt_tpch_spark.streaming.windows",
 )
 

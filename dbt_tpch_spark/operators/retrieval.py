@@ -1,0 +1,256 @@
+"""Lexical retrieval over the ``documents`` table: per-document TF-IDF
+top terms and BM25 ranked search for a fixed query set.
+
+Extension surface (the reference — DataRecce/dbt-tpch — has no text
+retrieval; SURVEY §2.9 notes its string processing stops at md5 surrogate
+keys): a training-data pipeline needs corpus-level term statistics both for
+quality filtering (boilerplate detection via top-term skew) and for
+retrieval-based decontamination ("find training docs that match eval-set
+queries" — the standard BM25 decontam pass).
+
+Scale shape (the 100 TB story):
+
+- one explode pass over the corpus -> groupBy (doc_id, term): map-side
+  partial aggregation absorbs the within-doc repeats before the shuffle;
+- document length comes from a window over the aggregated (doc, term)
+  rows — NOT a second pass over raw tokens;
+- the document-frequency table (one row per distinct term) and the query
+  term list are broadcast: vocabulary grows ~log(corpus), never join-key
+  shuffle material;
+- corpus-wide scalars (N, avgdl) use the scalar-agg + 1-row-broadcast
+  rewrite (functions.with_global_aggs rationale) instead of a whole-table
+  window.
+
+Determinism: ln() is the one non-algebraic function here; both engines
+evaluate IEEE-double ``ln`` on identical operands and every ln-derived
+value is quantized with the repo-wide rnd() convention before it is used
+for ranking or summation (BM25 sums per-term scores as exact decimals via
+dsum, so accumulation order cannot flip results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.functions import davg, dsum, rnd
+from dbt_tpch_spark.models.oracle import davg_sql, dsum_sql, oracle, rnd_sql
+from dbt_tpch_spark.plans import model
+
+#: BM25 free parameters (standard Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+TOP_DOCS = 10
+TOP_TERMS = 3
+
+#: fixed query set over the corpus vocabulary (see TESTDATA.md); literal on
+#: both engines so the oracle is self-contained.
+QUERIES: dict[str, tuple[str, ...]] = {
+    "q_join": ("hash", "join", "merge"),
+    "q_stream": ("stream", "window", "agg"),
+    "q_scan": ("fast", "vector", "scan"),
+}
+
+
+def _doc_term_freq(ctx):
+    """(doc_id, term, tf) — one corpus pass, partial-agg before shuffle."""
+    d = ctx.source("documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+
+
+_TF_CTE = """dtf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents
+    )
+    GROUP BY doc_id, term
+),
+dtf_dl AS (
+    SELECT *, CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+    FROM dtf
+),
+termdf AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dtf GROUP BY term
+),
+doclens AS (
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dtf GROUP BY doc_id
+),
+totals AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, {avgdl} AS avgdl
+    FROM doclens
+)"""
+
+
+def _tf_cte() -> str:
+    return _TF_CTE.format(avgdl=davg_sql("CAST(dl AS DOUBLE)"))
+
+
+@model("doc_tfidf_terms", layer="operators", materialization="view")
+def doc_tfidf_terms(ctx):
+    """Top-3 terms per document by smoothed TF-IDF
+    (sklearn convention: idf = ln((1+N)/(1+df)) + 1, tf normalized by
+    document length). The boilerplate-detection / keyword-extraction
+    primitive of a corpus pipeline."""
+    dtf = _doc_term_freq(ctx)
+    dl_w = Window.partitionBy("doc_id")
+    dtf = dtf.withColumn("dl", F.sum("tf").over(dl_w).cast("long"))
+    termdf = dtf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = dtf.select("doc_id").distinct().agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(
+        1.0
+    )
+    tfidf = (F.col("tf").cast("double") / F.col("dl")) * F.col("idf")
+    scored = (
+        dtf.join(F.broadcast(termdf), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", rnd(idf, 6))
+        .withColumn("tfidf", rnd(tfidf, 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_TERMS)
+        .select("doc_id", "term", "tf", "df", "idf", "tfidf", "rank")
+    )
+
+
+oracle(
+    "doc_tfidf_terms",
+    ("documents",),
+    f"""WITH {_tf_cte()},
+scored AS (
+    SELECT
+        t.doc_id,
+        t.term,
+        t.tf,
+        f.df,
+        {rnd_sql("ln((1.0 + g.n_docs) / (1.0 + f.df)) + 1.0", 6)} AS idf,
+        {rnd_sql(
+            "(CAST(t.tf AS DOUBLE) / t.dl) * ("
+            + rnd_sql("ln((1.0 + g.n_docs) / (1.0 + f.df)) + 1.0", 6)
+            + ")",
+            6,
+        )} AS tfidf
+    FROM dtf_dl t
+    JOIN termdf f USING (term)
+    CROSS JOIN totals g
+),
+ranked AS (
+    SELECT *,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, idf, tfidf, rank
+FROM ranked
+WHERE rank <= {TOP_TERMS}""",
+)
+
+
+@model("docs_bm25_topk", layer="operators", materialization="view")
+def docs_bm25_topk(ctx):
+    """BM25 top-10 documents for each fixed query (Robertson idf,
+    k1=1.2, b=0.75) — the retrieval/decontamination primitive.
+
+    Per-term scores are quantized (rnd 6) then summed as exact decimals
+    (dsum), so the per-(query, doc) total is accumulation-order-free."""
+    dtf = _doc_term_freq(ctx)
+    doclens = dtf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    termdf = dtf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    totals = doclens.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        davg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qterms = ctx.spark.createDataFrame(
+        [(qid, t) for qid, terms in QUERIES.items() for t in terms],
+        "query_id string, term string",
+    )
+    hit = (
+        dtf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(termdf), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(totals))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = rnd(idf * tf_d * F.lit(BM25_K1 + 1.0) / denom, 6)
+    scores = (
+        hit.withColumn("term_score", term_score)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hit_terms"),
+            dsum(F.col("term_score")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_DOCS)
+        .select("query_id", "doc_id", "n_hit_terms", "score", "rank")
+    )
+
+
+def _queries_values_sql() -> str:
+    rows = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in QUERIES.items() for t in terms
+    )
+    return f"(VALUES {rows}) AS q(query_id, term)"
+
+
+_BM25_TERM_SCORE = (
+    "ln(1.0 + (g.n_docs - f.df + 0.5) / (f.df + 0.5))"
+    f" * CAST(t.tf AS DOUBLE) * {BM25_K1 + 1.0}"
+    f" / (CAST(t.tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}"
+    " * l.dl / g.avgdl))"
+)
+
+oracle(
+    "docs_bm25_topk",
+    ("documents",),
+    f"""WITH {_tf_cte()},
+hit AS (
+    SELECT
+        q.query_id,
+        t.doc_id,
+        {rnd_sql(_BM25_TERM_SCORE, 6)} AS term_score
+    FROM dtf t
+    JOIN {_queries_values_sql()} USING (term)
+    JOIN termdf f USING (term)
+    JOIN doclens l ON t.doc_id = l.doc_id
+    CROSS JOIN totals g
+),
+scores AS (
+    SELECT
+        query_id,
+        doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+        {dsum_sql("term_score")} AS score
+    FROM hit
+    GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT *,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id
+        ) AS BIGINT) AS rank
+    FROM scores
+)
+SELECT query_id, doc_id, n_hit_terms, score, rank
+FROM ranked
+WHERE rank <= {TOP_DOCS}""",
+)

@@ -351,3 +351,57 @@ def test_pack_sequences_fill_and_ordering(spark, sf_dir):
     )
     bad = per_shard.join(direct, "shard_id").filter(F.col("packed") != F.col("direct"))
     assert bad.count() == 0
+
+
+def test_bm25_ranking_invariants(spark, sf_dir):
+    """Ranks are dense 1..k per query, scores non-increasing along rank,
+    and every hit contains at least one query term (n_hit_terms >= 1)."""
+    from dbt_tpch_spark.operators.retrieval import QUERIES, TOP_DOCS
+
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("docs_bm25_topk").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(QUERIES)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_DOCS
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.n_hit_terms >= 1 for r in rs)
+
+
+def test_tfidf_top_terms_shape(spark, sf_dir):
+    """Every document gets exactly TOP_TERMS ranked terms (corpus docs all
+    have >= 3 distinct tokens) and idf/tfidf are positive."""
+    from dbt_tpch_spark.operators.retrieval import TOP_TERMS
+
+    ctx = Context(spark, sf_dir)
+    df = ctx.ref("doc_tfidf_terms")
+    n_docs = ctx.source("documents").count()
+    assert df.count() == n_docs * TOP_TERMS
+    assert df.filter((F.col("idf") <= 0) | (F.col("tfidf") <= 0)).count() == 0
+
+
+def test_gapfill_grid_is_dense_and_locf_total_preserved(spark, sf_dir):
+    """Per user: buckets are dense hourly (count == span+1), every row has a
+    non-null locf/interp value, and observed-bucket event counts add back up
+    to the raw event count."""
+    ctx = Context(spark, sf_dir)
+    g = ctx.ref("events_gapfill_hourly")
+    dense = g.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        (
+            (F.unix_timestamp(F.max("bucket")) - F.unix_timestamp(F.min("bucket")))
+            / 3600
+            + 1
+        ).cast("long").alias("span"),
+    )
+    assert dense.filter(F.col("n") != F.col("span")).count() == 0
+    assert g.filter(F.col("locf_value").isNull()).count() == 0
+    assert g.filter(F.col("interp_value").isNull()).count() == 0
+    assert g.filter((F.col("is_gap") == 1) & (F.col("n_events") != 0)).count() == 0
+    total = g.agg(F.sum("n_events")).collect()[0][0]
+    assert total == ctx.source("events").count()
