@@ -1,0 +1,182 @@
+"""Graph analytics over the part co-purchase graph: PageRank.
+
+Extension surface: the reference (DataRecce/dbt-tpch) computes co-purchase
+*pairs* (models/intermediate/int_market_basket.sql:1-47) but stops at pair
+statistics; PageRank turns the same graph into a part-importance score —
+the standard "centrality over an interaction graph" primitive (product
+ranking, link-graph quality weighting for web-scale training corpora).
+
+This is the second *iterative* algorithm with full DuckDB-oracle parity
+(after operators/kmeans.py — same playbook):
+
+- the iteration count is fixed (ITERS) and the oracle unrolls the rounds
+  as generated CTE text (contrib_i -> pr_i), the SQL mirror of the Spark
+  loop;
+- per-node in-sums quantize each contribution to DECIMAL(38,18) and sum
+  exactly (accumulation-order-free, like dedup.DOT_SPARK);
+- rank values are re-quantized (rnd 12) every round so both engines carry
+  bit-identical state into the next iteration.
+
+Scale shape: the edge list is built once (distinct self-join on order key
+— equi conjunct keeps it hash/sort-merge, the ``<`` theta only dedups
+direction), symmetrized, and checkpointed. Each round is ONE join of the
+static edges with the current rank vector (the rank vector is tiny —
+one row per *node*, not per edge — so it broadcasts; on a trillion-edge
+graph you'd co-partition edges and ranks on src instead and the join is
+shuffle-free after the first round) plus one groupBy(dst) with map-side
+partial aggregation. Every node of the symmetric graph has outdeg >= 1,
+so there is no dangling-mass term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.models.oracle import oracle, rnd_sql
+from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.functions import rnd
+
+DAMPING = 0.85
+TELEPORT = 0.15  # 1 - DAMPING, kept as an exact literal on both engines
+ITERS = 3
+
+#: exact accumulation type for rank contributions (pr/outdeg ~ 1e-6..1e-1;
+#: 18 fractional digits keeps every quantized step identical cross-engine)
+_PR_DECIMAL = "decimal(38,18)"
+
+
+def _psum(col):
+    return F.sum(col.cast(_PR_DECIMAL)).cast("double")
+
+
+def _psum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,18))) AS DOUBLE)"
+
+
+def _edges(ctx):
+    """Symmetric distinct co-purchase edges (src, dst) from lineitem."""
+    op = (
+        ctx.source("lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+@model("parts_pagerank", layer="operators", materialization="view")
+def parts_pagerank(ctx):
+    """PageRank (d=0.85, ITERS fixed rounds, uniform init) over the
+    symmetric part co-purchase graph; emits every node's out-degree, final
+    rank value, and dense importance rank."""
+    edges = _edges(ctx).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    tot = deg.agg(F.count("*").cast("double").alias("n"))
+    pr = (
+        deg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("src").alias("node"),
+            "outdeg",
+            "n",
+            rnd(F.lit(1.0) / F.col("n"), 12).alias("pr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(ITERS):
+        contrib = (
+            edges.join(
+                F.broadcast(pr.select("node", "outdeg", "pr")),
+                edges.src == F.col("node"),
+            )
+            .groupBy("dst")
+            .agg(_psum(F.col("pr") / F.col("outdeg")).alias("insum"))
+        )
+        pr = (
+            pr.drop("pr")
+            .join(contrib, pr.node == contrib.dst, "left")
+            .select(
+                "node",
+                "outdeg",
+                "n",
+                rnd(
+                    F.lit(TELEPORT) / F.col("n")
+                    + F.lit(DAMPING) * F.coalesce(F.col("insum"), F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
+    return pr.select(
+        F.col("node").alias("part_key"),
+        "outdeg",
+        rnd(F.col("pr"), 12).alias("pagerank"),
+        F.row_number().over(w).cast("long").alias("importance_rank"),
+    )
+
+
+def _pagerank_prelude() -> str:
+    parts = [
+        """op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+)""",
+        """pairs AS (
+    SELECT DISTINCT a.p AS src, b.p AS dst
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)""",
+        """edges AS (
+    SELECT src, dst FROM pairs
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM pairs
+)""",
+        """deg AS (
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+)""",
+        """tot AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
+)""",
+        f"""pr0 AS (
+    SELECT d.src AS node, d.outdeg, t.n, {rnd_sql('1.0 / t.n', 12)} AS pr
+    FROM deg d CROSS JOIN tot t
+)""",
+    ]
+    for i in range(1, ITERS + 1):
+        parts.append(
+            f"""contrib{i} AS (
+    SELECT e.dst, {_psum_sql('p.pr / p.outdeg')} AS insum
+    FROM edges e JOIN pr{i - 1} p ON e.src = p.node
+    GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""pr{i} AS (
+    SELECT p.node, p.outdeg, p.n,
+           {rnd_sql(
+               f'{TELEPORT} / p.n + {DAMPING} * COALESCE(c.insum, 0.0)', 12
+           )} AS pr
+    FROM pr{i - 1} p LEFT JOIN contrib{i} c ON p.node = c.dst
+)"""
+        )
+    return ",\n".join(parts)
+
+
+oracle(
+    "parts_pagerank",
+    ("lineitem",),
+    f"""WITH {_pagerank_prelude()}
+SELECT
+    node AS part_key,
+    outdeg,
+    {rnd_sql('pr', 12)} AS pagerank,
+    CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS BIGINT)
+        AS importance_rank
+FROM pr{ITERS}""",
+)

@@ -405,3 +405,16 @@ def test_gapfill_grid_is_dense_and_locf_total_preserved(spark, sf_dir):
     assert g.filter((F.col("is_gap") == 1) & (F.col("n_events") != 0)).count() == 0
     total = g.agg(F.sum("n_events")).collect()[0][0]
     assert total == ctx.source("events").count()
+
+
+def test_pagerank_mass_and_rank_density(spark, sf_dir):
+    """Rank mass stays ~1 (teleport + quantization drift bounded), every
+    value is positive, and importance_rank is a dense 1..N permutation."""
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("parts_pagerank").collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    assert all(r.pagerank > 0 for r in rows)
+    assert sorted(r.importance_rank for r in rows) == list(range(1, n + 1))
