@@ -1,0 +1,333 @@
+"""Product quantization (PQ) over the ``embeddings`` table: per-subvector
+codebook training, code assignment, and asymmetric-distance (ADC) top-k
+search — the bandwidth-saving companion to the k-means IVF in
+operators/kmeans.py (Jegou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011).
+
+A 64-dim float vector (256 bytes) compresses to M=8 one-byte codes: each
+of the 8 contiguous 8-dim subvectors is replaced by the id of its nearest
+entry in a per-subvector 16-entry codebook. Search never decompresses:
+the query precomputes a (subvector x code) -> partial-d2 lookup table and
+a candidate's approximate distance is the sum of 8 table lookups.
+
+Iterative-parity playbook (third user after kmeans.py and the
+connected-components dedup): fixed PQ_ITERS Lloyd rounds, seeded by the
+md5-smallest vectors (no RNG), distances decomposed into exact-decimal
+dot products, per-dimension means via the dsum convention, ties broken on
+code id, rank state re-quantized every round. Unlike kmeans, the M
+independent per-subvector fits need NO extra unrolling: the subvector
+index ``m`` is simply a grouping column, so one grouped Lloyd round
+trains all 8 codebooks at once — on both engines.
+
+Scale shape: training is one broadcast of the (M*K = 128)-row codebook
+against the exploded subvector table per round (map-side only) plus one
+(m, code, dim) aggregation (M*K*SUBDIM = 1024 groups). Encoding is the
+same broadcast assignment. ADC search joins the candidate code table
+(N x M rows of small ints — the whole point: this is the only thing that
+streams) against a broadcast Q x M x K lookup table and tree-reduces the
+per-(query, candidate) sum. At 100 TB you fit on a hash-sample and only
+the encode + ADC passes touch the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.functions import dsum, rnd
+from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
+from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.operators.dedup import DOT_SPARK, dot_duck
+from dbt_tpch_spark.operators.similarity import N_QUERIES, TOP_K
+
+M_SUBVECTORS = 8
+SUBDIM = 8
+K_CODES = 16
+PQ_ITERS = 2
+SEED_SALT = "pq|"
+
+
+def _d2():
+    """Squared L2 between subv and cent (columns vv, subv, cent, cc)."""
+    return (
+        F.col("vv")
+        - F.lit(2.0) * F.expr(DOT_SPARK.format(a="subv", b="cent"))
+        + F.col("cc")
+    )
+
+
+def _subvectors(ctx):
+    """One row per (vec_id, m): the m-th contiguous SUBDIM-slice."""
+    from dbt_tpch_spark.operators.dedup import _doc_parallelism
+
+    e = ctx.source("embeddings").repartition(_doc_parallelism(ctx), "vec_id")
+    return (
+        e.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(M_SUBVECTORS - 1))).alias("m"),
+            "embedding",
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.expr(f"slice(embedding, m * {SUBDIM} + 1, {SUBDIM})").alias("subv"),
+        )
+        .withColumn("vv", F.expr(DOT_SPARK.format(a="subv", b="subv")))
+    )
+
+
+def _with_cc(cents):
+    return cents.withColumn("cc", F.expr(DOT_SPARK.format(a="cent", b="cent")))
+
+
+def _fit(ctx, iters: int = PQ_ITERS):
+    """Train all M codebooks with ``iters`` grouped Lloyd rounds; returns
+    (subvectors, codebook with cc)."""
+    sub = _subvectors(ctx).localCheckpoint(eager=True)
+    seeds = ctx.source("embeddings").select(
+        "embedding",
+        F.md5(F.concat(F.lit(SEED_SALT), F.col("vec_id").cast("string"))).alias("sk"),
+    )
+    w_seed = Window.orderBy("sk")
+    cents = (
+        seeds.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") <= K_CODES)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(M_SUBVECTORS - 1))).alias("m"),
+            (F.col("rn") - 1).cast("long").alias("code"),
+            "embedding",
+        )
+        .select(
+            "m",
+            "code",
+            F.expr(f"slice(embedding, m * {SUBDIM} + 1, {SUBDIM})").alias("cent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_assign = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("code")
+    )
+    for _ in range(iters):
+        assigned = (
+            sub.join(F.broadcast(_with_cc(cents)), "m")
+            .withColumn("d2", _d2())
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+        )
+        cents = (
+            assigned.select("m", "code", F.posexplode("subv").alias("pos", "val"))
+            .groupBy("m", "code", "pos")
+            .agg((dsum(F.col("val").cast("double")) / F.count(F.lit(1))).alias("mv"))
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("cent")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return sub, _with_cc(cents)
+
+
+def _encode(sub, cents):
+    """Nearest-code assignment per (vec_id, m) against the final codebook."""
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("code"))
+    return (
+        sub.join(F.broadcast(cents), "m")
+        .withColumn("d2", _d2())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code", "d2")
+    )
+
+
+@model("embeddings_pq_codes", layer="operators", materialization="view")
+def embeddings_pq_codes(ctx):
+    """PQ encoding of the corpus: the packed 8-code string (the compressed
+    representation a serving tier would ship — 8 bytes vs 256) plus the
+    exact reconstruction error of the quantization."""
+    sub, cents = _fit(ctx)
+    codes = _encode(sub, cents)
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda s: s["code"].cast("string"),
+        ),
+        "-",
+    )
+    return codes.groupBy("vec_id").agg(
+        packed.alias("pq_code"),
+        F.count(F.lit(1)).cast("long").alias("n_subvectors"),
+        rnd(dsum(F.col("d2")), 6).alias("recon_error"),
+    )
+
+
+@model("ann_pq_adc_topk", layer="operators", materialization="view")
+def ann_pq_adc_topk(ctx):
+    """ADC top-10: queries (vec_id < N_QUERIES) score every candidate as
+    the sum of M codebook-table lookups — no candidate vector is ever
+    decompressed."""
+    sub, cents = _fit(ctx)
+    codes = _encode(sub, cents).select("vec_id", "m", "code")
+    lut = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cents), "m")
+        .withColumn("pd2", _d2())
+        .select("query_id", "m", "code", "pd2")
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            ["m", "code"],
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(rnd(dsum(F.col("pd2")), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle: the grouped Lloyd rounds unrolled as generated CTEs
+# --------------------------------------------------------------------------
+
+
+def _d2_sql(subv: str, cent: str, vv: str, cc: str) -> str:
+    return f"({vv} - 2.0 * {dot_duck(subv, cent)} + {cc})"
+
+
+def _pq_prelude(iters: int = PQ_ITERS) -> str:
+    parts = [
+        f"""ms AS (
+    SELECT UNNEST(range(0, {M_SUBVECTORS})) AS m
+)""",
+        f"""sub0 AS (
+    SELECT vec_id, ms.m,
+           list_slice(embedding, ms.m * {SUBDIM} + 1, ms.m * {SUBDIM} + {SUBDIM})
+               AS subv
+    FROM embeddings CROSS JOIN ms
+)""",
+        f"""sub AS (
+    SELECT *, {dot_duck('subv', 'subv')} AS vv FROM sub0
+)""",
+        f"""pqcents0 AS (
+    SELECT ms.m, CAST(rn - 1 AS BIGINT) AS code,
+           list_slice(embedding, ms.m * {SUBDIM} + 1, ms.m * {SUBDIM} + {SUBDIM})
+               AS cent
+    FROM (
+        SELECT embedding,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('{SEED_SALT}' || CAST(vec_id AS VARCHAR))
+               ) AS rn
+        FROM embeddings
+    ) CROSS JOIN ms
+    WHERE rn <= {K_CODES}
+)""",
+    ]
+    prev = "pqcents0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pqassign{i} AS (
+    SELECT vec_id, m, subv, code
+    FROM (
+        SELECT s.vec_id, s.m, s.subv, s.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.m ORDER BY s.d2 ASC, s.code
+               ) AS rn
+        FROM (
+            SELECT u.vec_id, u.m, u.subv, c.code,
+                   {_d2_sql('u.subv', 'c.cent', 'u.vv',
+                            dot_duck('c.cent', 'c.cent'))} AS d2
+            FROM sub u JOIN {prev} c USING (m)
+        ) s
+    ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""pqcents{i} AS (
+    SELECT m, code, list(mv ORDER BY pos) AS cent
+    FROM (
+        SELECT a.m, a.code, p.pos,
+               {dsum_sql('CAST(a.subv[p.pos] AS DOUBLE)')} / COUNT(*) AS mv
+        FROM pqassign{i} a
+        CROSS JOIN (SELECT UNNEST(range(1, {SUBDIM + 1})) AS pos) p
+        GROUP BY 1, 2, 3
+    ) GROUP BY m, code
+)"""
+        )
+        prev = f"pqcents{i}"
+    parts.append(
+        f"""fcents AS (
+    SELECT m, code, cent, {dot_duck('cent', 'cent')} AS cc FROM {prev}
+)"""
+    )
+    parts.append(
+        f"""fassign AS (
+    SELECT vec_id, m, code, d2
+    FROM (
+        SELECT s.vec_id, s.m, s.code, s.d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.m ORDER BY s.d2 ASC, s.code
+               ) AS rn
+        FROM (
+            SELECT u.vec_id, u.m, c.code,
+                   {_d2_sql('u.subv', 'c.cent', 'u.vv', 'c.cc')} AS d2
+            FROM sub u JOIN fcents c USING (m)
+        ) s
+    ) WHERE rn = 1
+)"""
+    )
+    return ",\n".join(parts)
+
+
+oracle(
+    "embeddings_pq_codes",
+    ("embeddings",),
+    f"""WITH {_pq_prelude()}
+SELECT
+    vec_id,
+    string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS pq_code,
+    CAST(COUNT(*) AS BIGINT) AS n_subvectors,
+    {rnd_sql(dsum_sql('d2'), 6)} AS recon_error
+FROM fassign
+GROUP BY vec_id""",
+)
+
+
+oracle(
+    "ann_pq_adc_topk",
+    ("embeddings",),
+    f"""WITH {_pq_prelude()},
+lut AS (
+    SELECT u.vec_id AS query_id, u.m, c.code,
+           {_d2_sql('u.subv', 'c.cent', 'u.vv', 'c.cc')} AS pd2
+    FROM sub u JOIN fcents c USING (m)
+    WHERE u.vec_id < {N_QUERIES}
+),
+adc AS (
+    SELECT
+        l.query_id,
+        a.vec_id AS neighbor_id,
+        {rnd_sql(dsum_sql('l.pd2'), 6)} AS adc_d2
+    FROM fassign a
+    JOIN lut l ON a.m = l.m AND a.code = l.code AND l.query_id != a.vec_id
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id
+        ) AS BIGINT) AS rank
+    FROM adc
+)
+SELECT query_id, neighbor_id, adc_d2, rank
+FROM ranked
+WHERE rank <= {TOP_K}""",
+)

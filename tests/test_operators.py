@@ -418,3 +418,65 @@ def test_pagerank_mass_and_rank_density(spark, sf_dir):
     assert abs(total - 1.0) < 1e-6
     assert all(r.pagerank > 0 for r in rows)
     assert sorted(r.importance_rank for r in rows) == list(range(1, n + 1))
+
+
+def test_pq_training_reduces_reconstruction_error(spark, sf_dir):
+    """Mean PQ reconstruction error after the Lloyd rounds must beat the
+    raw seed codebook (training actually helps), and every vector encodes
+    all M subvectors with codes in [0, K)."""
+    from dbt_tpch_spark.operators import pq as pqm
+
+    ctx = Context(spark, sf_dir)
+
+    def mean_err(iters):
+        sub, cents = pqm._fit(ctx, iters=iters)
+        enc = pqm._encode(sub, cents)
+        return enc.agg(F.avg("d2")).collect()[0][0]
+
+    assert mean_err(pqm.PQ_ITERS) < mean_err(0)
+
+    codes = ctx.ref("embeddings_pq_codes").collect()
+    n_vecs = ctx.source("embeddings").count()
+    assert len(codes) == n_vecs
+    for r in codes:
+        parts = [int(c) for c in r.pq_code.split("-")]
+        assert len(parts) == pqm.M_SUBVECTORS == r.n_subvectors
+        assert all(0 <= c < pqm.K_CODES for c in parts)
+        assert r.recon_error >= 0
+
+
+def test_new_operator_plan_shapes(spark, sf_dir):
+    """Scale-shape assertions for the round's new operators:
+
+    - gap-fill is the union+window form — zero join nodes;
+    - BM25's df/query/scalar joins all broadcast (the only allowed
+      shuffle-joins are on doc_id) — no nested-loop anywhere;
+    - PageRank's per-round rank join broadcasts the rank vector;
+    - PQ assignment broadcasts the codebook (no shuffle of the corpus
+      against 128 centroid rows).
+    """
+    ctx = Context(spark, sf_dir)
+
+    gap_plan = (
+        ctx.ref("events_gapfill_hourly")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in gap_plan, gap_plan
+
+    # parts_pagerank's final plan is window-over-checkpoint (its joins run
+    # inside the iteration, pre-checkpoint), so only the first two can be
+    # required to SHOW a broadcast hash join
+    for name, expect_bhj in (
+        ("docs_bm25_topk", True),
+        ("ann_pq_adc_topk", True),
+        ("parts_pagerank", False),
+    ):
+        plan = ctx.ref(name)._jdf.queryExecution().executedPlan().toString()
+        # the only tolerated nested-loop is the 1-row scalar cross join
+        # (with_global_aggs form); any Inner/Outer BNLJ means a theta join
+        # slipped through
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "Cross" in line, (name, line)
+        assert "Cartesian" not in plan, (name, plan)
+        if expect_bhj:
+            assert "BroadcastHashJoin" in plan, (name, plan)
