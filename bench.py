@@ -37,6 +37,10 @@ HEADLINE = [
     "events_asof_last_click",
     "doc_pack_sequences",
     "kmeans_cells",
+    "docs_bm25_topk",
+    "events_gapfill_hourly",
+    "parts_pagerank",
+    "ann_pq_adc_topk",
 ]
 
 

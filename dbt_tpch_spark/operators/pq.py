@@ -60,13 +60,17 @@ def _subvectors(ctx):
     """One row per (vec_id, m): the m-th contiguous SUBDIM-slice."""
     from dbt_tpch_spark.operators.dedup import _doc_parallelism
 
-    e = ctx.source("embeddings").repartition(_doc_parallelism(ctx), "vec_id")
+    e = ctx.source("embeddings")
     return (
         e.select(
             "vec_id",
             F.explode(F.sequence(F.lit(0), F.lit(M_SUBVECTORS - 1))).alias("m"),
             "embedding",
         )
+        # partition on the assignment-window key (vec_id, m): every Lloyd
+        # round's rank window then reuses this layout with zero further
+        # exchanges (same trick as the kmeans fit — 2.7x there)
+        .repartition(_doc_parallelism(ctx), "vec_id", "m")
         .select(
             "vec_id",
             "m",

@@ -254,3 +254,116 @@ SELECT query_id, doc_id, n_hit_terms, score, rank
 FROM ranked
 WHERE rank <= {TOP_DOCS}""",
 )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+
+
+@model("doc_bigram_pmi", layer="operators", materialization="view")
+def doc_bigram_pmi(ctx):
+    """Top-50 adjacent-bigram collocations by pointwise mutual information
+    (PMI = ln(p(a,b) / (p(a) p(b))), count >= PMI_MIN_COUNT) — the
+    boilerplate/template-phrase detector of a corpus pipeline.
+
+    Scale shape: bigrams are generated positionally inside the row
+    (transform over an index sequence — no self-join, no explode-then-lag
+    window); both count tables aggregate with map-side combine; the unigram
+    table is broadcast twice (vocabulary-sized) and corpus totals ride the
+    1-row-broadcast rewrite. The final global top-50 ranks the *filtered*
+    collocation table (bounded by vocabulary^2), not the corpus."""
+    d = ctx.source("documents")
+    words = d.select(
+        F.split(F.lower(F.trim(F.col("text"))), " ").alias("words")
+    )
+    bg_structs = F.expr(
+        "transform(sequence(1, size(words) - 1),"
+        " i -> struct(element_at(words, i) AS w1,"
+        " element_at(words, CAST(i + 1 AS INT)) AS w2))"
+    )
+    bg = (
+        words.select(F.explode(bg_structs).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("pair_count"))
+    )
+    ug = (
+        words.select(F.explode("words").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("w_count"))
+    )
+    totals_src = bg.agg(
+        F.sum("pair_count").cast("double").alias("t_bigrams"),
+    )
+    u_total = ug.agg(F.sum("w_count").cast("double").alias("u_tokens"))
+    pmi = F.log(
+        (F.col("pair_count").cast("double") * F.col("u_tokens") * F.col("u_tokens"))
+        / (F.col("t_bigrams") * F.col("w1_count") * F.col("w2_count"))
+    )
+    ug1 = ug.select(F.col("w").alias("w1"), F.col("w_count").alias("w1_count"))
+    ug2 = ug.select(F.col("w").alias("w2"), F.col("w_count").alias("w2_count"))
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    return (
+        bg.filter(F.col("pair_count") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ug1), "w1")
+        .join(F.broadcast(ug2), "w2")
+        .crossJoin(F.broadcast(totals_src))
+        .crossJoin(F.broadcast(u_total))
+        .withColumn("pmi", rnd(pmi, 6))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= PMI_TOP)
+        .select("w1", "w2", "pair_count", "w1_count", "w2_count", "pmi", "rank")
+    )
+
+
+oracle(
+    "doc_bigram_pmi",
+    ("documents",),
+    f"""WITH dwords AS (
+    SELECT string_split(lower(trim(text)), ' ') AS words FROM documents
+),
+pos AS (
+    SELECT words, unnest(range(1, len(words))) AS i FROM dwords
+),
+bg AS (
+    SELECT words[i] AS w1, words[i + 1] AS w2,
+           CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM pos GROUP BY 1, 2
+),
+ug AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS w_count
+    FROM (SELECT unnest(words) AS w FROM dwords) GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(pair_count) AS DOUBLE) AS t_bigrams FROM bg
+),
+utot AS (
+    SELECT CAST(SUM(w_count) AS DOUBLE) AS u_tokens FROM ug
+),
+scored AS (
+    SELECT
+        b.w1, b.w2, b.pair_count,
+        a.w_count AS w1_count,
+        c.w_count AS w2_count,
+        {rnd_sql(
+            "ln((CAST(b.pair_count AS DOUBLE) * u.u_tokens * u.u_tokens)"
+            " / (t.t_bigrams * a.w_count * c.w_count))",
+            6,
+        )} AS pmi
+    FROM bg b
+    JOIN ug a ON b.w1 = a.w
+    JOIN ug c ON b.w2 = c.w
+    CROSS JOIN tot t CROSS JOIN utot u
+    WHERE b.pair_count >= {PMI_MIN_COUNT}
+),
+ranked AS (
+    SELECT *,
+        CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT w1, w2, pair_count, w1_count, w2_count, pmi, rank
+FROM ranked
+WHERE rank <= {PMI_TOP}""",
+)

@@ -287,3 +287,49 @@ SELECT
 FROM offs
 GROUP BY 1, 2""",
 )
+
+
+TOPN_SALT = "samplen|"
+TOPN_PER_LANG = 50
+
+
+@model("docs_sample_topn_per_lang", layer="operators", materialization="view")
+def docs_sample_topn_per_lang(ctx):
+    """Fixed-size per-stratum sample: exactly TOPN_PER_LANG docs per
+    language (fewer only if the stratum is smaller), chosen as the smallest
+    salted-md5 keys — the deterministic, engine-portable equivalent of a
+    per-stratum reservoir sample. Fixed *budgets* (not rates) are what a
+    training-mix spec actually pins ("50k docs per language").
+
+    Scale shape: one shuffle on the stratum key; the per-stratum top-N is a
+    rank-filter window, so partial sorts stay distributed (no global sort).
+    """
+    from pyspark.sql import Window
+
+    d = ctx.source("documents")
+    key = F.md5(F.concat(F.lit(TOPN_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        d.withColumn("sample_key", key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= TOPN_PER_LANG)
+        .select("doc_id", "lang", "source", "sample_key", "sample_rank")
+    )
+
+
+oracle(
+    "docs_sample_topn_per_lang",
+    ("documents",),
+    f"""SELECT doc_id, lang, source, sample_key, sample_rank
+FROM (
+    SELECT
+        doc_id, lang, source,
+        md5('{TOPN_SALT}' || CAST(doc_id AS VARCHAR)) AS sample_key,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY md5('{TOPN_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+        ) AS BIGINT) AS sample_rank
+    FROM documents
+)
+WHERE sample_rank <= {TOPN_PER_LANG}""",
+)

@@ -191,3 +191,101 @@ SELECT
 FROM filled
 WHERE is_obs = 1 OR locf_bucket != bucket""",
 )
+
+
+ZSCORE_LOOKBACK = 20
+ZSCORE_MIN_PRIOR = 5
+ZSCORE_THRESHOLD = 3.0
+
+#: the shared rolling frame: strictly-prior events per user, bounded lookback
+_Z_OVER = (
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    f"ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING"
+)
+
+
+@model("events_value_zscore", layer="operators", materialization="view")
+def events_value_zscore(ctx):
+    """Rolling z-score anomaly detection: each event's ``value`` against
+    the mean/stddev of its user's previous ZSCORE_LOOKBACK events (strictly
+    prior — no self-leakage). ``z_score`` is NULL until ZSCORE_MIN_PRIOR
+    history exists or when the window is constant; ``is_anomaly`` flags
+    |z| > 3. The streaming-shaped outlier gate of a metrics pipeline.
+
+    Scale shape: one shuffle on user_id, one sort, three aggregates over
+    the same ROWS frame (Spark evaluates them in a single WindowExec).
+    Variance uses the exact-decimal moment convention (functions.dvar_samp
+    rationale) so both engines carry identical doubles."""
+    from dbt_tpch_spark.functions import dsum_over
+
+    e = ctx.source("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    n = F.count("value").over(w)
+    sx = dsum_over(F.col("value"), w)
+    sxx = dsum_over(F.col("value") * F.col("value"), w)
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    z = F.when(
+        (n >= ZSCORE_MIN_PRIOR) & (var > 0),
+        (F.col("value") - mean) / F.sqrt(var),
+    )
+    out = (
+        e.withColumn("n_prior", n.cast("long"))
+        .withColumn("prior_mean", rnd(mean, 6))
+        .withColumn("z_score", rnd(z, 6))
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        "n_prior",
+        "prior_mean",
+        "z_score",
+        F.when(
+            F.abs(F.col("z_score")) > ZSCORE_THRESHOLD, F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_anomaly"),
+    )
+
+
+def _wsum_sql(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) OVER ({_Z_OVER}) AS DOUBLE)"
+    )
+
+
+oracle(
+    "events_value_zscore",
+    ("events",),
+    f"""WITH rolled AS (
+    SELECT
+        event_id, user_id, ts, event_type, value,
+        CAST(COUNT(value) OVER ({_Z_OVER}) AS BIGINT) AS n_prior,
+        {_wsum_sql('value')} AS sx,
+        {_wsum_sql('value * value')} AS sxx
+    FROM events
+),
+scored AS (
+    SELECT
+        event_id, user_id, ts, event_type, value, n_prior,
+        {rnd_sql('sx / n_prior', 6)} AS prior_mean,
+        CASE
+            WHEN n_prior >= {ZSCORE_MIN_PRIOR}
+                 AND (sxx - sx * sx / n_prior) / (n_prior - 1) > 0
+            THEN {rnd_sql(
+                '(value - sx / n_prior)'
+                ' / sqrt((sxx - sx * sx / n_prior) / (n_prior - 1))',
+                6,
+            )}
+        END AS z_score
+    FROM rolled
+)
+SELECT *,
+    CASE WHEN abs(z_score) > {ZSCORE_THRESHOLD} THEN 1 ELSE 0 END AS is_anomaly
+FROM scored""",
+)

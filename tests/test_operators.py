@@ -480,3 +480,49 @@ def test_new_operator_plan_shapes(spark, sf_dir):
         assert "Cartesian" not in plan, (name, plan)
         if expect_bhj:
             assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_topn_sample_budgets_and_determinism(spark, sf_dir):
+    """Each language stratum yields min(stratum_size, N) docs, ranks are
+    dense, and two runs pick identical doc sets (hash-keyed, no rand)."""
+    from dbt_tpch_spark.operators.sampling import TOPN_PER_LANG
+
+    ctx = Context(spark, sf_dir)
+    s = ctx.ref("docs_sample_topn_per_lang")
+    sizes = {
+        r.lang: r.n
+        for r in ctx.source("documents").groupBy("lang").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    got = {
+        r.lang: r.n
+        for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {k: min(v, TOPN_PER_LANG) for k, v in sizes.items()}
+    a = {(r.lang, r.doc_id) for r in s.collect()}
+    b = {(r.lang, r.doc_id) for r in Context(spark, sf_dir).ref(
+        "docs_sample_topn_per_lang").collect()}
+    assert a == b
+
+
+def test_zscore_needs_history_and_flags_extremes(spark, sf_dir):
+    """No z-score before ZSCORE_MIN_PRIOR history; every flagged row
+    actually exceeds the threshold; n_prior never exceeds the lookback."""
+    from dbt_tpch_spark.operators.timeseries import (
+        ZSCORE_LOOKBACK,
+        ZSCORE_MIN_PRIOR,
+        ZSCORE_THRESHOLD,
+    )
+
+    ctx = Context(spark, sf_dir)
+    z = ctx.ref("events_value_zscore")
+    assert z.filter(
+        (F.col("n_prior") < ZSCORE_MIN_PRIOR) & F.col("z_score").isNotNull()
+    ).count() == 0
+    assert z.filter(F.col("n_prior") > ZSCORE_LOOKBACK).count() == 0
+    assert z.filter(
+        (F.col("is_anomaly") == 1)
+        & (F.abs(F.col("z_score")) <= ZSCORE_THRESHOLD)
+    ).count() == 0
+    assert z.count() == ctx.source("events").count()
