@@ -1,0 +1,587 @@
+"""The classic TPC-H query suite (Q3/Q5/Q6/Q7/Q8/Q10/Q14/Q15/Q17/Q18),
+adapted to the driver corpus columns.
+
+The reference (DataRecce/dbt-tpch) implements Q1
+(models/wh/rpt_pricing_summary.sql) and Q2
+(models/wh/rpt_minimum_cost_suppliers.sql) and stops; these ten widen the
+relational surface to the rest of the official suite that is runnable on
+the available fixture columns (FIXTURES.md Part A). Adaptations, each
+noted on the model: Q3 carries o_orderpriority (o_shippriority is not in
+the corpus), Q10 drops the address/phone/comment output columns, Q17 keys
+on brand only (no p_container), and Q2/Q4/Q9/Q11/Q12/Q16/Q19-Q22 stay
+blocked on partsupp / receipt dates / ship modes / phone (SURVEY §2.12).
+
+Scale shapes follow TPC-H practice on Spark: region/nation always
+broadcast (25/5 rows at any SF); part/supplier/customer join as plain
+equi-joins and AQE picks broadcast vs shuffle by actual size; every
+revenue aggregate uses the money()+dsum convention (4-dp per-row quantize,
+exact-decimal accumulate) so results hash-match the DuckDB oracle; date
+filters are plain scan-column comparisons (parquet-pushed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.functions import davg, dsum, money, rnd, safe_div
+from dbt_tpch_spark.models.oracle import (
+    davg_sql,
+    dsum_sql,
+    money_sql,
+    oracle,
+    rnd_sql,
+)
+from dbt_tpch_spark.plans import model
+
+#: per-row revenue contribution, 4-dp quantized (the money() convention)
+_REV = lambda: money(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))  # noqa: E731
+_REV_SQL = money_sql("l.l_extendedprice * (1.0 - l.l_discount)")
+
+
+def _ts(s: str):
+    return F.to_timestamp(F.lit(s))
+
+
+# ---------------------------------------------------------------- Q3
+
+
+@model("tpch_q03_shipping_priority", layer="reports", materialization="view")
+def tpch_q03_shipping_priority(ctx):
+    """Q3 shipping priority (adapted: o_orderpriority replaces the absent
+    o_shippriority): top-10 unshipped BUILDING-segment orders by revenue
+    as of 1996-06-15."""
+    c = ctx.source("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = ctx.source("orders").filter(F.col("o_orderdate") < _ts("1996-06-15"))
+    l = ctx.source("lineitem").filter(F.col("l_shipdate") > _ts("1996-06-15"))
+    agg = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_REV()).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rank")
+    )
+
+
+oracle(
+    "tpch_q03_shipping_priority",
+    ("customer", "orders", "lineitem"),
+    f"""WITH agg AS (
+    SELECT
+        l.l_orderkey,
+        o.o_orderdate,
+        o.o_orderpriority,
+        {dsum_sql(_REV_SQL)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-06-15'
+      AND l.l_shipdate > TIMESTAMP '1996-06-15'
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT l_orderkey, revenue, o_orderdate, o_orderpriority,
+        CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS BIGINT)
+            AS rank
+    FROM agg
+)
+SELECT * FROM ranked WHERE rank <= 10""",
+)
+
+
+# ---------------------------------------------------------------- Q5
+
+
+@model("tpch_q05_local_supplier_volume", layer="reports", materialization="view")
+def tpch_q05_local_supplier_volume(ctx):
+    """Q5 local supplier volume: 1996 revenue in ASIA where the supplier
+    and customer share a nation."""
+    n = ctx.source("nation")
+    r = ctx.source("region").filter(F.col("r_name") == "ASIA")
+    o = ctx.source("orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    c, s, l = ctx.source("customer"), ctx.source("supplier"), ctx.source("lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(_REV()).alias("revenue"))
+    )
+
+
+oracle(
+    "tpch_q05_local_supplier_volume",
+    ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    f"""SELECT
+    n.n_name,
+    {dsum_sql(_REV_SQL)} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1""",
+)
+
+
+# ---------------------------------------------------------------- Q6
+
+
+@model("tpch_q06_forecast_revenue", layer="reports", materialization="view")
+def tpch_q06_forecast_revenue(ctx):
+    """Q6 forecasting revenue change: 1996 discount-band revenue
+    (discount in [0.05, 0.07], quantity < 24) — single-row scalar
+    aggregate, fully parquet-pushed filters."""
+    l = ctx.source("lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(money(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+oracle(
+    "tpch_q06_forecast_revenue",
+    ("lineitem",),
+    f"""SELECT
+    {dsum_sql(money_sql('l.l_extendedprice * l.l_discount'))} AS revenue,
+    CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND l.l_discount >= 0.05 AND l.l_discount <= 0.07
+  AND l.l_quantity < 24""",
+)
+
+
+# ---------------------------------------------------------------- Q7
+
+
+@model("tpch_q07_volume_shipping", layer="reports", materialization="view")
+def tpch_q07_volume_shipping(ctx):
+    """Q7 volume shipping between NATION_1 and NATION_2 (both directions),
+    1996-1997, by supplier nation / customer nation / ship year."""
+    n1 = ctx.source("nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = ctx.source("nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    l = ctx.source("lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") <= _ts("1997-12-31"))
+    )
+    o, c, s = ctx.source("orders"), ctx.source("customer"), ctx.source("supplier")
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(_REV()).alias("revenue"))
+    )
+
+
+oracle(
+    "tpch_q07_volume_shipping",
+    ("customer", "orders", "lineitem", "supplier", "nation"),
+    f"""SELECT
+    n1.n_name AS supp_nation,
+    n2.n_name AS cust_nation,
+    CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+    {dsum_sql(_REV_SQL)} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <= TIMESTAMP '1997-12-31'
+GROUP BY 1, 2, 3""",
+)
+
+
+# ---------------------------------------------------------------- Q8
+
+
+@model("tpch_q08_market_share", layer="reports", materialization="view")
+def tpch_q08_market_share(ctx):
+    """Q8 national market share: NATION_3's share of ECONOMY-part revenue
+    sold into AMERICA, by order year (1995-1996)."""
+    p = ctx.source("part").filter(F.col("p_type") == "ECONOMY")
+    o = ctx.source("orders").filter(
+        (F.col("o_orderdate") >= _ts("1995-01-01"))
+        & (F.col("o_orderdate") <= _ts("1996-12-31"))
+    )
+    c, s, l = ctx.source("customer"), ctx.source("supplier"), ctx.source("lineitem")
+    n_cust = ctx.source("nation").select(
+        F.col("n_nationkey").alias("cn_nk"), F.col("n_regionkey").alias("cn_rk")
+    )
+    n_supp = ctx.source("nation").select(
+        F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = ctx.source("region").filter(F.col("r_name") == "AMERICA")
+    vol = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("cn_nk"))
+        .join(F.broadcast(r), F.col("cn_rk") == r.r_regionkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _REV().alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        rnd(
+            safe_div(
+                dsum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                dsum(F.col("volume")),
+            ),
+            6,
+        ).alias("mkt_share"),
+        dsum(F.col("volume")).alias("total_volume"),
+    )
+
+
+oracle(
+    "tpch_q08_market_share",
+    ("customer", "orders", "lineitem", "supplier", "nation", "region", "part"),
+    f"""WITH vol AS (
+    SELECT
+        CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        {_REV_SQL} AS volume,
+        n2.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE p.p_type = 'ECONOMY'
+      AND r.r_name = 'AMERICA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <= TIMESTAMP '1996-12-31'
+)
+SELECT
+    o_year,
+    {rnd_sql(
+        dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")
+        + " / NULLIF(" + dsum_sql('volume') + ", 0)",
+        6,
+    )} AS mkt_share,
+    {dsum_sql('volume')} AS total_volume
+FROM vol
+GROUP BY 1""",
+)
+
+
+# ---------------------------------------------------------------- Q10
+
+
+@model("tpch_q10_returned_items", layer="reports", materialization="view")
+def tpch_q10_returned_items(ctx):
+    """Q10 returned-item reporting (adapted: corpus customer carries no
+    address/phone/comment): top-20 customers by revenue lost to returns in
+    1996Q4."""
+    o = ctx.source("orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-10-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    l = ctx.source("lineitem").filter(F.col("l_returnflag") == "R")
+    c = ctx.source("customer")
+    n = ctx.source("nation")
+    agg = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum(_REV()).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue", "rank")
+    )
+
+
+oracle(
+    "tpch_q10_returned_items",
+    ("customer", "orders", "lineitem", "nation"),
+    f"""WITH agg AS (
+    SELECT
+        c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+        {dsum_sql(_REV_SQL)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+    SELECT *,
+        CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT)
+            AS rank
+    FROM agg
+)
+SELECT c_custkey, c_name, n_name, c_acctbal, revenue, rank
+FROM ranked WHERE rank <= 20""",
+)
+
+
+# ---------------------------------------------------------------- Q14
+
+
+@model("tpch_q14_promotion_effect", layer="reports", materialization="view")
+def tpch_q14_promotion_effect(ctx):
+    """Q14 promotion effect: PROMO parts' share of 1996-09 revenue."""
+    l = ctx.source("lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01"))
+    )
+    p = ctx.source("part")
+    joined = l.join(p, l.l_partkey == p.p_partkey).select(
+        _REV().alias("volume"), "p_type"
+    )
+    return joined.agg(
+        rnd(
+            F.lit(100.0)
+            * safe_div(
+                dsum(
+                    F.when(
+                        F.col("p_type").startswith("PROMO"), F.col("volume")
+                    ).otherwise(F.lit(0.0))
+                ),
+                dsum(F.col("volume")),
+            ),
+            6,
+        ).alias("promo_revenue_pct"),
+        dsum(F.col("volume")).alias("total_revenue"),
+    )
+
+
+oracle(
+    "tpch_q14_promotion_effect",
+    ("lineitem", "part"),
+    f"""WITH joined AS (
+    SELECT {_REV_SQL} AS volume, p.p_type
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+)
+SELECT
+    {rnd_sql(
+        "100.0 * "
+        + dsum_sql("CASE WHEN p_type LIKE 'PROMO%' THEN volume ELSE 0.0 END")
+        + " / NULLIF(" + dsum_sql('volume') + ", 0)",
+        6,
+    )} AS promo_revenue_pct,
+    {dsum_sql('volume')} AS total_revenue
+FROM joined""",
+)
+
+
+# ---------------------------------------------------------------- Q15
+
+
+@model("tpch_q15_top_supplier", layer="reports", materialization="view")
+def tpch_q15_top_supplier(ctx):
+    """Q15 top supplier: supplier(s) with the maximum 1996Q1 revenue
+    (equality against the decimal-exact max — ties all surface, as in the
+    spec's subquery form). Scalar max rides the 1-row-broadcast rewrite."""
+    from dbt_tpch_spark.functions import with_global_aggs
+
+    l = ctx.source("lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    rev = l.groupBy("l_suppkey").agg(dsum(_REV()).alias("total_revenue"))
+    rev = with_global_aggs(rev, {"max_revenue": F.max("total_revenue")})
+    s = ctx.source("supplier")
+    return (
+        rev.filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            "total_revenue",
+        )
+    )
+
+
+oracle(
+    "tpch_q15_top_supplier",
+    ("lineitem", "supplier"),
+    f"""WITH rev AS (
+    SELECT l.l_suppkey, {dsum_sql(_REV_SQL)} AS total_revenue
+    FROM lineitem l
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)""",
+)
+
+
+# ---------------------------------------------------------------- Q17
+
+
+@model("tpch_q17_small_quantity_revenue", layer="reports", materialization="view")
+def tpch_q17_small_quantity_revenue(ctx):
+    """Q17 small-quantity-order revenue (adapted: brand-only predicate, no
+    p_container in the corpus): yearly revenue that would vanish if
+    below-20%-of-average-quantity Brand#9 orders stopped."""
+    p = ctx.source("part").filter(F.col("p_brand") == "Brand#9")
+    l = ctx.source("lineitem")
+    brand_lines = l.join(p, l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = brand_lines.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg(F.col("l_quantity"))).alias("qty_cutoff")
+    )
+    return (
+        brand_lines.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg(
+            rnd(dsum(F.col("l_extendedprice")) / F.lit(7.0), 4).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+oracle(
+    "tpch_q17_small_quantity_revenue",
+    ("lineitem", "part"),
+    f"""WITH brand_lines AS (
+    SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#9'
+),
+cutoffs AS (
+    SELECT l_partkey, 0.2 * {davg_sql('l_quantity')} AS qty_cutoff
+    FROM brand_lines GROUP BY 1
+)
+SELECT
+    {rnd_sql(dsum_sql('b.l_extendedprice') + " / 7.0", 4)} AS avg_yearly,
+    CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM brand_lines b
+JOIN cutoffs c ON b.l_partkey = c.l_partkey
+WHERE b.l_quantity < c.qty_cutoff""",
+)
+
+
+# ---------------------------------------------------------------- Q18
+
+
+@model("tpch_q18_large_volume_customer", layer="reports", materialization="view")
+def tpch_q18_large_volume_customer(ctx):
+    """Q18 large-volume customers: orders whose total quantity exceeds 300,
+    with customer identity, top-100 by o_totalprice."""
+    l = ctx.source("lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_quantity"))
+        .filter(F.col("total_quantity") > 300)
+    )
+    o, c = ctx.source("orders"), ctx.source("customer")
+    joined = (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_quantity",
+        )
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 100)
+    )
+
+
+oracle(
+    "tpch_q18_large_volume_customer",
+    ("lineitem", "orders", "customer"),
+    f"""WITH big AS (
+    SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_quantity
+    FROM lineitem
+    GROUP BY 1
+    HAVING {dsum_sql('l_quantity')} > 300
+),
+joined AS (
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.total_quantity
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+    SELECT *,
+        CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+            AS rank
+    FROM joined
+)
+SELECT * FROM ranked WHERE rank <= 100""",
+)

@@ -73,3 +73,18 @@ def test_global_agg_rewrite_is_window_free(spark, sf_dir):
     assert "SinglePartition" not in plan.replace(
         "Exchange SinglePartition", "", 1
     ), plan  # the one legal single-partition exchange is the 1-row scalar agg
+
+
+def test_tpch_classic_plan_shapes(spark, sf_dir):
+    """Q6's filters must reach the parquet scan (PushedFilters) and Q5's
+    nation/region joins must broadcast — the scan-pushdown and
+    dim-broadcast invariants of the classic suite."""
+    ctx = Context(spark, sf_dir)
+    q6 = ctx.ref("tpch_q06_forecast_revenue")
+    q6_plan = q6._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in q6_plan
+    assert "IsNotNull(l_shipdate)" in q6_plan or "GreaterThanOrEqual(l_shipdate" in q6_plan, q6_plan
+    q5 = ctx.ref("tpch_q05_local_supplier_volume")
+    q5_plan = q5._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in q5_plan
+    assert "Cartesian" not in q5_plan
