@@ -367,3 +367,50 @@ SELECT w1, w2, pair_count, w1_count, w2_count, pmi, rank
 FROM ranked
 WHERE rank <= {PMI_TOP}""",
 )
+
+
+POSTINGS_CAP = 50
+
+
+@model("docs_inverted_index", layer="operators", materialization="view")
+def docs_inverted_index(ctx):
+    """Inverted-index materialization: per term, document frequency, total
+    term frequency, and the first POSTINGS_CAP postings (doc_ids ascending,
+    '-'-joined — the serialized posting-list head a serving shard would
+    store). Postings capped so hot terms can't blow up a row; the cap is
+    the oracle-visible twin of a posting-list block.
+
+    Scale shape: reuses the (doc, term) aggregate; one shuffle on term with
+    map-side combine; collect_list only ever sees per-term postings AFTER
+    the cap filter logic (slice post-sort), bounded by POSTINGS_CAP."""
+    dtf = _doc_term_freq(ctx)
+    return dtf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.array_join(
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP
+            ).cast("array<string>"),
+            "-",
+        ).alias("postings_head"),
+    )
+
+
+oracle(
+    "docs_inverted_index",
+    ("documents",),
+    f"""WITH {_tf_cte()}
+SELECT
+    term,
+    CAST(COUNT(*) AS BIGINT) AS df,
+    CAST(SUM(tf) AS BIGINT) AS total_tf,
+    array_to_string(
+        list_transform(
+            list_slice(list(doc_id ORDER BY doc_id), 1, {POSTINGS_CAP}),
+            d -> CAST(d AS VARCHAR)
+        ),
+        '-'
+    ) AS postings_head
+FROM dtf
+GROUP BY term""",
+)

@@ -289,3 +289,196 @@ SELECT *,
     CASE WHEN abs(z_score) > {ZSCORE_THRESHOLD} THEN 1 ELSE 0 END AS is_anomaly
 FROM scored""",
 )
+
+
+@model("events_conversion_funnel", layer="operators", materialization="view")
+def events_conversion_funnel(ctx):
+    """Ordered conversion funnel signup -> click -> purchase: per user the
+    first signup, the first click strictly after it, the first purchase
+    strictly after that; one summary row per funnel stage with conversion
+    counts and median hours-to-convert. The standard product-analytics
+    sequence query (the reference has nothing event-ordered).
+
+    Scale shape: three conditional-min aggregates over one groupBy(user) —
+    a single shuffle, no self-joins; the per-stage rollup is a tiny second
+    aggregation. Ordered-sequence semantics come from conditional
+    aggregation (min ts after a prior stage's min ts), which Catalyst
+    folds into one hash aggregate."""
+    e = ctx.source("events")
+    # stage timestamps per user: each stage's min ts strictly after the
+    # previous stage; two-phase because the predicate needs the prior min
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    stage2 = (
+        e.join(per_user, "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_signup")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    stage3 = (
+        e.join(stage2, "user_id")
+        .groupBy("user_id", "t_signup", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    # medians interpolate over integer MICROsecond gaps and divide to hours
+    # afterwards: unix_timestamp() would truncate to seconds (DuckDB's epoch
+    # keeps fraction) and per-row pre-division would change the
+    # interpolation operands — both would break cross-engine parity
+    us_per_hour = 3_600_000_000.0
+    return stage3.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t_signup").cast("long").alias("n_signup"),
+        F.count(F.when(F.col("t_click").isNotNull(), 1)).cast("long").alias(
+            "n_signup_click"
+        ),
+        F.count(F.when(F.col("t_purchase").isNotNull(), 1)).cast("long").alias(
+            "n_full_funnel"
+        ),
+        rnd(
+            F.expr(
+                "percentile(CASE WHEN t_click IS NOT NULL THEN "
+                "unix_micros(t_click) - unix_micros(t_signup) END, 0.5)"
+            )
+            / F.lit(us_per_hour),
+            6,
+        ).alias("median_hours_to_click"),
+        rnd(
+            F.expr(
+                "percentile(CASE WHEN t_purchase IS NOT NULL THEN "
+                "unix_micros(t_purchase) - unix_micros(t_click) END, 0.5)"
+            )
+            / F.lit(us_per_hour),
+            6,
+        ).alias("median_hours_to_purchase"),
+    )
+
+
+oracle(
+    "events_conversion_funnel",
+    ("events",),
+    f"""WITH s1 AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+    FROM events GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, s1.t_signup,
+           min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_signup
+               THEN e.ts END) AS t_click
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    GROUP BY 1, 2
+),
+s3 AS (
+    SELECT e.user_id, s2.t_signup, s2.t_click,
+           min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+               THEN e.ts END) AS t_purchase
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    GROUP BY 1, 2, 3
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+    CAST(COUNT(CASE WHEN t_click IS NOT NULL THEN 1 END) AS BIGINT)
+        AS n_signup_click,
+    CAST(COUNT(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS BIGINT)
+        AS n_full_funnel,
+    {rnd_sql(
+        "quantile_cont(CASE WHEN t_click IS NOT NULL THEN "
+        "epoch_us(t_click) - epoch_us(t_signup) END, 0.5) / 3600000000.0",
+        6,
+    )} AS median_hours_to_click,
+    {rnd_sql(
+        "quantile_cont(CASE WHEN t_purchase IS NOT NULL THEN "
+        "epoch_us(t_purchase) - epoch_us(t_click) END, 0.5) / 3600000000.0",
+        6,
+    )} AS median_hours_to_purchase
+FROM s3""",
+)
+
+
+RETENTION_MAX_OFFSET = 7
+
+
+@model("events_retention_cohorts", layer="operators", materialization="view")
+def events_retention_cohorts(ctx):
+    """Daily retention cohorts: users grouped by first-seen day; for day
+    offsets 0..RETENTION_MAX_OFFSET, the share of each cohort active again
+    that day — the classic triangle retention matrix.
+
+    Scale shape: one groupBy(user) for cohort assignment, one distinct on
+    (user, day) for activity, one shuffle join on user_id, then a tiny
+    (cohort x offset) aggregation; cohort sizes broadcast back."""
+    e = ctx.source("events")
+    day = F.date_trunc("day", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = e.select("user_id", day.alias("active_day")).distinct()
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    joined = (
+        activity.join(first, "user_id")
+        .withColumn(
+            "day_offset", F.datediff("active_day", "cohort_day").cast("long")
+        )
+        .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+    )
+    counts = joined.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort_day")
+        .withColumn(
+            "retention_rate",
+            rnd(F.col("n_active").cast("double") / F.col("cohort_size"), 6),
+        )
+        .select("cohort_day", "day_offset", "n_active", "cohort_size", "retention_rate")
+    )
+
+
+oracle(
+    "events_retention_cohorts",
+    ("events",),
+    f"""WITH first_seen AS (
+    SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+    FROM events GROUP BY 1
+),
+activity AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+),
+sizes AS (
+    SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+    FROM first_seen GROUP BY 1
+),
+counts AS (
+    SELECT
+        f.cohort_day,
+        CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT)
+            AS day_offset,
+        CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a
+    JOIN first_seen f ON a.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, a.active_day) <= {RETENTION_MAX_OFFSET}
+    GROUP BY 1, 2
+)
+SELECT
+    c.cohort_day, c.day_offset, c.n_active, s.cohort_size,
+    {rnd_sql('CAST(c.n_active AS DOUBLE) / s.cohort_size', 6)}
+        AS retention_rate
+FROM counts c
+JOIN sizes s ON c.cohort_day = s.cohort_day""",
+)

@@ -526,3 +526,47 @@ def test_zscore_needs_history_and_flags_extremes(spark, sf_dir):
         & (F.abs(F.col("z_score")) <= ZSCORE_THRESHOLD)
     ).count() == 0
     assert z.count() == ctx.source("events").count()
+
+
+def test_funnel_counts_are_monotone(spark, sf_dir):
+    """Funnel stages can only shrink: users >= signups >= signup+click >=
+    full funnel; medians exist whenever their stage has converters."""
+    ctx = Context(spark, sf_dir)
+    r = ctx.ref("events_conversion_funnel").collect()[0]
+    assert r.n_users >= r.n_signup >= r.n_signup_click >= r.n_full_funnel >= 0
+    if r.n_signup_click > 0:
+        assert r.median_hours_to_click > 0
+    if r.n_full_funnel > 0:
+        assert r.median_hours_to_purchase > 0
+
+
+def test_retention_cohort_invariants(spark, sf_dir):
+    """Offset-0 retention is exactly 1.0 (everyone is active on their
+    first-seen day), rates are in (0, 1], and active counts never exceed
+    the cohort size."""
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("events_retention_cohorts").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.day_offset <= 7
+        assert 0 < r.n_active <= r.cohort_size
+        assert 0 < r.retention_rate <= 1.0
+        if r.day_offset == 0:
+            assert r.retention_rate == 1.0
+
+
+def test_inverted_index_round_trip(spark, sf_dir):
+    """Posting heads are sorted, capped, and consistent with df; every term
+    of a sample document appears in the index."""
+    from dbt_tpch_spark.operators.retrieval import POSTINGS_CAP
+
+    ctx = Context(spark, sf_dir)
+    idx = {r.term: r for r in ctx.ref("docs_inverted_index").collect()}
+    for r in idx.values():
+        ids = [int(x) for x in r.postings_head.split("-")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r.df, POSTINGS_CAP)
+        assert r.total_tf >= r.df
+    doc = ctx.source("documents").filter(F.col("doc_id") == 0).collect()[0]
+    for term in set(doc.text.lower().strip().split(" ")):
+        assert term in idx
