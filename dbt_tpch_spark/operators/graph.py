@@ -55,16 +55,30 @@ def _psum_sql(expr: str) -> str:
 
 
 def _edges(ctx):
-    """Symmetric distinct co-purchase edges (src, dst) from lineitem."""
-    op = (
+    """Symmetric distinct co-purchase edges (src, dst) from lineitem.
+
+    Pair generation is in-row, not a self-join: parts collect (sorted,
+    deduped) per order and the x<y pairs expand positionally inside the
+    array — one shuffle on the order key instead of shuffle+join+shuffle.
+    Per-order fan-out is quadratic in basket size, which is small and
+    bounded (TPC-H ~4 items/order); the oracle keeps the equivalent
+    self-join formulation (same pair SET, different plan)."""
+    baskets = (
         ctx.source("lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    a, b = op.alias("a"), op.alias("b")
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     return pairs.unionByName(

@@ -249,3 +249,91 @@ SELECT
     CAST(len(shingles) AS BIGINT) AS n_shingles
 FROM sh""",
 )
+
+
+@model("doc_unigram_surprisal", layer="operators", materialization="view")
+def doc_unigram_surprisal(ctx):
+    """Per-document mean unigram surprisal (-ln p(w) under the corpus
+    unigram LM, add-one smoothed) — the cheap language-model quality score
+    of a pretraining pipeline: word-salad and boilerplate docs sit at the
+    distribution's tails.
+
+    Scale shape: one token explode -> (doc, term) aggregate; the unigram
+    model (vocabulary-sized) broadcasts; corpus totals ride the 1-row
+    broadcast. Per-token surprisals are rnd-quantized then decimal-summed
+    (dsum) so the per-doc mean is accumulation-order-free."""
+    from dbt_tpch_spark.functions import dsum
+
+    d = ctx.source("documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    )
+    dtf = toks.groupBy("doc_id", "lang", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    ug = dtf.groupBy("term").agg(F.sum("tf").cast("long").alias("c_w"))
+    totals = ug.agg(
+        F.sum("c_w").cast("double").alias("n_tokens"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    # add-one smoothing: p(w) = (c_w + 1) / (N + V)
+    surprisal = -F.log(
+        (F.col("c_w") + F.lit(1.0)) / (F.col("n_tokens") + F.col("vocab"))
+    )
+    scored = (
+        dtf.join(F.broadcast(ug), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("tok_surprisal", rnd(surprisal, 6))
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.sum("tf").cast("long").alias("n_tokens_doc"),
+        rnd(
+            dsum(F.col("tok_surprisal") * F.col("tf"))
+            / F.sum("tf").cast("double"),
+            6,
+        ).alias("mean_surprisal"),
+    )
+
+
+oracle(
+    "doc_unigram_surprisal",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(string_split(lower(trim(text)), ' ')) AS term
+    FROM documents
+),
+dtf AS (
+    SELECT doc_id, lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY 1, 2, 3
+),
+ug AS (
+    SELECT term, CAST(SUM(tf) AS BIGINT) AS c_w FROM dtf GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(c_w) AS DOUBLE) AS n_tokens,
+           CAST(COUNT(*) AS DOUBLE) AS vocab
+    FROM ug
+),
+scored AS (
+    SELECT d.doc_id, d.lang, d.tf,
+           {rnd_sql('-ln((u.c_w + 1.0) / (t.n_tokens + t.vocab))', 6)}
+               AS tok_surprisal
+    FROM dtf d
+    JOIN ug u ON d.term = u.term
+    CROSS JOIN tot t
+)
+SELECT
+    doc_id,
+    lang,
+    CAST(SUM(tf) AS BIGINT) AS n_tokens_doc,
+    {rnd_sql(
+        "CAST(SUM(CAST((tok_surprisal * tf) AS DECIMAL(27,6))) AS DOUBLE)"
+        " / CAST(SUM(tf) AS DOUBLE)",
+        6,
+    )} AS mean_surprisal
+FROM scored
+GROUP BY 1, 2""",
+)

