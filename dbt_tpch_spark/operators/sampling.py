@@ -333,3 +333,89 @@ FROM (
 )
 WHERE sample_rank <= {TOPN_PER_LANG}""",
 )
+
+
+WEIGHTED_SALT = "samplew|"
+WEIGHTED_PER_LANG = 40
+_HEX16 = "0123456789abcdef"
+_U_SCALE = 16 ** 8  # 4294967296, exact in double
+
+
+def _u_expr_spark():
+    """Uniform u in (0,1) from the first 8 md5 hex digits of column ``h``:
+    digit-decode (no hex->int builtin needed) -> (val + 0.5) / 16^8."""
+    from pyspark.sql import functions as F
+
+    # CAST each digit term to BIGINT: ANSI mode overflows INT32 on the
+    # high-digit scale multiply (memory: spark-pitfalls)
+    terms = " + ".join(
+        f"CAST(instr('{_HEX16}', substring(h, {i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return (F.expr(terms).cast("double") + F.lit(0.5)) / F.lit(float(_U_SCALE))
+
+
+def _u_expr_sql() -> str:
+    terms = " + ".join(
+        f"(strpos('{_HEX16}', substring(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"((CAST({terms} AS DOUBLE) + 0.5) / {float(_U_SCALE)})"
+
+
+@model("docs_sample_weighted", layer="operators", materialization="view")
+def docs_sample_weighted(ctx):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES,
+    exponential-keys form): per language, the WEIGHTED_PER_LANG docs with
+    the smallest ``-ln(u)/w`` where u is a salted-md5 uniform and the
+    weight w is the document length — longer docs proportionally likelier,
+    still fully deterministic (no rand(), resumable, engine-portable).
+
+    Scale shape: the key is a stateless per-row map; selection is the same
+    rank-filter window as the fixed-budget sampler (one shuffle on the
+    stratum key, distributed partial sorts)."""
+    from pyspark.sql import Window
+    from dbt_tpch_spark.functions import rnd
+
+    d = ctx.source("documents").withColumn(
+        "h",
+        F.md5(F.concat(F.lit(WEIGHTED_SALT), F.col("doc_id").cast("string"))),
+    )
+    key = -F.log(_u_expr_spark()) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("lang").orderBy(F.col("sample_key"), F.col("doc_id"))
+    return (
+        d.withColumn("sample_key", rnd(key, 12))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= WEIGHTED_PER_LANG)
+        .select("doc_id", "lang", "n_chars", "sample_key", "sample_rank")
+    )
+
+
+oracle(
+    "docs_sample_weighted",
+    ("documents",),
+    f"""WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           {{rnd}} AS sample_key
+    FROM (
+        SELECT *,
+               md5('{WEIGHTED_SALT}' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    )
+),
+ranked AS (
+    SELECT *,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY sample_key, doc_id
+        ) AS BIGINT) AS sample_rank
+    FROM keyed
+)
+SELECT doc_id, lang, n_chars, sample_key, sample_rank
+FROM ranked
+WHERE sample_rank <= {WEIGHTED_PER_LANG}""".format(
+        rnd=__import__(
+            "dbt_tpch_spark.models.oracle", fromlist=["rnd_sql"]
+        ).rnd_sql(f"-ln({_u_expr_sql()}) / CAST(n_chars AS DOUBLE)", 12)
+    ),
+)

@@ -591,3 +591,56 @@ def test_surprisal_tracks_rarity(spark, sf_dir):
     common = j.filter(~F.col("has_rare")).agg(F.avg("mean_surprisal")).collect()[0][0]
     if rare is not None and common is not None:
         assert rare > common
+
+
+def test_hll_sketch_accuracy_and_registers(spark, sf_dir):
+    """The deterministic HLL lands within the m=256 error envelope of the
+    exact distinct count for every event type, and register counts never
+    exceed m."""
+    from dbt_tpch_spark.operators.sketches import HLL_M
+
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("events_hll_users").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_present <= HLL_M
+        assert r.hll_estimate > 0
+        assert r.rel_error < 0.15, (r.event_type, r.rel_error)
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    """A-ES with w = n_chars must overselect long documents: the sample's
+    mean length exceeds the corpus mean; budgets and determinism hold."""
+    from dbt_tpch_spark.operators.sampling import WEIGHTED_PER_LANG
+
+    ctx = Context(spark, sf_dir)
+    s = ctx.ref("docs_sample_weighted")
+    per_lang = {r.lang: r.n for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {
+        r.lang: r.n
+        for r in ctx.source("documents").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_lang == {k: min(v, WEIGHTED_PER_LANG) for k, v in sizes.items()}
+    sample_avg = s.agg(F.avg("n_chars")).collect()[0][0]
+    corpus_avg = ctx.source("documents").agg(F.avg("n_chars")).collect()[0][0]
+    assert sample_avg > corpus_avg
+    a = sorted(r.doc_id for r in s.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in Context(spark, sf_dir).ref("docs_sample_weighted").select("doc_id").collect()
+    )
+    assert a == b
+
+
+def test_kl_divergence_nonnegative_and_complete(spark, sf_dir):
+    """KL over observed terms with shared smoothing must be >= 0 up to
+    quantization for every source, all 20 sources score, and ranks are a
+    dense permutation."""
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("source_vocab_divergence").collect()
+    n_sources = ctx.source("documents").select("source").distinct().count()
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r.kl_divergence > -1e-4, (r.source, r.kl_divergence)
+        assert r.n_terms > 0 and r.n_tokens_source > 0
+    assert sorted(r.divergence_rank for r in rows) == list(range(1, len(rows) + 1))
