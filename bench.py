@@ -41,6 +41,8 @@ HEADLINE = [
     "events_gapfill_hourly",
     "parts_pagerank",
     "ann_pq_adc_topk",
+    "tpch_q05_local_supplier_volume",
+    "events_hll_users",
 ]
 
 

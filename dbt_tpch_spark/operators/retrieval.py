@@ -414,3 +414,104 @@ SELECT
 FROM dtf
 GROUP BY term""",
 )
+
+
+@model("source_vocab_divergence", layer="operators", materialization="view")
+def source_vocab_divergence(ctx):
+    """Per-source KL divergence of the source's unigram distribution from
+    the corpus distribution (add-one smoothed over the corpus vocabulary) —
+    the distribution-drift / contamination detector of a corpus pipeline:
+    a source whose vocabulary departs from the mix stands out before it
+    poisons a training run.
+
+    KL(p_source || p_corpus) = sum_w p_s(w) * ln(p_s(w) / p(w)) over the
+    source's observed terms (smoothing keeps every ratio finite).
+
+    Scale shape: (source, term) and (term) count tables from one explode
+    pass; the corpus unigram table broadcasts; per-term KL contributions
+    are rnd-quantized then decimal-summed, so the divergence is
+    accumulation-order-free."""
+    d = ctx.source("documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("c_sw")
+    )
+    ug = st.groupBy("term").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    stot = st.groupBy("source").agg(F.sum("c_sw").cast("double").alias("n_s"))
+    tot = ug.agg(
+        F.sum("c_w").cast("double").alias("n_tokens"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    p_s = (F.col("c_sw") + F.lit(1.0)) / (F.col("n_s") + F.col("vocab"))
+    p_c = (F.col("c_w") + F.lit(1.0)) / (F.col("n_tokens") + F.col("vocab"))
+    contrib = rnd(p_s * F.log(p_s / p_c), 9)
+    scored = (
+        st.join(F.broadcast(ug), "term")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("kl_term", contrib)
+    )
+    agg = scored.groupBy("source").agg(
+        F.first("n_s").cast("long").alias("n_tokens_source"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        rnd(dsum(F.col("kl_term")), 6).alias("kl_divergence"),
+    )
+    w = Window.orderBy(F.col("kl_divergence").desc(), F.col("source"))
+    return agg.withColumn(
+        "divergence_rank", F.row_number().over(w).cast("long")
+    )
+
+
+oracle(
+    "source_vocab_divergence",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT source,
+           unnest(string_split(lower(trim(text)), ' ')) AS term
+    FROM documents
+),
+st AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_sw
+    FROM toks GROUP BY 1, 2
+),
+ug AS (
+    SELECT term, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM st GROUP BY 1
+),
+stot AS (
+    SELECT source, CAST(SUM(c_sw) AS DOUBLE) AS n_s FROM st GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(c_w) AS DOUBLE) AS n_tokens,
+           CAST(COUNT(*) AS DOUBLE) AS vocab
+    FROM ug
+),
+scored AS (
+    SELECT s.source, o.n_s,
+        {rnd_sql(
+            "((s.c_sw + 1.0) / (o.n_s + t.vocab))"
+            " * ln(((s.c_sw + 1.0) / (o.n_s + t.vocab))"
+            " / ((u.c_w + 1.0) / (t.n_tokens + t.vocab)))",
+            9,
+        )} AS kl_term
+    FROM st s
+    JOIN ug u ON s.term = u.term
+    JOIN stot o ON s.source = o.source
+    CROSS JOIN tot t
+),
+agg AS (
+    SELECT
+        source,
+        CAST(ANY_VALUE(n_s) AS BIGINT) AS n_tokens_source,
+        CAST(COUNT(*) AS BIGINT) AS n_terms,
+        {rnd_sql(dsum_sql('kl_term'), 6)} AS kl_divergence
+    FROM scored
+    GROUP BY 1
+)
+SELECT *,
+    CAST(ROW_NUMBER() OVER (ORDER BY kl_divergence DESC, source) AS BIGINT)
+        AS divergence_rank
+FROM agg""",
+)
