@@ -482,3 +482,67 @@ SELECT
 FROM counts c
 JOIN sizes s ON c.cohort_day = s.cohort_day""",
 )
+
+
+@model("events_transition_matrix", layer="operators", materialization="view")
+def events_transition_matrix(ctx):
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current event type), with pair counts — the
+    sequence-statistics primitive behind next-action models and anomaly
+    path detection.
+
+    Scale shape: one shuffle on user_id for the lead() window, then a tiny
+    (|types|^2) aggregation with map-side combine; the per-row-type totals
+    come from a window over the aggregated matrix, not a second pass."""
+    e = ctx.source("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "from_total", F.sum("n_transitions").over(w_from).cast("long")
+        )
+        .withColumn(
+            "probability",
+            rnd(
+                F.col("n_transitions").cast("double") / F.col("from_total"), 6
+            ),
+        )
+        .select("from_type", "to_type", "n_transitions", "from_total", "probability")
+    )
+
+
+oracle(
+    "events_transition_matrix",
+    ("events",),
+    f"""WITH pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT
+    from_type, to_type, n_transitions,
+    CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+        AS from_total,
+    {rnd_sql(
+        "CAST(n_transitions AS DOUBLE)"
+        " / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)",
+        6,
+    )} AS probability
+FROM counts""",
+)

@@ -644,3 +644,21 @@ def test_kl_divergence_nonnegative_and_complete(spark, sf_dir):
         assert r.kl_divergence > -1e-4, (r.source, r.kl_divergence)
         assert r.n_terms > 0 and r.n_tokens_source > 0
     assert sorted(r.divergence_rank for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_transition_matrix_is_stochastic(spark, sf_dir):
+    """Per from_type, probabilities sum to 1 (within quantization) and
+    total transitions equal events minus one per active user."""
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("events_transition_matrix").collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for ft, rs in by_from.items():
+        assert abs(sum(r.probability for r in rs) - 1.0) < 1e-4, ft
+        assert all(r.from_total == sum(x.n_transitions for x in rs) for r in rs)
+    total = sum(r.n_transitions for r in rows)
+    e = ctx.source("events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert total == n_events - n_users
