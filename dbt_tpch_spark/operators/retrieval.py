@@ -515,3 +515,36 @@ SELECT *,
         AS divergence_rank
 FROM agg""",
 )
+
+
+@model("docs_decontaminated", layer="operators", materialization="view")
+def docs_decontaminated(ctx):
+    """The decontamination pass itself: the corpus minus every document a
+    BM25 search for the (stand-in) eval queries retrieves — the anti-join
+    composition that actually ships a clean training set. Output is the
+    per-language survivor census plus how many docs the pass removed.
+
+    Scale shape: the hit list is top-k per query (tiny) and broadcasts
+    into a left_anti join — the full corpus streams through unjoined."""
+    hits = ctx.ref("docs_bm25_topk").select("doc_id").distinct()
+    d = ctx.source("documents")
+    clean = d.join(F.broadcast(hits), "doc_id", "left_anti")
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+oracle(
+    "docs_decontaminated",
+    ("documents", "docs_bm25_topk"),
+    """SELECT
+    lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents d
+WHERE NOT EXISTS (
+    SELECT 1 FROM docs_bm25_topk h WHERE h.doc_id = d.doc_id
+)
+GROUP BY 1""",
+)

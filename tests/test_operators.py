@@ -662,3 +662,16 @@ def test_transition_matrix_is_stochastic(spark, sf_dir):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_decontamination_removes_exactly_the_hits(spark, sf_dir):
+    """Survivor count = corpus - distinct BM25 hits, and the anti-join
+    broadcasts the hit list (corpus side never shuffles for it)."""
+    ctx = Context(spark, sf_dir)
+    clean = ctx.ref("docs_decontaminated")
+    survivors = clean.agg(F.sum("n_docs")).collect()[0][0]
+    corpus = ctx.source("documents").count()
+    hits = ctx.ref("docs_bm25_topk").select("doc_id").distinct().count()
+    assert survivors == corpus - hits
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
