@@ -91,3 +91,27 @@ def test_quantized_ln_bit_identical(spark, xs):
     assert _spark_vals(spark, xs, rnd(F.log(F.col("x")), 6)) == _duck_vals(
         xs, rnd_sql("ln(x)", 6)
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(finite_doubles, min_size=2, max_size=300),
+    st.sampled_from([0.25, 0.5, 0.9, 0.95]),
+)
+def test_exact_percentile_bit_identical(spark, xs, q):
+    """Spark percentile() and DuckDB quantile_cont() both linearly
+    interpolate at rank (n-1)*q — the assumption under events_json_props'
+    p50/p95 and the funnel medians. Quantized at rnd 6 like every
+    consumer."""
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    sp = df.agg(
+        rnd(F.expr(f"percentile(x, {q})"), 6).alias("y")
+    ).collect()[0][0]
+    con = __import__("duckdb").connect()
+    import pandas as pd
+
+    con.register("t", pd.DataFrame({"x": [float(x) for x in xs]}))
+    du = con.execute(
+        f"SELECT {rnd_sql(f'quantile_cont(x, {q})', 6)} FROM t"
+    ).fetchone()[0]
+    assert sp == du
