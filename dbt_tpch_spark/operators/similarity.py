@@ -540,3 +540,81 @@ SELECT
     {rnd_sql('list_max(list_transform(range(1, 65), i -> abs(CAST(emb[i] AS DOUBLE) - rec[i])))', 6)} AS max_abs_err
 FROM recon""",
 )
+
+
+ANN_VARIANTS = {
+    "lsh": "ann_lsh_topk",
+    "lsh_multiprobe": "ann_lsh_multiprobe_topk",
+    "ivf_fixed": "ann_ivf_topk",
+    "ivf_kmeans": "ann_ivf_kmeans_topk",
+    "pq_adc": "ann_pq_adc_topk",
+}
+
+
+@model("ann_recall_report", layer="operators", materialization="view")
+def ann_recall_report(ctx):
+    """Recall@10 of every approximate-ANN variant against the brute-force
+    cosine truth — the evaluation harness as a first-class query, so a
+    pipeline can gate an index build on measured recall instead of hope.
+
+    Scale shape: each variant's top-k is tiny (queries x k); the truth set
+    broadcasts into the hit-check join and everything downstream is a
+    |variants|-row aggregate."""
+    truth = ctx.ref("ann_cosine_topk").select("query_id", "neighbor_id")
+    n_truth = truth.count()  # queries x k, driver-side scalar is fine
+    retrieved = None
+    for label, model_name in ANN_VARIANTS.items():
+        part = ctx.ref(model_name).select(
+            F.lit(label).alias("variant"), "query_id", "neighbor_id"
+        )
+        retrieved = part if retrieved is None else retrieved.unionByName(part)
+    hits = retrieved.join(
+        F.broadcast(truth.withColumn("is_hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.sum(F.coalesce(F.col("is_hit"), F.lit(0))).cast("long").alias("n_hits"),
+        rnd(
+            F.sum(F.coalesce(F.col("is_hit"), F.lit(0))).cast("double")
+            / F.lit(float(n_truth)),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
+oracle(
+    "ann_recall_report",
+    ("ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_pq_adc_topk"),
+    """WITH retrieved AS (
+    SELECT 'lsh' AS variant, query_id, neighbor_id FROM ann_lsh_topk
+    UNION ALL
+    SELECT 'lsh_multiprobe' AS variant, query_id, neighbor_id FROM ann_lsh_multiprobe_topk
+    UNION ALL
+    SELECT 'ivf_fixed' AS variant, query_id, neighbor_id FROM ann_ivf_topk
+    UNION ALL
+    SELECT 'ivf_kmeans' AS variant, query_id, neighbor_id FROM ann_ivf_kmeans_topk
+    UNION ALL
+    SELECT 'pq_adc' AS variant, query_id, neighbor_id FROM ann_pq_adc_topk
+),
+marked AS (
+    SELECT r.variant,
+           CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+    FROM retrieved r
+    LEFT JOIN ann_cosine_topk t
+      ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+),
+truth_n AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ann_cosine_topk
+)
+SELECT
+    variant,
+    CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+    CAST(SUM(is_hit) AS BIGINT) AS n_hits,
+    (FLOOR((CAST(SUM(is_hit) AS DOUBLE) / ANY_VALUE(t.n)) * 1000000.0 + 0.5)
+        / 1000000.0) AS recall_at_k
+FROM marked CROSS JOIN truth_n t
+GROUP BY 1""",
+)
+

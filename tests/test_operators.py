@@ -675,3 +675,18 @@ def test_decontamination_removes_exactly_the_hits(spark, sf_dir):
     assert survivors == corpus - hits
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan
+
+
+def test_ann_recall_report_orders_variants_sanely(spark, sf_dir):
+    """The evaluation query reproduces the documented ordering: multi-probe
+    beats single-probe LSH, learned IVF cells at least match fixed slices,
+    and every recall is a valid fraction of the truth set."""
+    ctx = Context(spark, sf_dir)
+    rows = {r.variant: r for r in ctx.ref("ann_recall_report").collect()}
+    assert set(rows) == {"lsh", "lsh_multiprobe", "ivf_fixed", "ivf_kmeans", "pq_adc"}
+    truth_n = ctx.ref("ann_cosine_topk").count()
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hits <= r.n_retrieved <= truth_n
+    assert rows["lsh_multiprobe"].n_hits >= rows["lsh"].n_hits
+    assert rows["ivf_kmeans"].n_hits >= rows["ivf_fixed"].n_hits
