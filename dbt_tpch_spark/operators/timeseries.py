@@ -546,3 +546,88 @@ SELECT
     )} AS probability
 FROM counts""",
 )
+
+
+@model("user_state_scd", layer="operators", materialization="view")
+def user_state_scd(ctx):
+    """SCD-type-2 state history from the event stream: consecutive runs of
+    the same event type per user collapse into validity intervals
+    [valid_from, valid_to) with a version number and an is_current flag —
+    the dbt *snapshot* pattern (the reference declares an empty snapshot
+    path) rebuilt from immutable events.
+
+    Scale shape: classic gaps-and-islands — one shuffle on user_id, change
+    flags + running island ids in one window pass, then a per-island
+    aggregate and a lead() for interval close; all three reuse the same
+    partitioning."""
+    e = ctx.source("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    islands = (
+        e.withColumn("chg", changed)
+        .withColumn(
+            "version",
+            F.sum("chg")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .groupBy("user_id", "version")
+        .agg(
+            F.first("event_type").alias("event_type"),
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    w_v = Window.partitionBy("user_id").orderBy("version")
+    return (
+        islands.withColumn("valid_to", F.lead("valid_from").over(w_v))
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+        .select(
+            "user_id",
+            "version",
+            "event_type",
+            "valid_from",
+            "valid_to",
+            "n_events",
+            "is_current",
+        )
+    )
+
+
+oracle(
+    "user_state_scd",
+    ("events",),
+    """WITH flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+        CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w != event_type
+             THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT *,
+        CAST(SUM(chg) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS version
+    FROM flagged
+),
+islands AS (
+    SELECT user_id, version,
+           ANY_VALUE(event_type) AS event_type,
+           min(ts) AS valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM runs GROUP BY 1, 2
+)
+SELECT user_id, version, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to,
+       n_events,
+       CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+            IS NULL AS INTEGER) AS is_current
+FROM islands""",
+)

@@ -690,3 +690,28 @@ def test_ann_recall_report_orders_variants_sanely(spark, sf_dir):
         assert r.n_hits <= r.n_retrieved <= truth_n
     assert rows["lsh_multiprobe"].n_hits >= rows["lsh"].n_hits
     assert rows["ivf_kmeans"].n_hits >= rows["ivf_fixed"].n_hits
+
+
+def test_scd_intervals_partition_each_user_timeline(spark, sf_dir):
+    """SCD-2 invariants: versions are dense per user, exactly one current
+    row per user, intervals chain (valid_to == next valid_from), adjacent
+    versions change state, and island events add back to the user's total."""
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("user_state_scd").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    totals = {
+        r.user_id: r.n
+        for r in ctx.source("events").groupBy("user_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.is_current for r in rs) == 1 and rs[-1].is_current == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.event_type != b.event_type
+        assert sum(r.n_events for r in rs) == totals[uid]

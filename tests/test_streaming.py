@@ -252,3 +252,68 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir):
     cols = ["error_id", "click_id", "e_user", "e_ts", "c_ts"]
     assert _canon(stream, cols) == _canon(batch, cols)
     assert stream.count() > 0
+
+
+def test_watermark_actually_drops_late_rows(spark, tmp_path):
+    """True late-data semantics (availableNow over one static file can never
+    be late, so the other streaming tests only prove batch equality): three
+    files as separate micro-batches. File 1 pushes max event time to 12:00;
+    after file 2 the watermark (11:00) closes and emits the 10:00 window;
+    file 3 then delivers a row back in that closed window — it must be
+    DROPPED (no duplicate window emission, count stays at the on-time 2),
+    while a plain batch replay of the same files counts it."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        # two on-time rows in the 10:00 window + max-pusher at 12:00
+        [(t0, 1), (t0 + dt.timedelta(minutes=5), 1),
+         (t0 + dt.timedelta(hours=2), 1)],
+        # fresh row; at this batch's end watermark 11:00 closes 10:00-10:30
+        [(t0 + dt.timedelta(hours=2, minutes=5), 1)],
+        # LATE row into the closed window + a fresh one
+        [(t0 + dt.timedelta(minutes=10), 1),
+         (t0 + dt.timedelta(hours=2, minutes=40), 1)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "ts timestamp, v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct mtimes keep file order deterministic
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = [r for r in spark.table("t_late").collect() if r.ws == t0]
+    # exactly one emission for the closed window, without the late row
+    assert [r.n for r in emitted] == [2], emitted
+
+    control = {
+        r.ws: r.n
+        for r in spark.read.parquet(src)
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    assert control.get(t0) == 3, control
