@@ -631,3 +631,74 @@ SELECT user_id, version, event_type, valid_from,
             IS NULL AS INTEGER) AS is_current
 FROM islands""",
 )
+
+
+@model("events_time_rollup", layer="operators", materialization="view")
+def events_time_rollup(ctx):
+    """Multi-granularity time rollup in ONE pass: day / week / month
+    aggregates of the event stream via GROUPING SETS — the hypertable
+    "continuous aggregate ladder" without re-scanning per grain.
+
+    Scale shape: one scan, one shuffle; Spark expands the grouping sets
+    internally and map-side partial aggregation still applies per set. A
+    per-grain union of three groupBys would scan three times."""
+    e = ctx.source("events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        "user_id",
+        "value",
+    )
+    g = e.groupingSets(
+        [["day"], ["week"], ["month"]], "day", "week", "month"
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        rnd(dsum(F.col("value")), 4).alias("total_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    grain = (
+        F.when(F.col("gid") == 3, F.lit("day"))
+        .when(F.col("gid") == 5, F.lit("week"))
+        .otherwise(F.lit("month"))
+    )
+    return g.select(
+        grain.alias("grain"),
+        F.coalesce("day", "week", "month").alias("period_start"),
+        "n_events",
+        "total_value",
+        "n_users",
+    )
+
+
+oracle(
+    "events_time_rollup",
+    ("events",),
+    f"""WITH base AS (
+    SELECT
+        date_trunc('day', ts) AS day,
+        date_trunc('week', ts) AS week,
+        date_trunc('month', ts) AS month,
+        user_id,
+        value
+    FROM events
+),
+g AS (
+    SELECT
+        day, week, month,
+        -- DuckDB has no GROUPING_ID(); reconstruct Spark's bit order
+        GROUPING(day) * 4 + GROUPING(week) * 2 + GROUPING(month) AS gid,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        {rnd_sql(dsum_sql('value'), 4)} AS total_value,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM base
+    GROUP BY GROUPING SETS ((day), (week), (month))
+)
+SELECT
+    CASE gid WHEN 3 THEN 'day' WHEN 5 THEN 'week' ELSE 'month' END AS grain,
+    COALESCE(day, week, month) AS period_start,
+    n_events,
+    total_value,
+    n_users
+FROM g""",
+)

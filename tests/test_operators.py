@@ -715,3 +715,18 @@ def test_scd_intervals_partition_each_user_timeline(spark, sf_dir):
             assert a.valid_to == b.valid_from
             assert a.event_type != b.event_type
         assert sum(r.n_events for r in rs) == totals[uid]
+
+
+def test_time_rollup_grains_are_consistent(spark, sf_dir):
+    """Each grain's event total equals the raw count, and coarser grains
+    have no more rows than finer ones."""
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("events_time_rollup").collect()
+    n_events = ctx.source("events").count()
+    by_grain = {}
+    for r in rows:
+        by_grain.setdefault(r.grain, []).append(r)
+    assert set(by_grain) == {"day", "week", "month"}
+    for grain, rs in by_grain.items():
+        assert sum(r.n_events for r in rs) == n_events, grain
+    assert len(by_grain["month"]) <= len(by_grain["week"]) <= len(by_grain["day"])
