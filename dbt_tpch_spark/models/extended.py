@@ -270,3 +270,83 @@ SELECT
     t.n_orders
 FROM orders o CROSS JOIN totals t""",
 )
+
+
+@model("brand_price_quantity_fit", layer="extended", materialization="view")
+def brand_price_quantity_fit(ctx):
+    """Per-brand OLS fit and correlation of extended price on quantity —
+    the SQL REGR_SLOPE / REGR_INTERCEPT / CORR / R2 aggregate family,
+    rebuilt from exact-decimal moments so both engines produce identical
+    doubles (native corr()/regr_*() accumulate floats in engine order and
+    can never hash-match cross-engine).
+
+    Scale shape: one scan, one groupBy(brand) carrying five decimal moment
+    sums — map-side partial aggregation applies, no second pass."""
+    from dbt_tpch_spark.functions import rnd, safe_div
+
+    li = ctx.source("lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    p = ctx.source("part").select("p_partkey", "p_brand")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    slope = safe_div(cov, varx)
+    corr = safe_div(cov, F.sqrt(varx * vary))
+    return m.select(
+        "p_brand",
+        "n",
+        rnd(slope, 6).alias("regr_slope"),
+        rnd((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "regr_intercept"
+        ),
+        rnd(corr, 6).alias("corr_xy"),
+        rnd(corr * corr, 6).alias("r_squared"),
+    )
+
+
+def _fit_sql() -> str:
+    cov = "(sxy - sx * sy / n)"
+    varx = "(sxx - sx * sx / n)"
+    vary = "(syy - sy * sy / n)"
+    slope = f"({cov} / NULLIF({varx}, 0))"
+    corr = f"({cov} / NULLIF(sqrt({varx} * {vary}), 0))"
+    from dbt_tpch_spark.models.oracle import rnd_sql
+
+    return f"""SELECT
+    p_brand,
+    n,
+    {rnd_sql(slope, 6)} AS regr_slope,
+    {rnd_sql(f'(sy - {slope} * sx) / n', 6)} AS regr_intercept,
+    {rnd_sql(corr, 6)} AS corr_xy,
+    {rnd_sql(f'{corr} * {corr}', 6)} AS r_squared
+FROM moments"""
+
+
+oracle(
+    "brand_price_quantity_fit",
+    ("lineitem", "part"),
+    f"""WITH moments AS (
+    SELECT
+        p.p_brand,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        {dsum_sql('l.l_quantity')} AS sx,
+        {dsum_sql('l.l_extendedprice')} AS sy,
+        {dsum_sql('l.l_quantity * l.l_quantity')} AS sxx,
+        {dsum_sql('l.l_extendedprice * l.l_extendedprice')} AS syy,
+        {dsum_sql('l.l_quantity * l.l_extendedprice')} AS sxy
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+)
+{_fit_sql()}""",
+)

@@ -730,3 +730,17 @@ def test_time_rollup_grains_are_consistent(spark, sf_dir):
     for grain, rs in by_grain.items():
         assert sum(r.n_events for r in rs) == n_events, grain
     assert len(by_grain["month"]) <= len(by_grain["week"]) <= len(by_grain["day"])
+
+
+def test_regression_fit_bounds(spark, sf_dir):
+    """corr in [-1,1], r2 = corr^2 (to quantization), slope and corr share
+    a sign (cov determines both; the synthetic corpus draws price
+    independent of quantity, so sign itself is data, not invariant)."""
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("brand_price_quantity_fit").collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.corr_xy <= 1.0
+        assert abs(r.r_squared - r.corr_xy**2) < 1e-5
+        assert r.regr_slope * r.corr_xy >= 0, r.p_brand
+        assert r.n > 1
