@@ -41,19 +41,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown source table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
-        # default (PARQUET_TYPE_ILLEGAL). Read nanos as LONG and truncate to
-        # microseconds — exactly what DuckDB does when it coerces ns->us.
+        # The corpus has shipped events.ts both as parquet TIMESTAMP(NANOS)
+        # (which Spark 4 rejects by default — PARQUET_TYPE_ILLEGAL, so it is
+        # surfaced as LONG via nanosAsLong) and as plain TIMESTAMP(MICROS).
+        # Adapt to whichever this corpus has instead of assuming one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros() yields session-local timestamps; pin UTC so the
-        # wall-clock values match the timezone-naive DuckDB oracle even when
-        # the caller's session (e.g. the driver's) wasn't built by
-        # session.get_spark()
+        # pin UTC so wall-clock values match the timezone-naive DuckDB oracle
+        # even when the caller's session wasn't built by session.get_spark()
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # nanos-as-long -> truncate to micros, like DuckDB's ns->us coerce
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.startswith("timestamp"):
+            # normalize TIMESTAMP_NTZ to session-TZ TIMESTAMP so downstream
+            # window/watermark ops and the oracle see identical wall clocks
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

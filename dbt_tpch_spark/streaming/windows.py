@@ -215,12 +215,16 @@ GROUP BY 1""",
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source streaming read of the events table (ns->us like the batch
-    reader)."""
+    """File-source streaming read of the events table, normalized like the
+    batch reader (sources.read_table): the corpus has shipped ``ts`` both as
+    TIMESTAMP(NANOS) (surfaced as LONG via nanosAsLong) and TIMESTAMP(MICROS);
+    probe the file's actual type and adapt."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    nanos = ts_type == "bigint"
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
+        f"event_id long, ts {'long' if nanos else 'timestamp_ntz'}, "
+        "user_id long, event_type string, value double, props string"
     )
     # the file stream source requires a directory; narrow to the events file
     # with a glob filter
@@ -229,7 +233,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
