@@ -350,3 +350,114 @@ oracle(
 )
 {_fit_sql()}""",
 )
+
+
+@model("customer_balance_window_stats", layer="extended", materialization="view")
+def customer_balance_window_stats(ctx):
+    """The ranking-window families the reference never reaches (SURVEY §2.6
+    covers rank/row_number/ntile/lag only): dense_rank, percent_rank,
+    cume_dist, lead, first_value and nth_value, per nation over customer
+    account balances.
+
+    Determinism addendum (SURVEY §4.3): the window orders by
+    (balance DESC, customer_key) so ties resolve identically on both
+    engines; first/nth_value use an explicit ROWS frame — with a bare
+    ORDER BY both engines default to RANGE, whose peer semantics differ
+    from ROWS on ties.
+
+    Scale: one shuffle on nation_key; each window is a partition-local
+    sort — no whole-table window (W7 rewrite not needed here)."""
+    from pyspark.sql.window import Window
+
+    c = ctx.ref("dim_customer")
+    w = Window.partitionBy("customer_nation_name").orderBy(
+        F.col("customer_account_balance").desc(), F.col("customer_key")
+    )
+    framed = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return c.select(
+        "customer_nation_name",
+        "customer_key",
+        "customer_account_balance",
+        F.dense_rank().over(w).cast("long").alias("balance_dense_rank"),
+        F.percent_rank().over(w).alias("balance_percent_rank"),
+        F.cume_dist().over(w).alias("balance_cume_dist"),
+        F.lead("customer_account_balance").over(w).alias("next_balance"),
+        F.first_value(F.col("customer_account_balance")).over(framed).alias(
+            "nation_top_balance"
+        ),
+        F.nth_value(F.col("customer_account_balance"), 2).over(framed).alias(
+            "nation_second_balance"
+        ),
+    )
+
+
+oracle(
+    "customer_balance_window_stats",
+    ("dim_customer",),
+    """SELECT
+    customer_nation_name,
+    customer_key,
+    customer_account_balance,
+    CAST(DENSE_RANK() OVER w AS BIGINT) AS balance_dense_rank,
+    PERCENT_RANK() OVER w AS balance_percent_rank,
+    CUME_DIST() OVER w AS balance_cume_dist,
+    LEAD(customer_account_balance) OVER w AS next_balance,
+    FIRST_VALUE(customer_account_balance) OVER wf AS nation_top_balance,
+    NTH_VALUE(customer_account_balance, 2) OVER wf AS nation_second_balance
+FROM dim_customer
+WINDOW
+    w AS (PARTITION BY customer_nation_name
+          ORDER BY customer_account_balance DESC, customer_key),
+    wf AS (PARTITION BY customer_nation_name
+           ORDER BY customer_account_balance DESC, customer_key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+
+
+@model("customers_semi_anti", layer="extended", materialization="view")
+def customers_semi_anti(ctx):
+    """Explicit LEFT SEMI / LEFT ANTI joins — the join types the reference
+    only ever generates implicitly inside dbt's relationships test
+    (SURVEY §5.1): customers with at least one returned line item (semi)
+    and customers with no orders at all (anti), tagged and unioned.
+
+    Scale: both probes are one shuffle join on the key; the semi/anti form
+    never materializes the match side's payload columns (Catalyst plans
+    LeftSemi/LeftAnti hash joins, AQE may broadcast the smaller side)."""
+    c = ctx.ref("dim_customer")
+    o = ctx.ref("fct_orders")
+    items = ctx.ref("orders_items")
+    returned_customers = items.filter(
+        F.col("return_status_code") == "R"
+    ).select("customer_key")
+    with_returns = (
+        c.join(returned_customers, "customer_key", "left_semi")
+        .select("customer_key", "customer_name")
+        .withColumn("probe", F.lit("has_returned_item"))
+    )
+    never_ordered = (
+        c.join(o.select("customer_key"), "customer_key", "left_anti")
+        .select("customer_key", "customer_name")
+        .withColumn("probe", F.lit("never_ordered"))
+    )
+    return with_returns.unionAll(never_ordered).select(
+        "probe", "customer_key", "customer_name"
+    )
+
+
+oracle(
+    "customers_semi_anti",
+    ("dim_customer", "fct_orders", "orders_items"),
+    """SELECT 'has_returned_item' AS probe, c.customer_key, c.customer_name
+FROM dim_customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders_items i
+    WHERE i.customer_key = c.customer_key AND i.return_status_code = 'R'
+)
+UNION ALL
+SELECT 'never_ordered' AS probe, c.customer_key, c.customer_name
+FROM dim_customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM fct_orders o WHERE o.customer_key = c.customer_key
+)""",
+)

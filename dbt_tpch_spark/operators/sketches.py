@@ -187,3 +187,289 @@ SELECT
     {rnd_sql('abs(hll_estimate - exact_users) / exact_users', 6)} AS rel_error
 FROM scored""",
 )
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan, J.Alg 2005): frequency
+# estimation in d*w integer cells. Like the HLL above, the hash family is
+# md5-derived so both engines build the identical sketch and the whole
+# query — sketch, point estimates, heavy-hitter ranking — passes the exact
+# hash-parity gate (integer counts end to end, no floats at all).
+#
+# Why it matters at 100 TB: the cell table is d*w rows (here 4*256) no
+# matter how many events stream in; groupBy(salt,bucket) does map-side
+# combine, and sketches from different shards/days merge by cell-wise SUM.
+# Point lookups broadcast the cells against the (tiny) distinct-key side.
+# --------------------------------------------------------------------------
+
+CMS_D = 4  # hash functions (rows)
+CMS_W = 256  # buckets per row (2 hex digits)
+CMS_TOPK = 20
+
+
+def _cms_bucket_spark(h: str) -> F.Column:
+    hv = lambda c: F.expr(f"instr('{_HEX}', {c}) - 1")  # noqa: E731
+    return (hv(f"substring({h}, 1, 1)") * 16 + hv(f"substring({h}, 2, 1)")).cast(
+        "long"
+    )
+
+
+def _cms_bucket_sql(h: str) -> str:
+    hv = lambda c: f"(strpos('{_HEX}', {c}) - 1)"  # noqa: E731
+    return (
+        f"CAST({hv(f'substring({h}, 1, 1)')} * 16 + "
+        f"{hv(f'substring({h}, 2, 1)')} AS BIGINT)"
+    )
+
+
+@model("events_cms_topusers", layer="operators", materialization="view")
+def events_cms_topusers(ctx):
+    """Count-Min estimate of per-user event counts next to the exact counts
+    for the top-20 most active users: the heavy-hitters primitive.
+
+    Construction: every event row hashes into CMS_D=4 rows of CMS_W=256
+    buckets (bucket = first 2 hex digits of md5('cms'||salt||'|'||user));
+    a point estimate is the MIN over the 4 cells — always >= the true
+    count, so `overcount` is the realized CMS error."""
+    e = ctx.source("events").select("user_id")
+    salted = e.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("salt"),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.lit("cms"),
+                F.col("salt").cast("string"),
+                F.lit("|"),
+                F.col("user_id").cast("string"),
+            )
+        ),
+    )
+    bucketed = salted.withColumn("bucket", _cms_bucket_spark("h"))
+    cells = bucketed.groupBy("salt", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    probe = bucketed.select("user_id", "salt", "bucket").distinct()
+    est = (
+        probe.join(F.broadcast(cells), ["salt", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("n").alias("cms_n"))
+    )
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    from pyspark.sql.window import Window
+
+    ranked = (
+        exact.join(est, "user_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_n").desc(), F.col("user_id"))
+            ),
+        )
+        .filter(F.col("rn") <= CMS_TOPK)
+    )
+    return ranked.select(
+        "user_id",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+oracle(
+    "events_cms_topusers",
+    (),
+    f"""WITH ev AS (SELECT user_id FROM events),
+salts AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(salt)),
+bucketed AS (
+    SELECT user_id, salt,
+           {_cms_bucket_sql("md5(concat('cms', CAST(salt AS VARCHAR), '|', CAST(user_id AS VARCHAR)))")} AS bucket
+    FROM ev CROSS JOIN salts
+),
+cells AS (
+    SELECT salt, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bucketed GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT user_id, salt, bucket FROM bucketed),
+est AS (
+    SELECT p.user_id, MIN(c.n) AS cms_n
+    FROM probe p JOIN cells c ON p.salt = c.salt AND p.bucket = c.bucket
+    GROUP BY 1
+),
+exact AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM ev GROUP BY 1
+),
+ranked AS (
+    SELECT e.user_id, e.exact_n, s.cms_n,
+           ROW_NUMBER() OVER (ORDER BY e.exact_n DESC, e.user_id) AS rn
+    FROM exact e JOIN est s ON e.user_id = s.user_id
+)
+SELECT user_id, exact_n, cms_n, cms_n - exact_n AS overcount
+FROM ranked WHERE rn <= {CMS_TOPK}""",
+)
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (Bloom, CACM 1970): set-membership bits for join pruning.
+# At 100 TB this is THE scan-side shuffle killer: build the bits over the
+# (small) key set, broadcast them, and drop non-candidate rows before they
+# reach the join exchange — Spark's runtime row-level filtering does the
+# same thing adaptively; here it is declarative, deterministic, and its
+# false-positive rate is measured by the query itself.
+# --------------------------------------------------------------------------
+
+BLOOM_K = 4  # hash functions
+BLOOM_M = 4096  # bits (3 hex digits)
+BLOOM_BALANCE_CUTOFF = 7500.0
+
+
+def _bloom_pos_spark(key: F.Column, salt: int) -> F.Column:
+    """Bit position 0..BLOOM_M-1 from the first 3 hex digits of the salted
+    md5 of the key (helpers operate on named SQL fragments, so inline the
+    hash via a scalar subexpression column)."""
+    h = F.md5(
+        F.concat(F.lit("bloom"), F.lit(str(salt)), F.lit("|"), key.cast("string"))
+    )
+    hv = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    return (hv(1) * 256 + hv(2) * 16 + hv(3)).cast("long")
+
+
+def _bloom_pos_sql(h: str) -> str:
+    hv = lambda c: f"(strpos('{_HEX}', {c}) - 1)"  # noqa: E731
+    return (
+        f"CAST({hv(f'substring({h}, 1, 1)')} * 256 + "
+        f"{hv(f'substring({h}, 2, 1)')} * 16 + "
+        f"{hv(f'substring({h}, 3, 1)')} AS BIGINT)"
+    )
+
+
+@model("customers_bloom_prune", layer="operators", materialization="view")
+def customers_bloom_prune(ctx):
+    """Bloom-filter membership pruning measured per market segment: build
+    k=4/m=4096 bits over the high-balance customer keys, probe EVERY
+    customer through the filter, and report candidates vs true members vs
+    false positives per segment.
+
+    A candidate is a key whose 4 positions are all set — exactly the rows a
+    scan-side prune would keep; `false_positives` is the extra work the
+    prune could not avoid (the Bloom guarantee: no false negatives)."""
+    c = ctx.ref("dim_customer").select(
+        "customer_key", "customer_market_segment_name", "customer_account_balance"
+    )
+    members = c.filter(
+        F.col("customer_account_balance") > BLOOM_BALANCE_CUTOFF
+    ).select("customer_key")
+    bits = (
+        members.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_pos_spark(F.col("customer_key"), i)
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = c.select(
+        "customer_key",
+        "customer_market_segment_name",
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos_spark(F.col("customer_key"), i)
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("customer_key", "customer_market_segment_name")
+        .agg(F.count(F.lit(1)).alias("set_positions"))
+        .filter(F.col("set_positions") == BLOOM_K)
+        .select("customer_key", "customer_market_segment_name")
+    )
+    is_member = F.col("customer_account_balance") > BLOOM_BALANCE_CUTOFF
+    tagged = c.join(
+        hits.select("customer_key").withColumn("is_candidate", F.lit(1)),
+        "customer_key",
+        "left",
+    )
+    return (
+        tagged.groupBy("customer_market_segment_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.when(is_member, 1).otherwise(0)).cast("long").alias("n_members"),
+            F.sum(F.coalesce(F.col("is_candidate"), F.lit(0)))
+            .cast("long")
+            .alias("n_candidates"),
+            F.sum(
+                F.when(
+                    (F.col("is_candidate") == 1) & ~is_member, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("false_positives"),
+        )
+        .withColumn(
+            "fp_rate",
+            rnd(
+                F.col("false_positives")
+                / (F.col("n_customers") - F.col("n_members")),
+                6,
+            ),
+        )
+    )
+
+
+def _bloom_probe_sql() -> str:
+    pos_exprs = ",\n           ".join(
+        _bloom_pos_sql(
+            f"md5(concat('bloom', '{i}', '|', CAST(customer_key AS VARCHAR)))"
+        )
+        for i in range(BLOOM_K)
+    )
+    return pos_exprs
+
+
+oracle(
+    "customers_bloom_prune",
+    ("dim_customer",),
+    f"""WITH c AS (
+    SELECT customer_key, customer_market_segment_name, customer_account_balance
+    FROM dim_customer
+),
+salts AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(salt)),
+keyed AS (
+    SELECT c.customer_key, c.customer_market_segment_name,
+           c.customer_account_balance, s.salt,
+           {_bloom_pos_sql("md5(concat('bloom', CAST(s.salt AS VARCHAR), '|', CAST(c.customer_key AS VARCHAR)))")} AS pos
+    FROM c CROSS JOIN salts s
+),
+bits AS (
+    SELECT DISTINCT pos FROM keyed
+    WHERE customer_account_balance > {BLOOM_BALANCE_CUTOFF}
+),
+hits AS (
+    SELECT customer_key
+    FROM keyed k
+    WHERE EXISTS (SELECT 1 FROM bits b WHERE b.pos = k.pos)
+    GROUP BY customer_key
+    HAVING COUNT(*) = {BLOOM_K}
+),
+tagged AS (
+    SELECT c.*, CASE WHEN h.customer_key IS NOT NULL THEN 1 ELSE 0 END AS is_candidate
+    FROM c LEFT JOIN hits h ON c.customer_key = h.customer_key
+)
+SELECT customer_market_segment_name,
+    CAST(COUNT(*) AS BIGINT) AS n_customers,
+    CAST(SUM(CASE WHEN customer_account_balance > {BLOOM_BALANCE_CUTOFF} THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+    CAST(SUM(is_candidate) AS BIGINT) AS n_candidates,
+    CAST(SUM(CASE WHEN is_candidate = 1 AND NOT (customer_account_balance > {BLOOM_BALANCE_CUTOFF}) THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+    {rnd_sql(f"SUM(CASE WHEN is_candidate = 1 AND NOT (customer_account_balance > {BLOOM_BALANCE_CUTOFF}) THEN 1 ELSE 0 END) * 1.0 / (COUNT(*) - SUM(CASE WHEN customer_account_balance > {BLOOM_BALANCE_CUTOFF} THEN 1 ELSE 0 END))", 6)} AS fp_rate
+FROM tagged
+GROUP BY 1""",
+)

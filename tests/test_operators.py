@@ -744,3 +744,31 @@ def test_regression_fit_bounds(spark, sf_dir):
         assert abs(r.r_squared - r.corr_xy**2) < 1e-5
         assert r.regr_slope * r.corr_xy >= 0, r.p_brand
         assert r.n > 1
+
+
+def test_sketch_plan_shapes(spark, sf_dir):
+    """CMS point lookups and Bloom probes must broadcast the sketch side
+    (cells are d*w rows, bits <= BLOOM_M rows — never a shuffle join), and
+    the Bloom probe must plan a real LeftSemi."""
+    ctx = Context(spark, sf_dir)
+    cms_plan = (
+        ctx.ref("events_cms_topusers")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in cms_plan, cms_plan
+    bloom_plan = (
+        ctx.ref("customers_bloom_prune")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in bloom_plan, bloom_plan
+    assert "LeftSemi" in bloom_plan, bloom_plan
+
+
+def test_semi_anti_plan_uses_semi_and_anti(spark, sf_dir):
+    plan = (
+        Context(spark, sf_dir)
+        .ref("customers_semi_anti")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
