@@ -326,8 +326,14 @@ def int_market_basket(ctx):
     plans as a shuffled hash/sort-merge join, never a nested loop; the
     theta conjunct (part_key <) only dedups pair direction.
     """
+    # three consumers (both self-join sides + per-part totals) over a
+    # distinct that itself sits on the orders⋈lineitem join: materialize it
+    # once instead of recomputing the upstream join per consumer
     order_parts = (
-        ctx.ref("fct_orders_items").select("order_key", "part_key").distinct()
+        ctx.ref("fct_orders_items")
+        .select("order_key", "part_key")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     a = order_parts.alias("a")
     b = order_parts.alias("b")

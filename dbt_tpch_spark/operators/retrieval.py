@@ -162,8 +162,13 @@ def docs_bm25_topk(ctx):
     k1=1.2, b=0.75) — the retrieval/decontamination primitive.
 
     Per-term scores are quantized (rnd 6) then summed as exact decimals
-    (dsum), so the per-(query, doc) total is accumulation-order-free."""
-    dtf = _doc_term_freq(ctx)
+    (dsum), so the per-(query, doc) total is accumulation-order-free.
+
+    The (doc_id, term, tf) feedstock feeds five consumers (doclens, termdf,
+    totals, and both sides of the hit join); left lazy, Catalyst would
+    re-tokenize the corpus once per consumer, so it is materialized eagerly
+    once — the same boundary a 100 TB deployment would persist."""
+    dtf = _doc_term_freq(ctx).localCheckpoint(eager=True)
     doclens = dtf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     termdf = dtf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     totals = doclens.agg(

@@ -419,3 +419,137 @@ WHERE sample_rank <= {WEIGHTED_PER_LANG}""".format(
         ).rnd_sql(f"-ln({_u_expr_sql()}) / CAST(n_chars AS DOUBLE)", 12)
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# corpus mixing + global shuffle
+# --------------------------------------------------------------------------
+
+#: target mixture over sources for the training blend (sums to 1) and the
+#: share of the whole corpus the blend may spend.
+MIX_TARGETS = {"src0": 0.40, "src1": 0.25, "src2": 0.20, "src3": 0.15}
+MIX_BUDGET_FRAC = 0.5
+MIX_SALT = "mix|"
+SHUFFLE_SALT = "shuffle|"
+
+
+@model("docs_mixture_sample", layer="operators", materialization="view")
+def docs_mixture_sample(ctx):
+    """Down-sample each source to a target mixture (MIX_TARGETS) over a
+    global budget (MIX_BUDGET_FRAC of the corpus): the data-blending step
+    of a training run, with the shortfall made visible instead of silently
+    re-normalized.
+
+    Selection inside a source is by smallest salted md5 (deterministic
+    reservoir); a source smaller than its target keeps everything and
+    reports the deficit. One window per source partition + one tiny
+    aggregate — the corpus never shuffles more than once."""
+    from pyspark.sql.window import Window
+
+    d = ctx.source("documents").select("doc_id", "source")
+    total = d.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    share = F.coalesce(
+        F.create_map(
+            *[x for k, v in sorted(MIX_TARGETS.items()) for x in (F.lit(k), F.lit(v))]
+        )[F.col("source")],
+        F.lit(0.0),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = (
+        d.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_target",
+            F.floor(share * F.floor(F.col("n_total") * F.lit(MIX_BUDGET_FRAC))).cast(
+                "long"
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_available"),
+            F.max("n_target").alias("n_target"),
+            F.sum(F.when(F.col("rk") <= F.col("n_target"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .withColumn(
+            "deficit", F.greatest(F.col("n_target") - F.col("n_kept"), F.lit(0))
+        )
+    )
+
+
+def _mix_share_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_TARGETS.items())
+    )
+    return f"CASE source {cases} ELSE 0.0 END"
+
+
+oracle(
+    "docs_mixture_sample",
+    (),
+    f"""WITH d AS (SELECT doc_id, source FROM documents),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM d),
+ranked AS (
+    SELECT source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('{MIX_SALT}', CAST(doc_id AS VARCHAR))), doc_id
+           ) AS rk,
+           CAST(FLOOR(({_mix_share_sql()}) *
+                FLOOR(n_total * {MIX_BUDGET_FRAC})) AS BIGINT) AS n_target
+    FROM d CROSS JOIN total
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_available,
+       MAX(n_target) AS n_target,
+       CAST(SUM(CASE WHEN rk <= n_target THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       GREATEST(MAX(n_target) - CAST(SUM(CASE WHEN rk <= n_target THEN 1 ELSE 0 END) AS BIGINT), 0) AS deficit
+FROM ranked
+GROUP BY source""",
+)
+
+
+@model("docs_shuffle_global", layer="operators", materialization="view")
+def docs_shuffle_global(ctx):
+    """Deterministic global shuffle: every document gets a pseudorandom
+    position (row_number over the salted md5 of its id) and an interleaved
+    shard assignment ((pos-1) mod N_SHARDS) — so reading any single shard
+    sequentially is already an unbiased sample of the corpus, the property
+    training loaders rely on.
+
+    Scale: Spark plans the global order as a range partition over sampled
+    md5 bounds (the tera-sort pattern); at 100 TB you'd keep the same keys
+    but window within precomputed shards to avoid the single total order."""
+    from pyspark.sql.window import Window
+
+    d = ctx.source("documents").select("doc_id", "lang", "source")
+    key = F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    w = Window.orderBy(F.col("shuffle_key"), F.col("doc_id"))
+    return (
+        d.withColumn("shuffle_key", key)
+        .withColumn("shuffle_pos", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "shard_id", ((F.col("shuffle_pos") - 1) % N_SHARDS).cast("long")
+        )
+    )
+
+
+oracle(
+    "docs_shuffle_global",
+    (),
+    f"""SELECT doc_id, lang, source,
+       md5(concat('{SHUFFLE_SALT}', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(concat('{SHUFFLE_SALT}', CAST(doc_id AS VARCHAR))), doc_id
+       ) AS BIGINT) AS shuffle_pos,
+       CAST((ROW_NUMBER() OVER (
+           ORDER BY md5(concat('{SHUFFLE_SALT}', CAST(doc_id AS VARCHAR))), doc_id
+       ) - 1) % {N_SHARDS} AS BIGINT) AS shard_id
+FROM documents""",
+)
