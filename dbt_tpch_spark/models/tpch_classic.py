@@ -585,3 +585,101 @@ ranked AS (
 )
 SELECT * FROM ranked WHERE rank <= 100""",
 )
+
+
+# ---------------------------------------------------------------- Q13
+
+
+@model("tpch_q13_customer_distribution", layer="reports", materialization="view")
+def tpch_q13_customer_distribution(ctx):
+    """Q13 customer distribution (adapted: the o_comment NOT LIKE
+    '%special%requests%' exclusion is dropped — the corpus has no
+    o_comment): histogram of customers by order count, including the
+    zero-order customers via the left join.
+
+    Scale: the left join shuffles on custkey once; the second aggregate's
+    key (c_count) has tiny cardinality, so it is map-side-combined almost
+    entirely."""
+    c = ctx.source("customer").select("c_custkey")
+    o = ctx.source("orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .select("c_count", "custdist")
+    )
+
+
+oracle(
+    "tpch_q13_customer_distribution",
+    (),
+    """WITH per_cust AS (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count""",
+)
+
+
+# ---------------------------------------------------------------- Q22
+
+
+@model("tpch_q22_global_sales_opportunity", layer="reports", materialization="view")
+def tpch_q22_global_sales_opportunity(ctx):
+    """Q22 global sales opportunity (adapted: the corpus has no c_phone, so
+    the country-code grouping/filter becomes the customer's nation): per
+    nation, the count and total balance of above-average-balance customers
+    who have never ordered.
+
+    Scale: the positive-balance average is a scalar aggregate broadcast as
+    a 1-row cross join (the W7 rewrite); the "never ordered" probe is a
+    LEFT ANTI join on custkey — no correlated subquery materializes."""
+    c = ctx.source("customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    n = ctx.source("nation").select("n_nationkey", "n_name")
+    o = ctx.source("orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    eligible = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        eligible.join(F.broadcast(n), eligible.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .select(F.col("n_name").alias("cntrycode"), "numcust", "totacctbal")
+    )
+
+
+oracle(
+    "tpch_q22_global_sales_opportunity",
+    (),
+    f"""WITH avg_bal AS (
+    SELECT {davg_sql('c_acctbal')} AS avg_bal
+    FROM customer WHERE c_acctbal > 0.0
+),
+eligible AS (
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+SELECT n.n_name AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {dsum_sql('e.c_acctbal')} AS totacctbal
+FROM eligible e JOIN nation n ON e.c_nationkey = n.n_nationkey
+GROUP BY n.n_name""",
+)

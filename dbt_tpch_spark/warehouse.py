@@ -161,3 +161,60 @@ def write_incremental(df: DataFrame, spark: SparkSession, path: str, watermark_c
         return n
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path).count()
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str | None = None,
+) -> dict:
+    """Keyed MERGE (upsert) into a parquet table without a table format:
+    the update set wins on key collision; with ``version_col`` set, the
+    higher version wins regardless of which side it came from (idempotent
+    replay of late/duplicate batches). Returns insert/update counts.
+
+    Mechanics: full-outer-join-free — the target's colliding keys are
+    dropped via LEFT ANTI against the (broadcast-sized) update key set,
+    then updates append. At 100 TB with a partitioned target the anti join
+    + rewrite touch only the partitions the updates land in (here: whole
+    table, the corpus is unpartitioned); a real deployment would swap this
+    for MERGE INTO on a table format, same logical plan.
+
+    Writes to a temp sibling then swaps, so a failed job never leaves the
+    target half-written."""
+    import os
+    import shutil
+
+    if not os.path.exists(path):
+        updates.write.mode("overwrite").parquet(path)
+        return {"inserted": spark.read.parquet(path).count(), "updated": 0}
+
+    target = spark.read.parquet(path)
+    if version_col is not None:
+        # keep the max-version row per key across both sides
+        from pyspark.sql.window import Window
+
+        merged = target.unionByName(updates)
+        w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+        result = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        keys = updates.select(*key_cols).distinct()
+        result = target.join(F.broadcast(keys), key_cols, "left_anti").unionByName(
+            updates
+        )
+
+    n_target = target.count()
+    n_updates = updates.count()
+    tmp = f"{path}__merge_tmp"
+    result.write.mode("overwrite").parquet(tmp)
+    n_result = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    updated = n_target + n_updates - n_result
+    return {"inserted": n_updates - updated, "updated": updated}

@@ -97,3 +97,28 @@ def test_write_incremental(spark, sf_dir, tmp_path):
     assert final == full
     # idempotent third run
     assert write_incremental(daily, spark, path, "order_date") == 0
+
+
+def test_merge_upsert(spark, sf_dir, tmp_path):
+    from dbt_tpch_spark.warehouse import merge_upsert
+
+    path = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, ver int"
+    )
+    r1 = merge_upsert(spark, path, base, ["k"])
+    assert r1 == {"inserted": 3, "updated": 0}
+
+    updates = spark.createDataFrame(
+        [(2, "B", 2), (4, "d", 2)], "k int, v string, ver int"
+    )
+    r2 = merge_upsert(spark, path, updates, ["k"])
+    assert r2 == {"inserted": 1, "updated": 1}
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+    # versioned merge: replaying an OLD batch must not clobber newer rows
+    stale = spark.createDataFrame([(2, "old", 1)], "k int, v string, ver int")
+    merge_upsert(spark, path, stale, ["k"], version_col="ver")
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
