@@ -115,7 +115,9 @@ def parts_pagerank(ctx):
         )
         pr = (
             pr.drop("pr")
-            .join(contrib, pr.node == contrib.dst, "left")
+            # contrib is node-sized (one row per part, not per edge):
+            # broadcast it so the rank update never shuffles the state
+            .join(F.broadcast(contrib), pr.node == contrib.dst, "left")
             .select(
                 "node",
                 "outdeg",

@@ -50,11 +50,15 @@ def events_gapfill_hourly(ctx):
     the grid starts at the first observation).
     """
     e = ctx.source("events")
-    obs = e.groupBy(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
-    ).agg(
-        F.count("*").cast("long").alias("n_events"),
-        rnd(dsum(F.col("value")), 4).alias("bucket_value"),
+    # obs feeds both the bounds->grid branch and the union side below;
+    # materialize the one-pass aggregate instead of scanning events twice
+    obs = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            rnd(dsum(F.col("value")), 4).alias("bucket_value"),
+        )
+        .localCheckpoint(eager=True)
     )
     bounds = obs.groupBy("user_id").agg(
         F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
