@@ -346,16 +346,23 @@ def int_market_basket(ctx):
         .groupBy(
             F.col("a.part_key").alias("part_a"), F.col("b.part_key").alias("part_b")
         )
-        .agg(F.countDistinct(F.col("a.order_key")).alias("co_occurrence_count"))
+        .agg(
+            # order_parts is distinct (order_key, part_key), so each joined
+            # row is a unique order per pair: plain count == count distinct
+            # without the extra expand/shuffle phase
+            F.count(F.lit(1)).alias("co_occurrence_count")
+        )
     )
     totals = order_parts.groupBy("part_key").agg(
-        F.countDistinct("order_key").alias("order_count")
+        F.count(F.lit(1)).alias("order_count")
     )
     pa = totals.withColumnsRenamed({"part_key": "part_a", "order_count": "part_a_orders"})
     pb = totals.withColumnsRenamed({"part_key": "part_b", "order_count": "part_b_orders"})
     return (
-        pairs.join(pa, "part_a")
-        .join(pb, "part_b")
+        # per-part totals are part-cardinality (dimension-sized): broadcast
+        # both enrichment joins instead of shuffling the pair table twice
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
         .filter(F.col("co_occurrence_count") >= 5)
         .select(
             "part_a",

@@ -553,3 +553,101 @@ WHERE NOT EXISTS (
 )
 GROUP BY 1""",
 )
+
+
+# --------------------------------------------------------------------------
+# n-gram decontamination (the exact-overlap method LM training pipelines
+# use alongside lexical search): flag any training document sharing an
+# 8-gram with the eval set. The stand-in eval set is a deterministic ~1%
+# of the corpus (doc_id % DECON_MOD == 0, ~5%), which guarantees the overlap
+# path is exercised (leaked eval documents overlap themselves and their
+# near-duplicates).
+# --------------------------------------------------------------------------
+
+DECON_N = 8
+DECON_MOD = 20
+
+
+def _gram8_df(ctx):
+    from dbt_tpch_spark.operators.dedup import _doc_parallelism, norm_text_col
+
+    d = ctx.source("documents").repartition(_doc_parallelism(ctx), "doc_id")
+    toks = F.split(norm_text_col(), " ")
+    shingles = F.when(
+        F.size(toks) >= DECON_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (DECON_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, DECON_N)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode(shingles).alias("gram"))
+
+
+@model("docs_ngram_decontam", layer="operators", materialization="view")
+def docs_ngram_decontam(ctx):
+    """Training docs contaminated by 8-gram overlap with the eval split:
+    per flagged doc, its distinct 8-gram count, how many of those grams
+    appear anywhere in the eval set, and the overlap ratio.
+
+    Scale shape: eval grams are a distinct projection of a tiny split and
+    broadcast into the match join; the training grams stream through once
+    (checkpointed — they feed both the totals and the match)."""
+    grams = _gram8_df(ctx).localCheckpoint(eager=True)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % DECON_MOD == 0).select("gram").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % DECON_MOD != 0)
+    totals = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    matched = (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    return (
+        totals.join(matched, "doc_id")
+        .withColumn(
+            "overlap_ratio",
+            rnd(F.col("n_matched").cast("double") / F.col("n_grams"), 6),
+        )
+        .select("doc_id", "n_grams", "n_matched", "overlap_ratio")
+    )
+
+
+def _gram8_duck() -> str:
+    from dbt_tpch_spark.operators.dedup import _NORM_TEXT_DUCK
+
+    toks = f"string_split({_NORM_TEXT_DUCK}, ' ')"
+    return (
+        f"CASE WHEN len({toks}) >= {DECON_N} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {DECON_N - 2}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {DECON_N - 1}), ' '))) "
+        f"ELSE [] END"
+    )
+
+
+def _decon_oracle() -> str:
+    return f"""WITH grams AS (
+    SELECT doc_id, unnest({_gram8_duck()}) AS gram FROM documents
+),
+eval_grams AS (
+    SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_MOD} = 0
+),
+train AS (SELECT * FROM grams WHERE doc_id % {DECON_MOD} <> 0),
+totals AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM train GROUP BY 1
+),
+matched AS (
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM train t JOIN eval_grams e ON t.gram = e.gram
+    GROUP BY t.doc_id
+)
+SELECT t.doc_id, t.n_grams, m.n_matched,
+       {rnd_sql('CAST(m.n_matched AS DOUBLE) / t.n_grams', 6)} AS overlap_ratio
+FROM totals t JOIN matched m ON t.doc_id = m.doc_id"""
+
+
+oracle("docs_ngram_decontam", (), _decon_oracle())

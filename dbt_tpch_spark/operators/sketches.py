@@ -393,8 +393,12 @@ def customers_bloom_prune(ctx):
         .select("customer_key", "customer_market_segment_name")
     )
     is_member = F.col("customer_account_balance") > BLOOM_BALANCE_CUTOFF
+    # the candidate set is bounded by members + false positives (small by
+    # design) — broadcast it so tagging never shuffles the customer side
     tagged = c.join(
-        hits.select("customer_key").withColumn("is_candidate", F.lit(1)),
+        F.broadcast(
+            hits.select("customer_key").withColumn("is_candidate", F.lit(1))
+        ),
         "customer_key",
         "left",
     )

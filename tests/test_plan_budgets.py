@@ -1,0 +1,70 @@
+"""Shuffle-budget regression guards for the headline queries.
+
+Every Exchange (non-broadcast, non-reused) in a physical plan is a full
+shuffle of its input at 100 TB; these budgets pin the current plan shapes
+so a regression (a lost broadcast hint, a new unintended repartition, a
+window that stops reusing a sort) fails CI instead of silently multiplying
+cluster cost. Budgets are the audited shuffle counts at the time the plan
+was reviewed — raising one is a deliberate, reviewed act.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_tpch_spark.plans import Context, import_all_models
+
+import_all_models()
+
+#: name -> max allowed shuffle exchanges in the executed plan
+SHUFFLE_BUDGETS = {
+    "rpt_pricing_summary": 1,
+    "fct_orders": 1,
+    "fct_orders_items": 0,
+    "dim_customer": 0,
+    "int_market_basket": 5,
+    "customer_rfm_segments": 5,
+    "monthly_revenue_kpis": 4,
+    "dedup_minhash_lsh": 7,
+    "ann_cosine_topk": 1,
+    "events_session_30m": 1,
+    "doc_text_stats": 0,
+    "events_asof_last_click": 2,
+    "doc_pack_sequences": 1,
+    "kmeans_cells": 2,
+    "docs_bm25_topk": 6,
+    "events_gapfill_hourly": 2,
+    "parts_pagerank": 1,
+    "ann_pq_adc_topk": 4,
+    "tpch_q05_local_supplier_volume": 1,
+    "events_hll_users": 4,
+    "customers_bloom_prune": 3,
+    "events_cms_topusers": 4,
+    "customers_semi_anti": 3,
+    "tpch_q22_global_sales_opportunity": 2,
+}
+
+
+def _shuffles(plan: str) -> int:
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "Reused" not in line
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
+def test_shuffle_budget(spark, sf_dir, name):
+    plan = (
+        Context(spark, sf_dir)
+        .ref(name)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    got = _shuffles(plan)
+    assert got <= SHUFFLE_BUDGETS[name], (
+        f"{name}: {got} shuffles > budget {SHUFFLE_BUDGETS[name]}\n{plan}"
+    )
