@@ -56,6 +56,18 @@ def check_relationships(child: DataFrame, column: str, parent: DataFrame, parent
     )
 
 
+def check_accepted_values(df: DataFrame, column: str, values: list) -> int:
+    """dbt `accepted_values`: SELECT col ... WHERE col NOT IN (values).
+    The reference declares only the other three families; provided for the
+    complete dbt generic-test quartet (status/flag domains are the obvious
+    targets: order_status_code in F/O/P, return flags in A/N/R)."""
+    return (
+        df.filter(F.col(column).isNotNull() & ~F.col(column).isin(values))
+        .limit(1)
+        .count()
+    )
+
+
 #: reference test suite adapted to corpus columns:
 #: (model, check, column[, parent model, parent column])
 REFERENCE_SUITE = (

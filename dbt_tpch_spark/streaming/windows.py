@@ -460,3 +460,31 @@ def streaming_clicks_before_errors(spark: SparkSession, sf_dir: str) -> DataFram
             "c_ts >= e_ts - INTERVAL 5 MINUTES AND c_ts < e_ts"
         ),
     ).select("error_id", "click_id", "e_user", "e_ts", "c_ts")
+
+
+def continuous_rate_probe(
+    spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 2
+):
+    """Continuous-processing-mode probe (epoch-based ~1ms-latency mode, vs
+    micro-batch): rate source -> stateless projection/filter -> memory
+    sink. Continuous mode only admits map-like plans (no aggregation, no
+    shuffle) — exactly the shape of a low-latency enrich/route stage; all
+    stateful windows in this package stay micro-batch.
+
+    ``num_partitions`` must stay well under the executor core count:
+    continuous-mode tasks are pinned for the life of the query (one core
+    per source partition), and a source sized to every core starves all
+    other jobs on the cluster — including the probe reading the sink."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .option("numPartitions", str(num_partitions))
+        .load()
+        .filter(F.col("value") % 2 == 0)
+        .select(
+            "timestamp",
+            "value",
+            (F.col("value") * 2).alias("doubled"),
+        )
+    )
+    return stream

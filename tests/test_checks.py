@@ -37,3 +37,14 @@ def test_probes_detect_violations(spark):
     assert check_relationships(nulls_only, "k", parent, "pk") == 0  # nulls skipped
     child = spark.createDataFrame([(9,)], ["k"])
     assert check_relationships(child, "k", parent, "pk") > 0
+
+
+def test_accepted_values(spark, sf_dir):
+    from dbt_tpch_spark.checks import check_accepted_values
+    from dbt_tpch_spark.plans import Context
+
+    ctx = Context(spark, sf_dir)
+    o = ctx.ref("fct_orders")
+    assert check_accepted_values(o, "order_status_code", ["F", "O", "P"]) == 0
+    # probe must actually detect violations
+    assert check_accepted_values(o, "order_status_code", ["F", "O"]) > 0

@@ -317,3 +317,36 @@ def test_watermark_actually_drops_late_rows(spark, tmp_path):
         .collect()
     }
     assert control.get(t0) == 3, control
+
+
+def test_continuous_trigger_smoke(spark):
+    """Continuous (epoch-based) processing mode accepts the stateless
+    pipeline and delivers rows — the deployment mode for sub-second
+    enrich/route stages (micro-batch remains the default everywhere
+    stateful)."""
+    import time
+
+    from dbt_tpch_spark.streaming.windows import continuous_rate_probe
+
+    q = (
+        continuous_rate_probe(spark, rows_per_second=200)
+        .writeStream.format("memory")
+        .queryName("continuous_probe")
+        .trigger(continuous="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM continuous_probe").first().c
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0, "continuous query delivered no rows in 20s"
+        rows = spark.sql(
+            "SELECT value, doubled FROM continuous_probe LIMIT 5"
+        ).collect()
+        assert all(r.doubled == r.value * 2 and r.value % 2 == 0 for r in rows)
+    finally:
+        q.stop()
