@@ -56,11 +56,54 @@ def _d2():
     )
 
 
-def _subvectors(ctx):
+DIMS = M_SUBVECTORS * SUBDIM
+ROT_SALT = "rot|"
+SIGN_SALT = "sign|"
+
+
+def _rotation_spec() -> tuple[list[int], list[float]]:
+    """Deterministic signed permutation (an orthogonal transform): output
+    position j reads source dim perm[j] (1-indexed) scaled by sign[j].
+    Derived from md5 of the dimension index at compile time, so both
+    engines inline identical literals — no runtime hashing at all. This is
+    the random-rotation PQ baseline (OPQ's cheap ancestor): it breaks up
+    the contiguous-dim subspace structure before slicing."""
+    import hashlib
+
+    def h(salt: str, d: int) -> str:
+        return hashlib.md5(f"{salt}{d}".encode()).hexdigest()
+
+    perm = sorted(range(1, DIMS + 1), key=lambda d: (h(ROT_SALT, d), d))
+    signs = [1.0 if int(h(SIGN_SALT, p)[0], 16) < 8 else -1.0 for p in perm]
+    return perm, signs
+
+
+def _rotated_source(ctx):
+    """(vec_id, embedding) with the signed-permutation rotation applied."""
+    perm, signs = _rotation_spec()
+    e = ctx.source("embeddings")
+    rot = F.array(
+        *[
+            (F.col("embedding")[p - 1].cast("double") * F.lit(s))
+            for p, s in zip(perm, signs)
+        ]
+    )
+    return e.select("vec_id", rot.alias("embedding"))
+
+
+def _rotemb_sql() -> str:
+    perm, signs = _rotation_spec()
+    terms = ", ".join(
+        f"{s} * CAST(embedding[{p}] AS DOUBLE)" for p, s in zip(perm, signs)
+    )
+    return f"SELECT vec_id, list_value({terms}) AS embedding FROM embeddings"
+
+
+def _subvectors(ctx, emb=None):
     """One row per (vec_id, m): the m-th contiguous SUBDIM-slice."""
     from dbt_tpch_spark.operators.dedup import _doc_parallelism
 
-    e = ctx.source("embeddings")
+    e = emb if emb is not None else ctx.source("embeddings")
     return (
         e.select(
             "vec_id",
@@ -84,11 +127,11 @@ def _with_cc(cents):
     return cents.withColumn("cc", F.expr(DOT_SPARK.format(a="cent", b="cent")))
 
 
-def _fit(ctx, iters: int = PQ_ITERS):
+def _fit(ctx, iters: int = PQ_ITERS, emb=None):
     """Train all M codebooks with ``iters`` grouped Lloyd rounds; returns
     (subvectors, codebook with cc)."""
-    sub = _subvectors(ctx).localCheckpoint(eager=True)
-    seeds = ctx.source("embeddings").select(
+    sub = _subvectors(ctx, emb=emb).localCheckpoint(eager=True)
+    seeds = (emb if emb is not None else ctx.source("embeddings")).select(
         "embedding",
         F.md5(F.concat(F.lit(SEED_SALT), F.col("vec_id").cast("string"))).alias("sk"),
     )
@@ -167,12 +210,7 @@ def embeddings_pq_codes(ctx):
     )
 
 
-@model("ann_pq_adc_topk", layer="operators", materialization="view")
-def ann_pq_adc_topk(ctx):
-    """ADC top-10: queries (vec_id < N_QUERIES) score every candidate as
-    the sum of M codebook-table lookups — no candidate vector is ever
-    decompressed."""
-    sub, cents = _fit(ctx)
+def _adc_topk(sub, cents):
     codes = _encode(sub, cents).select("vec_id", "m", "code")
     lut = (
         sub.filter(F.col("vec_id") < N_QUERIES)
@@ -198,6 +236,29 @@ def ann_pq_adc_topk(ctx):
     )
 
 
+@model("ann_pq_adc_topk", layer="operators", materialization="view")
+def ann_pq_adc_topk(ctx):
+    """ADC top-10: queries (vec_id < N_QUERIES) score every candidate as
+    the sum of M codebook-table lookups — no candidate vector is ever
+    decompressed."""
+    sub, cents = _fit(ctx)
+    return _adc_topk(sub, cents)
+
+
+@model("ann_pq_rotated_topk", layer="operators", materialization="view")
+def ann_pq_rotated_topk(ctx):
+    """Rotation-PQ ADC top-10: identical pipeline, but the corpus (and so
+    the queries) pass through a deterministic signed-permutation rotation
+    first (random-rotation PQ, the OPQ baseline). The rotation is
+    orthogonal — true distances are unchanged — but subspaces stop being
+    contiguous dims, which decorrelates per-subvector energy and changes
+    (usually improves) the quantization; ann_recall_report-style
+    comparison against ann_pq_adc_topk shows the effect."""
+    emb = _rotated_source(ctx)
+    sub, cents = _fit(ctx, emb=emb)
+    return _adc_topk(sub, cents)
+
+
 # --------------------------------------------------------------------------
 # oracle: the grouped Lloyd rounds unrolled as generated CTEs
 # --------------------------------------------------------------------------
@@ -207,7 +268,7 @@ def _d2_sql(subv: str, cent: str, vv: str, cc: str) -> str:
     return f"({vv} - 2.0 * {dot_duck(subv, cent)} + {cc})"
 
 
-def _pq_prelude(iters: int = PQ_ITERS) -> str:
+def _pq_prelude(iters: int = PQ_ITERS, table: str = "embeddings") -> str:
     parts = [
         f"""ms AS (
     SELECT UNNEST(range(0, {M_SUBVECTORS})) AS m
@@ -216,7 +277,7 @@ def _pq_prelude(iters: int = PQ_ITERS) -> str:
     SELECT vec_id, ms.m,
            list_slice(embedding, ms.m * {SUBDIM} + 1, ms.m * {SUBDIM} + {SUBDIM})
                AS subv
-    FROM embeddings CROSS JOIN ms
+    FROM {table} CROSS JOIN ms
 )""",
         f"""sub AS (
     SELECT *, {dot_duck('subv', 'subv')} AS vv FROM sub0
@@ -230,7 +291,7 @@ def _pq_prelude(iters: int = PQ_ITERS) -> str:
                ROW_NUMBER() OVER (
                    ORDER BY md5('{SEED_SALT}' || CAST(vec_id AS VARCHAR))
                ) AS rn
-        FROM embeddings
+        FROM {table}
     ) CROSS JOIN ms
     WHERE rn <= {K_CODES}
 )""",
@@ -334,4 +395,42 @@ ranked AS (
 SELECT query_id, neighbor_id, adc_d2, rank
 FROM ranked
 WHERE rank <= {TOP_K}""",
+)
+
+
+_ADC_TAIL_SQL = f""",
+lut AS (
+    SELECT u.vec_id AS query_id, u.m, c.code,
+           {_d2_sql('u.subv', 'c.cent', 'u.vv', 'c.cc')} AS pd2
+    FROM sub u JOIN fcents c USING (m)
+    WHERE u.vec_id < {N_QUERIES}
+),
+adc AS (
+    SELECT
+        l.query_id,
+        a.vec_id AS neighbor_id,
+        {rnd_sql(dsum_sql('l.pd2'), 6)} AS adc_d2
+    FROM fassign a
+    JOIN lut l ON a.m = l.m AND a.code = l.code AND l.query_id != a.vec_id
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id
+        ) AS BIGINT) AS rank
+    FROM adc
+)
+SELECT query_id, neighbor_id, adc_d2, rank
+FROM ranked
+WHERE rank <= {TOP_K}"""
+
+
+oracle(
+    "ann_pq_rotated_topk",
+    ("embeddings",),
+    f"""WITH rotemb AS (
+    {_rotemb_sql()}
+),
+{_pq_prelude(table="rotemb")}{_ADC_TAIL_SQL}""",
 )

@@ -548,6 +548,7 @@ ANN_VARIANTS = {
     "ivf_fixed": "ann_ivf_topk",
     "ivf_kmeans": "ann_ivf_kmeans_topk",
     "pq_adc": "ann_pq_adc_topk",
+    "pq_adc_rotated": "ann_pq_rotated_topk",
 }
 
 
@@ -586,7 +587,7 @@ def ann_recall_report(ctx):
 
 oracle(
     "ann_recall_report",
-    ("ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_pq_adc_topk"),
+    ("ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_pq_adc_topk", "ann_pq_rotated_topk"),
     """WITH retrieved AS (
     SELECT 'lsh' AS variant, query_id, neighbor_id FROM ann_lsh_topk
     UNION ALL
@@ -597,6 +598,8 @@ oracle(
     SELECT 'ivf_kmeans' AS variant, query_id, neighbor_id FROM ann_ivf_kmeans_topk
     UNION ALL
     SELECT 'pq_adc' AS variant, query_id, neighbor_id FROM ann_pq_adc_topk
+    UNION ALL
+    SELECT 'pq_adc_rotated' AS variant, query_id, neighbor_id FROM ann_pq_rotated_topk
 ),
 marked AS (
     SELECT r.variant,
