@@ -651,3 +651,64 @@ FROM totals t JOIN matched m ON t.doc_id = m.doc_id"""
 
 
 oracle("docs_ngram_decontam", (), _decon_oracle())
+
+
+@model("doc_token_entropy", layer="operators", materialization="view")
+def doc_token_entropy(ctx):
+    """Per-document token-distribution entropy H = -sum p_w ln p_w (and its
+    0..1 normalization by ln(vocab)) — the lexical-diversity quality
+    signal: near-zero entropy flags repetition/boilerplate, near-one flags
+    natural text. Complements the length/stopword gates in doc_text_stats
+    and the corpus-level KL drift in source_vocab_divergence.
+
+    Determinism: each -p ln p term is rnd-quantized then summed as exact
+    decimals (the repo-wide ln convention); one (doc, term) aggregation +
+    one per-doc reduce — no joins."""
+    dtf = _doc_term_freq(ctx)
+    dl_w = Window.partitionBy("doc_id")
+    dtf = dtf.withColumn("dl", F.sum("tf").over(dl_w).cast("long"))
+    p = F.col("tf").cast("double") / F.col("dl").cast("double")
+    term_h = rnd(-p * F.log(p), 8)
+    per_doc = dtf.withColumn("term_h", term_h).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_terms"),
+        F.max("dl").alias("n_tokens"),
+        rnd(dsum(F.col("term_h")), 6).alias("entropy"),
+    )
+    return per_doc.withColumn(
+        "normalized_entropy",
+        F.when(
+            F.col("n_unique_terms") > 1,
+            rnd(
+                F.col("entropy") / F.log(F.col("n_unique_terms").cast("double")), 6
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+oracle(
+    "doc_token_entropy",
+    ("documents",),
+    f"""WITH {_tf_cte()},
+scored AS (
+    SELECT doc_id, dl,
+           {rnd_sql(
+               "-(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))"
+               " * ln(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))",
+               8,
+           )} AS term_h
+    FROM dtf_dl
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_terms,
+           MAX(dl) AS n_tokens,
+           {rnd_sql(dsum_sql('term_h'), 6)} AS entropy
+    FROM scored
+    GROUP BY doc_id
+)
+SELECT *,
+    CASE WHEN n_unique_terms > 1
+         THEN {rnd_sql('entropy / ln(CAST(n_unique_terms AS DOUBLE))', 6)}
+         ELSE 0.0 END AS normalized_entropy
+FROM per_doc""",
+)

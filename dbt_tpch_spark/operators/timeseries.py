@@ -706,3 +706,67 @@ SELECT
     n_users
 FROM g""",
 )
+
+
+# --------------------------------------------------------------------------
+# truncated EWMA smoothing
+# --------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.2
+EWMA_TERMS = 20
+
+
+@model("events_value_ewma", layer="operators", materialization="view")
+def events_value_ewma(ctx):
+    """Per-user exponentially weighted moving average of event values,
+    truncated to the EWMA_TERMS most recent observations (the standard
+    smoothing signal next to the rolling z-score's gate).
+
+    The recursive EWMA is unrolled to its closed form over a bounded
+    window: ewma_t = sum_i w_i * x_{t-i} / sum_i w_i with
+    w_i = alpha * (1-alpha)^i over the non-null lags. Both engines
+    evaluate the SAME fixed-association arithmetic expression (generated
+    term list, no aggregate), so IEEE doubles agree bit-for-bit before the
+    final quantization. One window sort per user — no joins, no state."""
+    from pyspark.sql.window import Window
+
+    e = ctx.source("events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    weights = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** i for i in range(EWMA_TERMS)]
+    lags = [F.lag("value", i).over(w) for i in range(EWMA_TERMS)]
+    num = None
+    den = None
+    for wt, lg in zip(weights, lags):
+        term = F.when(lg.isNotNull(), lg * F.lit(wt)).otherwise(F.lit(0.0))
+        dterm = F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        rnd(num / den, 6).alias("ewma_value"),
+    )
+
+
+def _ewma_oracle() -> str:
+    weights = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** i for i in range(EWMA_TERMS)]
+    over = "PARTITION BY user_id ORDER BY ts, event_id"
+    nums = " + ".join(
+        f"CASE WHEN LAG(value, {i}) OVER ({over}) IS NOT NULL "
+        f"THEN LAG(value, {i}) OVER ({over}) * {w!r} ELSE 0.0 END"
+        for i, w in enumerate(weights)
+    )
+    dens = " + ".join(
+        f"CASE WHEN LAG(value, {i}) OVER ({over}) IS NOT NULL "
+        f"THEN {w!r} ELSE 0.0 END"
+        for i, w in enumerate(weights)
+    )
+    return f"""SELECT
+    event_id, user_id, ts, value,
+    {rnd_sql(f'({nums}) / ({dens})', 6)} AS ewma_value
+FROM events"""
+
+
+oracle("events_value_ewma", (), _ewma_oracle())

@@ -683,7 +683,14 @@ def test_ann_recall_report_orders_variants_sanely(spark, sf_dir):
     and every recall is a valid fraction of the truth set."""
     ctx = Context(spark, sf_dir)
     rows = {r.variant: r for r in ctx.ref("ann_recall_report").collect()}
-    assert set(rows) == {"lsh", "lsh_multiprobe", "ivf_fixed", "ivf_kmeans", "pq_adc"}
+    assert set(rows) == {
+        "lsh",
+        "lsh_multiprobe",
+        "ivf_fixed",
+        "ivf_kmeans",
+        "pq_adc",
+        "pq_adc_rotated",
+    }
     truth_n = ctx.ref("ann_cosine_topk").count()
     for r in rows.values():
         assert 0.0 <= r.recall_at_k <= 1.0
