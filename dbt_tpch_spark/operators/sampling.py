@@ -553,3 +553,57 @@ oracle(
        ) - 1) % {N_SHARDS} AS BIGINT) AS shard_id
 FROM documents""",
 )
+
+
+# --------------------------------------------------------------------------
+# train / val / test split
+# --------------------------------------------------------------------------
+
+SPLIT_SALT = "split|"
+#: cumulative md5-prefix thresholds: first hex digit 0-d -> train (14/16),
+#: e -> val (1/16), f -> test (1/16). Coarse by design: the knob is the
+#: hex-prefix length, same convention as the stratified sampler.
+SPLIT_BOUNDS = [("train", "e"), ("val", "f"), ("test", "g")]
+
+
+@model("docs_split_assign", layer="operators", materialization="view")
+def docs_split_assign(ctx):
+    """Deterministic train/val/test assignment (14/1/1 sixteenths by md5
+    prefix — stable under corpus growth: a document's split never changes
+    when other documents arrive, the property random shuffles lack) plus
+    the per-split census a training run logs.
+
+    Stateless per-row map + one tiny aggregation; the per-doc assignment
+    is exercised through the census (sum of n_docs == corpus size)."""
+    d = ctx.source("documents")
+    key = F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string")))
+    split = (
+        F.when(key < F.lit(SPLIT_BOUNDS[0][1]), SPLIT_BOUNDS[0][0])
+        .when(key < F.lit(SPLIT_BOUNDS[1][1]), SPLIT_BOUNDS[1][0])
+        .otherwise(SPLIT_BOUNDS[2][0])
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+oracle(
+    "docs_split_assign",
+    (),
+    f"""SELECT
+    CASE
+        WHEN md5(concat('{SPLIT_SALT}', CAST(doc_id AS VARCHAR))) < 'e' THEN 'train'
+        WHEN md5(concat('{SPLIT_SALT}', CAST(doc_id AS VARCHAR))) < 'f' THEN 'val'
+        ELSE 'test'
+    END AS split,
+    lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2""",
+)

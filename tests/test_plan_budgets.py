@@ -68,3 +68,21 @@ def test_shuffle_budget(spark, sf_dir, name):
     assert got <= SHUFFLE_BUDGETS[name], (
         f"{name}: {got} shuffles > budget {SHUFFLE_BUDGETS[name]}\n{plan}"
     )
+
+
+@pytest.mark.parametrize(
+    "name", ["doc_tfidf_terms", "docs_bm25_topk", "ann_cosine_topk"]
+)
+def test_topk_rank_filter_pushes_window_group_limit(spark, sf_dir, name):
+    """rank <= k filters must plan as WindowGroupLimit (Spark 3.5 rank
+    pushdown): each partition keeps a running top-k instead of fully
+    sorting and materializing the window — the difference between top-k
+    and global-sort cost at 100 TB."""
+    plan = (
+        Context(spark, sf_dir)
+        .ref(name)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan

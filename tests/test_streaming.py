@@ -350,3 +350,12 @@ def test_continuous_trigger_smoke(spark):
         assert all(r.doubled == r.value * 2 and r.value % 2 == 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_streaming_sliding_equals_batch(spark, sf_dir):
+    stream = _drain(
+        spark, W.streaming_sliding_10m_5m(spark, sf_dir), "t_sliding"
+    )
+    batch = Context(spark, sf_dir).ref("events_sliding_10m_5m")
+    cols = ["window_start", "window_end", "n_events", "total_value"]
+    assert _canon(stream, cols) == _canon(batch, cols)
