@@ -770,3 +770,44 @@ FROM events"""
 
 
 oracle("events_value_ewma", (), _ewma_oracle())
+
+
+@model("events_value_quantile_bins", layer="operators", materialization="view")
+def events_value_quantile_bins(ctx):
+    """Equi-depth (decile) histogram of event values — the companion to the
+    fixed-bin histogram: bin edges adapt to the distribution, so each bin
+    carries ~the same row count (what a skew-aware partitioner or a
+    feature-binning step actually wants).
+
+    Determinism: ntile ties broken by event_id on both engines. Scale: one
+    global sort (range partition); at 100 TB swap ntile for
+    approx-quantile edges + a broadcast bin join, same output contract."""
+    from pyspark.sql.window import Window
+
+    e = ctx.source("events")
+    w = Window.orderBy(F.col("value"), F.col("event_id"))
+    binned = e.withColumn("bin", F.ntile(10).over(w).cast("long"))
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        rnd(dsum(F.col("value")) / F.count(F.lit(1)), 6).alias("avg_value"),
+    )
+
+
+oracle(
+    "events_value_quantile_bins",
+    ("events",),
+    f"""WITH binned AS (
+    SELECT value,
+           CAST(NTILE(10) OVER (ORDER BY value, event_id) AS BIGINT) AS bin
+    FROM events
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(value) AS lo,
+       MAX(value) AS hi,
+       {rnd_sql(dsum_sql('value') + ' / COUNT(*)', 6)} AS avg_value
+FROM binned
+GROUP BY bin""",
+)
