@@ -86,3 +86,26 @@ def test_topk_rank_filter_pushes_window_group_limit(spark, sf_dir, name):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_q1_scan_prunes_and_pushes(spark, sf_dir):
+    """The flagship Q1 plan must show column pruning and filter pushdown at
+    the scan: lineitem reads only the 8 needed of 11 columns, orders
+    collapses to its single join key, and the 90-day date filter reaches
+    the parquet reader as a data filter."""
+    plan = (
+        Context(spark, sf_dir)
+        .ref("rpt_pricing_summary")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [line for line in plan.splitlines() if "FileScan parquet" in line]
+    lineitem = next(s for s in scans if "lineitem" in s)
+    orders = next(s for s in scans if "orders.parquet" in s)
+    assert "l_shipdate" in lineitem and "l_comment" not in lineitem
+    assert lineitem.split("FileScan parquet [")[1].split("]")[0].count(",") == 7
+    assert orders.split("FileScan parquet [")[1].split("]")[0] == "o_orderkey#" + (
+        orders.split("o_orderkey#")[1].split("L")[0]
+    ) + "L"
+    assert "l_shipdate" in lineitem.split("DataFilters: [")[1].split("]")[0]
