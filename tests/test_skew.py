@@ -46,3 +46,45 @@ def test_salted_broadcast_left_equals_plain(spark, sf_dir):
     a = salted.groupBy("l_suppkey").count()
     b = plain.groupBy("l_suppkey").count()
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's skew-join handling must engage on a pathological key: one key
+    carrying ~all left rows against a uniform right side. Thresholds are
+    lowered so the local corpus triggers the same OptimizeSkewedJoin rule
+    a 100 TB run relies on; broadcast is disabled to force the sort-merge
+    path where skew splitting applies."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            # 99% of rows land on key 0; the tail spreads over 1000 keys
+            F.when(F.col("id") % 100 < 99, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        joined = left.join(right, "k")
+        # materialize THIS DataFrame's own plan (count() would execute a
+        # different QueryExecution and leave this one isFinalPlan=false)
+        assert len(joined.collect()) == 200_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
