@@ -621,3 +621,102 @@ FROM marked CROSS JOIN truth_n t
 GROUP BY 1""",
 )
 
+
+
+# --------------------------------------------------------------------------
+# label-cohesion health report
+# --------------------------------------------------------------------------
+
+EMB_DIMS = 64
+
+
+@model("embeddings_label_cohesion", layer="operators", materialization="view")
+def embeddings_label_cohesion(ctx):
+    """Per-label embedding-cluster health: centroid norm, mean and max
+    squared distance to the label centroid — the gate that catches noisy
+    labels and collapsed/duplicated embedding regions before a training
+    run consumes them.
+
+    Scale: centroids are one (label, dim) aggregation (labels x 64 rows);
+    the distance pass re-joins the label-sized centroid table by
+    broadcast — the corpus streams exactly twice and never shuffles by
+    vector."""
+    from dbt_tpch_spark.operators.dedup import DOT_SPARK
+
+    e = ctx.source("embeddings")
+    per_dim = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            rnd(
+                F.sum(F.col("val").cast("double").cast("decimal(38,18)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                12,
+            ).alias("mv")
+        )
+    )
+    cents = per_dim.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]
+        ).alias("cent")
+    )
+    cents = cents.withColumn("cc", F.expr(DOT_SPARK.format(a="cent", b="cent")))
+    scored = (
+        e.join(F.broadcast(cents), "label")
+        .withColumn("vv", F.expr(DOT_SPARK.format(a="embedding", b="embedding")))
+        .withColumn(
+            "d2",
+            F.col("vv")
+            - F.lit(2.0) * F.expr(DOT_SPARK.format(a="embedding", b="cent"))
+            + F.col("cc"),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        rnd(F.sqrt(F.max("cc")), 6).alias("centroid_norm"),
+        rnd(
+            F.sum(F.col("d2").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_d2"),
+        rnd(F.max("d2"), 6).alias("max_d2"),
+    )
+
+
+def _cohesion_oracle() -> str:
+    from dbt_tpch_spark.operators.dedup import dot_duck
+
+    dsum18 = lambda x: (  # noqa: E731
+        f"CAST(SUM(CAST(({x}) AS DECIMAL(38,18))) AS DOUBLE)"
+    )
+    return f"""WITH per_dim AS (
+    SELECT label, p.pos,
+           {rnd_sql(dsum18('CAST(embedding[p.pos] AS DOUBLE)') + ' / COUNT(*)', 12)} AS mv
+    FROM embeddings
+    CROSS JOIN (SELECT UNNEST(range(1, {EMB_DIMS + 1})) AS pos) p
+    GROUP BY 1, 2
+),
+cents AS (
+    SELECT label, list(mv ORDER BY pos) AS cent FROM per_dim GROUP BY label
+),
+cents_cc AS (
+    SELECT label, cent, {dot_duck('cent', 'cent')} AS cc FROM cents
+),
+scored AS (
+    SELECT e.label, c.cc,
+           {dot_duck('e.embedding', 'e.embedding')} AS vv,
+           {dot_duck('e.embedding', 'c.cent')} AS dp
+    FROM embeddings e JOIN cents_cc c ON e.label = c.label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       {rnd_sql('sqrt(MAX(cc))', 6)} AS centroid_norm,
+       {rnd_sql(dsum18('vv - 2.0 * dp + cc') + ' / COUNT(*)', 6)} AS mean_d2,
+       {rnd_sql('MAX(vv - 2.0 * dp + cc)', 6)} AS max_d2
+FROM scored
+GROUP BY label"""
+
+
+oracle("embeddings_label_cohesion", (), _cohesion_oracle())
