@@ -34,7 +34,13 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dbt_tpch_spark.functions import dsum, rnd
-from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
+from dbt_tpch_spark.models.oracle import (
+    davg_sql,
+    dstddev_samp_sql,
+    dsum_sql,
+    oracle,
+    rnd_sql,
+)
 from dbt_tpch_spark.plans import model
 
 
@@ -810,4 +816,106 @@ SELECT bin,
        {rnd_sql(dsum_sql('value') + ' / COUNT(*)', 6)} AS avg_value
 FROM binned
 GROUP BY bin""",
+)
+
+
+# --------------------------------------------------------------------------
+# seasonal-baseline anomaly detection
+# --------------------------------------------------------------------------
+
+SEASONAL_Z = 2.0
+
+
+def _seasonal_sd_sql() -> str:
+    return dstddev_samp_sql("CAST(n_events AS DOUBLE)")
+
+
+@model("events_seasonal_anomaly", layer="operators", materialization="view")
+def events_seasonal_anomaly(ctx):
+    """Hourly event volumes scored against their hour-of-day seasonal
+    baseline (per event type): unlike the rolling z-score's trailing
+    window, the baseline here is the *seasonal* profile — 3am traffic is
+    judged against other 3ams, so a quiet night hour can still flag as
+    anomalous even though the trailing average is dominated by daytime.
+
+    Two aggregations (bucket counts, then per-slot exact-decimal moments)
+    and one broadcast join of the 24-slot-per-type baseline — the corpus
+    never shuffles twice."""
+    from dbt_tpch_spark.functions import davg, dstddev_samp
+
+    e = ctx.source("events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .localCheckpoint(eager=True)
+    )
+    hod = F.hour("bucket").cast("long")
+    baseline = (
+        hourly.withColumn("hour_of_day", hod)
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            rnd(davg(F.col("n_events").cast("double")), 6).alias("expected"),
+            rnd(dstddev_samp(F.col("n_events").cast("double")), 6).alias("sd"),
+        )
+    )
+    z = F.when(
+        F.col("sd") > 0.0,
+        rnd((F.col("n_events") - F.col("expected")) / F.col("sd"), 6),
+    )
+    return (
+        hourly.withColumn("hour_of_day", hod)
+        .join(F.broadcast(baseline), ["event_type", "hour_of_day"])
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            (F.abs(F.coalesce(F.col("zscore"), F.lit(0.0))) > SEASONAL_Z).cast(
+                "int"
+            ),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "hour_of_day",
+            "n_events",
+            "expected",
+            "sd",
+            "zscore",
+            "is_anomaly",
+        )
+    )
+
+
+oracle(
+    "events_seasonal_anomaly",
+    (),
+    f"""WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+),
+baseline AS (
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM bucket) AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           {rnd_sql(davg_sql('CAST(n_events AS DOUBLE)'), 6)} AS expected,
+           {rnd_sql(_seasonal_sd_sql(), 6)} AS sd
+    FROM hourly
+    GROUP BY 1, 2
+)
+SELECT h.event_type, h.bucket,
+       CAST(EXTRACT(hour FROM h.bucket) AS BIGINT) AS hour_of_day,
+       h.n_events, b.expected, b.sd,
+       CASE WHEN b.sd > 0.0
+            THEN {rnd_sql('(h.n_events - b.expected) / b.sd', 6)} END AS zscore,
+       CAST(ABS(COALESCE(CASE WHEN b.sd > 0.0
+            THEN {rnd_sql('(h.n_events - b.expected) / b.sd', 6)} END, 0.0))
+            > {SEASONAL_Z} AS INTEGER) AS is_anomaly
+FROM hourly h
+JOIN baseline b
+  ON h.event_type = b.event_type
+ AND CAST(EXTRACT(hour FROM h.bucket) AS BIGINT) = b.hour_of_day""",
 )
