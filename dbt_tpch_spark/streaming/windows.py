@@ -507,3 +507,35 @@ def streaming_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def streaming_enriched_by_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriched with a
+    batch-computed per-user tier (total historical value quartile-ish
+    banding). The static side re-evaluates per micro-batch — the standard
+    way a stream picks up slowly-changing reference data without a
+    restart; Spark plans it as a broadcast join when the static side is
+    small."""
+    from dbt_tpch_spark.sources import read_table
+
+    static = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_hist"))
+        .withColumn(
+            "tier",
+            F.when(F.col("n_hist") >= 200, "heavy")
+            .when(F.col("n_hist") >= 100, "mid")
+            .otherwise("light"),
+        )
+        .select("user_id", "tier")
+    )
+    stream = read_events_stream(spark, sf_dir)
+    return (
+        stream.join(F.broadcast(static), "user_id", "left")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )

@@ -359,3 +359,39 @@ def test_streaming_sliding_equals_batch(spark, sf_dir):
     batch = Context(spark, sf_dir).ref("events_sliding_10m_5m")
     cols = ["window_start", "window_end", "n_events", "total_value"]
     assert _canon(stream, cols) == _canon(batch, cols)
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment (per-user tier broadcast into the stream)
+    must agree with the all-batch form of the same join."""
+    from pyspark.sql import functions as F
+
+    stream = _drain(
+        spark, W.streaming_enriched_by_user_tier(spark, sf_dir), "t_enrich"
+    )
+    from dbt_tpch_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    static = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_hist"))
+        .withColumn(
+            "tier",
+            F.when(F.col("n_hist") >= 200, "heavy")
+            .when(F.col("n_hist") >= 100, "mid")
+            .otherwise("light"),
+        )
+        .select("user_id", "tier")
+    )
+    from dbt_tpch_spark.functions import dsum
+
+    batch = (
+        e.join(F.broadcast(static), "user_id", "left")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+    cols = ["tier", "n_events", "total_value"]
+    assert _canon(stream, cols) == _canon(batch, cols)
