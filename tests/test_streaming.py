@@ -395,3 +395,58 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
     )
     cols = ["tier", "n_events", "total_value"]
     assert _canon(stream, cols) == _canon(batch, cols)
+
+
+def test_foreachbatch_merge_upsert_sink(spark, sf_dir, tmp_path):
+    """Streaming CDC sink: each micro-batch reduces to latest-state-per-user
+    and MERGEs (version-wins on ts) into a parquet target. Replaying the
+    whole stream a second time must leave the target unchanged — the
+    idempotence a restart-from-checkpoint relies on."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dbt_tpch_spark.warehouse import merge_upsert
+
+    path = str(tmp_path / "user_state")
+
+    def run_once() -> None:
+        def sink(batch_df, batch_id):
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            latest = (
+                batch_df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "ts", "event_type", "value")
+            )
+            merge_upsert(spark, path, latest, ["user_id"], version_col="ts")
+
+        q = (
+            W.read_events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {(r.user_id, r.ts) for r in spark.read.parquet(path).collect()}
+
+    from dbt_tpch_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = {
+        (r.user_id, r.ts)
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts")
+        .collect()
+    }
+    assert first == expected
+
+    run_once()  # full replay: version-wins merge must be a no-op
+    second = {(r.user_id, r.ts) for r in spark.read.parquet(path).collect()}
+    assert second == first
