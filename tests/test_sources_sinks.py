@@ -37,3 +37,14 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     src_n = read_table(spark, sf_dir, "events").count()
     assert landed.count() == src_n
     assert "batch_id" in landed.columns
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    from dbt_tpch_spark.sources import read_orc, read_table, write_orc
+
+    nation = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
