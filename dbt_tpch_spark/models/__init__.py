@@ -30,6 +30,7 @@ _LAYER_MODULES = (
     "dbt_tpch_spark.operators.graph",
     "dbt_tpch_spark.operators.pq",
     "dbt_tpch_spark.operators.sketches",
+    "dbt_tpch_spark.operators.skew",
     "dbt_tpch_spark.streaming.windows",
 )
 

@@ -69,3 +69,64 @@ def salted_broadcast_left(
     fact_salted = with_salt(fact, n_salts, deterministic_by)
     joined = fact_salted.join(dim_rep, [key, SALT_COL])
     return joined.drop(SALT_COL)
+
+
+# --------------------------------------------------------------------------
+# skew diagnostics as a query
+# --------------------------------------------------------------------------
+
+from dbt_tpch_spark.functions import rnd  # noqa: E402
+from dbt_tpch_spark.models.oracle import oracle, rnd_sql  # noqa: E402
+from dbt_tpch_spark.plans import model  # noqa: E402
+
+SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+@model("lineitem_skew_report", layer="operators", materialization="view")
+def lineitem_skew_report(ctx):
+    """Join-key skew diagnostics for every lineitem join key: distinct
+    count, heaviest-key weight, mean weight, and the max/mean skew factor
+    — the number that decides whether a join needs salting
+    (salted_aggregate / salted_broadcast_left below) or can rely on AQE's
+    skew splitting. One aggregation per key, unioned; each is map-side
+    combined before its shuffle."""
+    li = ctx.source("lineitem")
+    out = None
+    for key in SKEW_KEYS:
+        per_key = li.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        stats = per_key.agg(
+            F.lit(key).alias("join_key"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("n").alias("max_rows"),
+            rnd(
+                F.sum(F.col("n").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_rows"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.withColumn(
+        "skew_factor", rnd(F.col("max_rows") / F.col("mean_rows"), 6)
+    )
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for key in SKEW_KEYS:
+        parts.append(
+            f"""SELECT '{key}' AS join_key,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       MAX(n) AS max_rows,
+       {rnd_sql('CAST(SUM(CAST(n AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)', 6)} AS mean_rows
+FROM (SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1)"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""WITH stats AS (
+{union}
+)
+SELECT *, {rnd_sql('max_rows / mean_rows', 6)} AS skew_factor FROM stats"""
+
+
+oracle("lineitem_skew_report", (), _skew_oracle())
