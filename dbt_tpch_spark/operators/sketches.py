@@ -477,3 +477,129 @@ SELECT customer_market_segment_name,
 FROM tagged
 GROUP BY 1""",
 )
+
+
+@model("events_hll_merge_check", layer="operators", materialization="view")
+def events_hll_merge_check(ctx):
+    """The HLL mergeability proof as a query: per-(type, day) register
+    tables max-merged up to per-type must yield the IDENTICAL registers —
+    and so the identical estimate — as sketching the whole period
+    directly. This is the property that lets a 100 TB deployment keep
+    per-day/per-shard sketches and answer any coarser distinct-count
+    rollup without touching raw data again."""
+    e = ctx.source("events")
+    hashed = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.md5(F.concat(F.lit(HLL_SALT), F.col("user_id").cast("string"))).alias("h"),
+    )
+    regs = hashed.select("event_type", "day", *_spark_register_cols())
+    daily = regs.groupBy("event_type", "day", "bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("m_j").alias("m_j"))
+    direct = regs.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+
+    def _z(df):
+        return df.groupBy("event_type").agg(
+            F.sum(
+                F.pow(F.lit(2.0), -F.col("m_j").cast("double")).cast(
+                    "decimal(38,18)"
+                )
+            )
+            .cast("double")
+            .alias("z_present"),
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+        )
+
+    m = float(HLL_M)
+
+    def _est(prefix):
+        z = F.col(f"{prefix}_z") + (F.lit(m) - F.col(f"{prefix}_n"))
+        e_raw = F.lit(HLL_ALPHA * m * m) / z
+        v = F.lit(m) - F.col(f"{prefix}_n")
+        small = (e_raw <= 2.5 * m) & (v > 0)
+        return F.when(small, rnd(F.lit(m) * F.log(F.lit(m) / v), 4)).otherwise(
+            rnd(e_raw, 4)
+        )
+
+    a = _z(merged).withColumnsRenamed(
+        {"z_present": "merged_z", "n_present": "merged_n"}
+    )
+    b = _z(direct).withColumnsRenamed(
+        {"z_present": "direct_z", "n_present": "direct_n"}
+    )
+    return (
+        a.join(b, "event_type")
+        .withColumn("merged_estimate", _est("merged"))
+        .withColumn("direct_estimate", _est("direct"))
+        .withColumn(
+            "registers_identical",
+            (
+                (F.col("merged_z") == F.col("direct_z"))
+                & (F.col("merged_n") == F.col("direct_n"))
+            ).cast("int"),
+        )
+        .select(
+            "event_type",
+            "merged_n",
+            "direct_n",
+            "merged_estimate",
+            "direct_estimate",
+            "registers_identical",
+        )
+    )
+
+
+def _hll_merge_oracle() -> str:
+    est = lambda z, n: (  # noqa: E731
+        f"""CASE
+            WHEN {HLL_ALPHA * HLL_M * HLL_M} / ({z} + ({HLL_M} - {n}))
+                     <= {2.5 * HLL_M}
+                 AND ({HLL_M} - {n}) > 0
+            THEN {rnd_sql(f"{HLL_M} * ln({HLL_M} / ({HLL_M} - {n}))", 4)}
+            ELSE {rnd_sql(f"{HLL_ALPHA * HLL_M * HLL_M} / ({z} + ({HLL_M} - {n}))", 4)}
+        END"""
+    )
+    zq = (
+        "CAST(SUM(CAST(pow(2.0, -CAST(m_j AS DOUBLE)) AS DECIMAL(38,18)))"
+        " AS DOUBLE)"
+    )
+    return f"""WITH hashed AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           md5('{HLL_SALT}' || CAST(user_id AS VARCHAR)) AS h
+    FROM events
+),
+regs AS (
+    SELECT event_type, day, {_register_sql()}
+    FROM hashed
+),
+daily AS (
+    SELECT event_type, day, bucket, MAX(rho) AS m_j
+    FROM regs GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT event_type, bucket, MAX(m_j) AS m_j FROM daily GROUP BY 1, 2
+),
+direct AS (
+    SELECT event_type, bucket, MAX(rho) AS m_j FROM regs GROUP BY 1, 2
+),
+mz AS (
+    SELECT event_type, {zq} AS merged_z,
+           CAST(COUNT(*) AS BIGINT) AS merged_n
+    FROM merged GROUP BY 1
+),
+dz AS (
+    SELECT event_type, {zq} AS direct_z,
+           CAST(COUNT(*) AS BIGINT) AS direct_n
+    FROM direct GROUP BY 1
+)
+SELECT m.event_type, m.merged_n, d.direct_n,
+       {est('m.merged_z', 'm.merged_n')} AS merged_estimate,
+       {est('d.direct_z', 'd.direct_n')} AS direct_estimate,
+       CAST(m.merged_z = d.direct_z AND m.merged_n = d.direct_n AS INTEGER)
+           AS registers_identical
+FROM mz m JOIN dz d ON m.event_type = d.event_type"""
+
+
+oracle("events_hll_merge_check", (), _hll_merge_oracle())
