@@ -1,0 +1,53 @@
+"""The driver's correctness record caps at the first 50 ``queries()``
+entries (registry insertion order).  These tests pin the curated window so
+a refactor can't silently push the LLM-pipeline families back out of
+driver verification (the round-2 verdict's top finding).
+
+No SparkSession needed — pure ordering checks.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def test_window_names_all_registered():
+    q = entry_mod.queries()
+    missing = [
+        n
+        for n in entry_mod._DRIVER_WINDOW
+        if n not in q and n != "rpt_minimum_cost_suppliers_adapted"
+    ]
+    assert not missing, f"driver-window names not registered: {missing}"
+
+
+def test_first_50_is_stratified():
+    names = list(entry_mod.queries())[:50]
+    # at least one representative per family must sit inside the window
+    families = {
+        "dedup": [n for n in names if n.startswith("dedup_")],
+        "ann": [n for n in names if n.startswith(("ann_", "kmeans_"))],
+        "sketch": [n for n in names if "hll" in n or "cms" in n],
+        "streaming": [
+            n for n in names if n.startswith("events_") or n == "user_state_scd"
+        ],
+        "retrieval_sampling": [n for n in names if n.startswith(("docs_", "doc_"))],
+        "graph": [n for n in names if n == "parts_pagerank"],
+        "tpch_classic": [n for n in names if n.startswith("tpch_q")],
+        "relational": [n for n in names if n.startswith(("rpt_", "fct_", "dim_"))],
+    }
+    empty = [fam for fam, members in families.items() if not members]
+    assert not empty, f"driver window lost family coverage: {empty}"
+
+
+def test_first_50_all_have_oracles():
+    q = list(entry_mod.queries())[:50]
+    oracles = entry_mod.oracle_sql()
+    missing = [n for n in q if n not in oracles and n not in entry_mod.NO_ORACLE]
+    assert not missing, f"first-50 queries without oracle SQL: {missing}"
+
+
+def test_no_duplicates_and_full_surface():
+    names = list(entry_mod.queries())
+    assert len(names) == len(set(names))
+    assert len(names) >= 135  # full round-2 surface must never shrink
