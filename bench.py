@@ -157,12 +157,21 @@ def main() -> None:
         except Exception:
             errors["_full_dag_build"] = traceback.format_exc()[-500:]
 
+    # a failed query's time is omitted from `value`, so a partial total must
+    # never be read as a speedup: n_failed flags it and `value` goes null
+    # when any headline query (not just setup steps) failed
+    n_failed = sum(1 for k in errors if not k.startswith("_"))
     record = {
         "metric": "headline_queries_total_sec",
-        "value": round(total, 3),
+        "value": None if n_failed else round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "n_queries": len(names),
+        "n_failed": n_failed,
+        # driver runs share the box with a second 32-thread JVM (observed
+        # 2-5x per-query inflation); solo runs are the comparable numbers
+        "solo": os.environ.get("SPARK_GRAFT_SOLO", "0") == "1",
         "full_dag_build_sec": full_build,
         "full_dag_tables": n_tables,
         "setup_split_sec": round(split_sec, 3),

@@ -134,6 +134,101 @@ def housekeeping(batch_id: str, batch_ts: str):
     ]
 
 
+def global_topk(df, key: str, k: int, payload_cols):
+    """The 100 TB-safe rewrite of a whole-table top-k
+    (``row_number().over(Window.orderBy(key)) <= k``): an unpartitioned
+    window single-partitions the entire input, while the answer only needs
+    k rows. Because the keys here are salted md5 hex (uniform, and
+    fixed-length lowercase hex sorts lexicographically exactly as its
+    numeric value), the key's own first hex digit is a free 16-way
+    partitioner: rank within each digit-group in parallel (plans as
+    WindowGroupLimit — a running top-k, no full sort), keep k per group,
+    then one tiny ``sort_array(collect_list(...))`` over the <=16k
+    candidates picks the global top k.
+
+    Returns one row per winner with ``rn`` (1-based global rank by ``key``)
+    plus ``payload_cols``. Requires ``key`` values to be unique (md5 of a
+    unique id) — ties would fall through to struct comparison.
+    """
+    from pyspark.sql.window import Window
+
+    w_g = Window.partitionBy("_g").orderBy(key)
+    cand = (
+        df.withColumn("_g", F.substring(F.col(key), 1, 1))
+        .withColumn("_rn", F.row_number().over(w_g))
+        .filter(F.col("_rn") <= k)
+    )
+    s = F.struct(F.col(key), *[F.col(c) for c in payload_cols])
+    return (
+        cand.groupBy()
+        .agg(F.slice(F.sort_array(F.collect_list(s)), 1, k).alias("_top"))
+        .select(F.posexplode("_top").alias("_pos", "_s"))
+        .select(
+            (F.col("_pos") + 1).alias("rn"),
+            *[F.col(f"_s.{c}").alias(c) for c in payload_cols],
+        )
+    )
+
+
+def global_row_number(
+    df,
+    first_key: str,
+    ascending: bool,
+    tiebreak_cols,
+    out: str = "rn",
+    n_buckets: int = 32,
+):
+    """Exact global ``row_number() over (order by first_key [desc], *ties)``
+    without a single-partition window (which moves the whole input to one
+    task). Approx-quantile edges on ``first_key`` — a tiny sketch collected
+    once and inlined as literals — range-bucket the rows; a bucket is a
+    pure function of ``first_key``, so tied keys never straddle buckets and
+    the tie-break columns resolve within one partition. Per-bucket ranks
+    run in parallel (plain partitioned window); bucket-count offsets (a
+    <=n_buckets-row post-aggregation frame, the only unpartitioned window)
+    lift them to exact global positions. The approximate edges only choose
+    where the parallelism cuts fall — the ranks are exact.
+
+    ``first_key`` must be numeric (percentile sketch). Returns ``df`` plus
+    the ``out`` rank column.
+    """
+    from pyspark.sql.window import Window
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = df.agg(
+        F.percentile_approx(first_key, probs, 10000).alias("e")
+    ).head()
+    edges = sorted(set(edges_row["e"] or []), reverse=not ascending)
+    chain = None
+    for i, ed in enumerate(edges):
+        cond = (
+            F.col(first_key) < F.lit(float(ed))
+            if ascending
+            else F.col(first_key) > F.lit(float(ed))
+        )
+        chain = F.when(cond, i) if chain is None else chain.when(cond, i)
+    bucket = (
+        chain.otherwise(len(edges)) if chain is not None else F.lit(0)
+    ).cast("int")
+    base = df.withColumn("_b", bucket)
+    counts = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_b", "_off")
+    order = [
+        F.col(first_key).asc() if ascending else F.col(first_key).desc()
+    ] + [F.col(c) for c in tiebreak_cols]
+    w_local = Window.partitionBy("_b").orderBy(*order)
+    return (
+        base.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            out, (F.col("_off") + F.row_number().over(w_local)).cast("long")
+        )
+        .drop("_b", "_off")
+    )
+
+
 def with_global_aggs(df, aggs):
     """The 100 TB-safe rewrite of a whole-table window
     (``F.sum(x).over(Window.partitionBy())``): compute the scalar

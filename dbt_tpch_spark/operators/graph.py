@@ -30,12 +30,11 @@ so there is no dangling-mass term.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dbt_tpch_spark.models.oracle import oracle, rnd_sql
 from dbt_tpch_spark.plans import model
-from dbt_tpch_spark.functions import rnd
+from dbt_tpch_spark.functions import global_row_number, rnd
 
 DAMPING = 0.85
 TELEPORT = 0.15  # 1 - DAMPING, kept as an exact literal on both engines
@@ -91,16 +90,40 @@ def _edges(ctx):
     )
 
 
+#: above this node count the per-round rank state stops being broadcast
+#: (at SF1000 that's ~200M rows/round — a driver/executor memory killer)
+#: and the co-partitioned path takes over; tests force it to 0 to pin the
+#: large-graph plan shape.
+BROADCAST_STATE_MAX_NODES = 1_000_000
+
+
 @model("parts_pagerank", layer="operators", materialization="view")
 def parts_pagerank(ctx):
     """PageRank (d=0.85, ITERS fixed rounds, uniform init) over the
     symmetric part co-purchase graph; emits every node's out-degree, final
-    rank value, and dense importance rank."""
-    edges = _edges(ctx).localCheckpoint(eager=True)
+    rank value, and dense importance rank.
+
+    State-join strategy is node-count-gated: below
+    BROADCAST_STATE_MAX_NODES the node-sized rank vector broadcasts
+    (zero-shuffle rounds); above it, edges are hash-partitioned ONCE on
+    ``src`` and each round joins the state with a shuffle-hash hint — the
+    trillion-edge side is never reshuffled or sorted per round, only the
+    node-sized state moves. Either way the per-round groupBy(dst) is the
+    one fundamental edge shuffle, with map-side partial aggregation."""
+    n_part = int(ctx.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = (
+        _edges(ctx).repartition(n_part, "src").localCheckpoint(eager=True)
+    )
+    # edges is already hash-partitioned on src -> no exchange for deg
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
-    tot = deg.agg(F.count("*").cast("double").alias("n"))
+    n_nodes = deg.count()
+    broadcast_state = n_nodes <= BROADCAST_STATE_MAX_NODES
+
+    def _state(df):
+        return F.broadcast(df) if broadcast_state else df.hint("shuffle_hash")
+
     pr = (
-        deg.crossJoin(F.broadcast(tot))
+        deg.withColumn("n", F.lit(float(n_nodes)))
         .select(
             F.col("src").alias("node"),
             "outdeg",
@@ -112,7 +135,7 @@ def parts_pagerank(ctx):
     for _ in range(ITERS):
         contrib = (
             edges.join(
-                F.broadcast(pr.select("node", "outdeg", "pr")),
+                _state(pr.select("node", "outdeg", "pr")),
                 edges.src == F.col("node"),
             )
             .groupBy("dst")
@@ -120,9 +143,8 @@ def parts_pagerank(ctx):
         )
         pr = (
             pr.drop("pr")
-            # contrib is node-sized (one row per part, not per edge):
-            # broadcast it so the rank update never shuffles the state
-            .join(F.broadcast(contrib), pr.node == contrib.dst, "left")
+            # contrib is node-sized (one row per part, not per edge)
+            .join(_state(contrib), pr.node == contrib.dst, "left")
             .select(
                 "node",
                 "outdeg",
@@ -135,12 +157,17 @@ def parts_pagerank(ctx):
             )
             .localCheckpoint(eager=True)
         )
-    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
-    return pr.select(
+    # final importance rank is a global order over node-cardinality state:
+    # bucketed exact ranking, not a single-partition window
+    ranked = global_row_number(
+        pr, "pr", ascending=False, tiebreak_cols=["node"],
+        out="importance_rank",
+    )
+    return ranked.select(
         F.col("node").alias("part_key"),
         "outdeg",
         rnd(F.col("pr"), 12).alias("pagerank"),
-        F.row_number().over(w).cast("long").alias("importance_rank"),
+        "importance_rank",
     )
 
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dbt_tpch_spark.functions import dsum, rnd
+from dbt_tpch_spark.functions import dsum, global_topk, rnd
 from dbt_tpch_spark.plans import model
 from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
 from dbt_tpch_spark.operators.dedup import DOT_SPARK, dot_duck
@@ -83,10 +83,10 @@ def _fit(ctx):
         "embedding",
         F.md5(F.concat(F.lit(SEED_SALT), F.col("vec_id").cast("string"))).alias("sk"),
     )
-    w_seed = Window.orderBy("sk")
+    # global_topk: md5-prefix-grouped parallel rank + tiny candidate merge —
+    # replaces the old whole-corpus single-partition Window.orderBy("sk")
     cents = (
-        seeds.withColumn("rn", F.row_number().over(w_seed))
-        .filter(F.col("rn") <= K_CELLS)
+        global_topk(seeds, "sk", K_CELLS, ["embedding"])
         .select(
             (F.col("rn") - 1).cast("long").alias("cell_id"),
             F.col("embedding").alias("cent"),

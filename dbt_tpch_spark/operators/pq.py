@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dbt_tpch_spark.functions import dsum, rnd
+from dbt_tpch_spark.functions import dsum, global_topk, rnd
 from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
 from dbt_tpch_spark.plans import model
 from dbt_tpch_spark.operators.dedup import DOT_SPARK, dot_duck
@@ -135,10 +135,10 @@ def _fit(ctx, iters: int = PQ_ITERS, emb=None):
         "embedding",
         F.md5(F.concat(F.lit(SEED_SALT), F.col("vec_id").cast("string"))).alias("sk"),
     )
-    w_seed = Window.orderBy("sk")
+    # global_topk: parallel grouped rank + tiny merge, not a whole-corpus
+    # single-partition window (see functions.global_topk)
     cents = (
-        seeds.withColumn("rn", F.row_number().over(w_seed))
-        .filter(F.col("rn") <= K_CODES)
+        global_topk(seeds, "sk", K_CODES, ["embedding"])
         .select(
             F.explode(F.sequence(F.lit(0), F.lit(M_SUBVECTORS - 1))).alias("m"),
             (F.col("rn") - 1).cast("long").alias("code"),

@@ -515,27 +515,66 @@ GROUP BY source""",
 )
 
 
+#: range-partition fan-out for the global shuffle's tera-sort pattern.
+SHUFFLE_BUCKETS = 32
+
+
 @model("docs_shuffle_global", layer="operators", materialization="view")
 def docs_shuffle_global(ctx):
     """Deterministic global shuffle: every document gets a pseudorandom
-    position (row_number over the salted md5 of its id) and an interleaved
+    position (its rank under the salted md5 of its id) and an interleaved
     shard assignment ((pos-1) mod N_SHARDS) — so reading any single shard
     sequentially is already an unbiased sample of the corpus, the property
     training loaders rely on.
 
-    Scale: Spark plans the global order as a range partition over sampled
-    md5 bounds (the tera-sort pattern); at 100 TB you'd keep the same keys
-    but window within precomputed shards to avoid the single total order."""
+    Scale (the tera-sort pattern, spelled out rather than left to a global
+    window): md5 keys are uniform, and fixed-length lowercase-hex strings
+    sort lexicographically exactly as their numeric value — so the leading
+    16 bits of the key ARE a balanced range partitioner. Rows hash into
+    SHUFFLE_BUCKETS ordered buckets, ranks are computed per-bucket
+    (partitioned window — parallel), and bucket offsets (a SHUFFLE_BUCKETS-row
+    aggregate) are broadcast back to lift local ranks to global positions.
+    No single-partition WindowExec anywhere; the only unpartitioned window
+    runs over the 32-row offset table. At 100 TB the same plan holds —
+    just raise SHUFFLE_BUCKETS (the prefix gives 65536 ordered buckets for
+    free, longer prefixes give more)."""
     from pyspark.sql.window import Window
 
     d = ctx.source("documents").select("doc_id", "lang", "source")
     key = F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string")))
-    w = Window.orderBy(F.col("shuffle_key"), F.col("doc_id"))
+    base = d.withColumn("shuffle_key", key).withColumn(
+        "_bucket",
+        F.floor(
+            F.conv(F.substring("shuffle_key", 1, 4), 16, 10).cast("long")
+            / (65536 // SHUFFLE_BUCKETS)
+        ).cast("int"),
+    )
+    # bucket offsets: tiny (SHUFFLE_BUCKETS rows) — cumulative count of all
+    # strictly-smaller buckets; unpartitioned window is post-aggregation.
+    counts = base.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_bucket", "_offset")
+    w_local = Window.partitionBy("_bucket").orderBy("shuffle_key", "doc_id")
     return (
-        d.withColumn("shuffle_key", key)
-        .withColumn("shuffle_pos", F.row_number().over(w).cast("long"))
+        base.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "shuffle_pos",
+            (F.col("_offset") + F.row_number().over(w_local)).cast("long"),
+        )
         .withColumn(
             "shard_id", ((F.col("shuffle_pos") - 1) % N_SHARDS).cast("long")
+        )
+        .select(
+            "doc_id", "lang", "source", "shuffle_key", "shuffle_pos", "shard_id"
         )
     )
 

@@ -759,14 +759,17 @@ def events_value_ewma(ctx):
 def _ewma_oracle() -> str:
     weights = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** i for i in range(EWMA_TERMS)]
     over = "PARTITION BY user_id ORDER BY ts, event_id"
+    # weights as explicit DOUBLE casts: a bare numeric literal is DECIMAL to
+    # DuckDB, which would accumulate the denominator exactly vs Spark's
+    # IEEE-double sum — the CAST keeps both engines on identical doubles
     nums = " + ".join(
         f"CASE WHEN LAG(value, {i}) OVER ({over}) IS NOT NULL "
-        f"THEN LAG(value, {i}) OVER ({over}) * {w!r} ELSE 0.0 END"
+        f"THEN LAG(value, {i}) OVER ({over}) * CAST({w!r} AS DOUBLE) ELSE 0.0 END"
         for i, w in enumerate(weights)
     )
     dens = " + ".join(
         f"CASE WHEN LAG(value, {i}) OVER ({over}) IS NOT NULL "
-        f"THEN {w!r} ELSE 0.0 END"
+        f"THEN CAST({w!r} AS DOUBLE) ELSE 0.0 END"
         for i, w in enumerate(weights)
     )
     return f"""SELECT
@@ -778,6 +781,10 @@ FROM events"""
 oracle("events_value_ewma", (), _ewma_oracle())
 
 
+N_VALUE_BUCKETS = 32
+N_TILES = 10
+
+
 @model("events_value_quantile_bins", layer="operators", materialization="view")
 def events_value_quantile_bins(ctx):
     """Equi-depth (decile) histogram of event values — the companion to the
@@ -785,14 +792,58 @@ def events_value_quantile_bins(ctx):
     carries ~the same row count (what a skew-aware partitioner or a
     feature-binning step actually wants).
 
-    Determinism: ntile ties broken by event_id on both engines. Scale: one
-    global sort (range partition); at 100 TB swap ntile for
-    approx-quantile edges + a broadcast bin join, same output contract."""
+    Scale (exact NTILE without the single-partition window): an
+    unpartitioned ``ntile(10)`` moves the whole table to one task. Instead,
+    approx-quantile edges (a tiny sketch collected once, inlined as
+    literals) range-bucket the rows; ranks are computed per-bucket in
+    parallel and lifted to exact global ranks with the bucket-offset
+    broadcast (same tera-sort pattern as docs_shuffle_global); NTILE's
+    first-tiles-get-the-remainder arithmetic is then applied to the exact
+    rank. Bit-identical to the oracle's NTILE because the ranks are exact —
+    the approximate edges only choose where the parallelism cuts fall.
+    Ties: equal values share a bucket by construction (bucket is a function
+    of value), so the event_id tie-break stays within one partition."""
     from pyspark.sql.window import Window
 
-    e = ctx.source("events")
-    w = Window.orderBy(F.col("value"), F.col("event_id"))
-    binned = e.withColumn("bin", F.ntile(10).over(w).cast("long"))
+    e = ctx.source("events").select("event_id", "value")
+    probs = [i / N_VALUE_BUCKETS for i in range(1, N_VALUE_BUCKETS)]
+    edges_row = e.agg(
+        F.percentile_approx("value", probs, 10000).alias("edges")
+    ).head()
+    edges = sorted(set(edges_row["edges"] or []))
+    chain = None
+    for i, ed in enumerate(edges):
+        cond = F.col("value") < F.lit(float(ed))
+        chain = F.when(cond, i) if chain is None else chain.when(cond, i)
+    bucket = (
+        chain.otherwise(len(edges)) if chain is not None else F.lit(0)
+    ).cast("int")
+    base = e.withColumn("_b", bucket)
+    counts = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    # offsets/total: unpartitioned windows over the <=N_VALUE_BUCKETS-row
+    # post-aggregation frame only
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .withColumn("_total", F.sum("_n").over(w_all))
+        .select("_b", "_off", "_total")
+    )
+    w_local = Window.partitionBy("_b").orderBy("value", "event_id")
+    rk = F.col("_off") + F.row_number().over(w_local)
+    n, t = F.col("_total"), F.lit(N_TILES)
+    tile_base, rem = F.floor(n / t), n % t
+    big = rem * (tile_base + 1)  # rows covered by the (base+1)-sized tiles
+    bin_ = (
+        F.when(rk <= big, F.floor((rk - 1) / (tile_base + 1)))
+        .otherwise(rem + F.floor((rk - big - 1) / tile_base))
+        + 1
+    )
+    binned = base.join(F.broadcast(offsets), "_b").withColumn(
+        "bin", bin_.cast("long")
+    )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.min("value").alias("lo"),

@@ -34,7 +34,11 @@ SHUFFLE_BUDGETS = {
     "kmeans_cells": 2,
     "docs_bm25_topk": 6,
     "events_gapfill_hourly": 2,
-    "parts_pagerank": 1,
+    # round 3: the final importance rank moved off the single-partition
+    # window onto bucketed exact ranking — 3 node-sized partitioned
+    # exchanges (bucket window + counts agg + offsets) instead of one
+    # whole-state sort on a single task
+    "parts_pagerank": 3,
     "ann_pq_adc_topk": 4,
     "tpch_q05_local_supplier_volume": 1,
     "events_hll_users": 4,
@@ -86,6 +90,75 @@ def test_topk_rank_filter_pushes_window_group_limit(spark, sf_dir, name):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def _walk(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk(node.children().apply(i))
+
+
+def _unpartitioned_window_offenders(df):
+    """Unpartitioned Window nodes whose input subtree has no Aggregate.
+
+    An unpartitioned window single-partitions its entire input, so the only
+    acceptable inputs are post-aggregation frames (report-cardinality).
+    Round 2's scale-killers (docs_shuffle_global, quantile bins, kmeans/PQ
+    seeding, pagerank ranking) were exactly this shape over raw corpus —
+    this invariant stops new ones sneaking in."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad = []
+    for n in _walk(plan):
+        if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
+            sub = [m.nodeName() for m in _walk(n.children().apply(0))]
+            if "Aggregate" not in sub:
+                bad.append(sub[:6])
+    return bad
+
+
+def test_no_unpartitioned_window_over_raw_data(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        bad = _unpartitioned_window_offenders(fn(spark, sf_dir))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_pagerank_copartition_mode_has_no_state_broadcast(spark, sf_dir):
+    """Above BROADCAST_STATE_MAX_NODES the per-round rank state must NOT be
+    broadcast (SF1000: ~200M rows/round); the edge side stays partitioned
+    on src and only node-sized state moves. The per-round plans live behind
+    localCheckpoint barriers, so capture them at checkpoint time."""
+    try:  # pyspark 4: the concrete class lives in sql.classic
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+
+    import dbt_tpch_spark.operators.graph as g
+
+    saved = g.BROADCAST_STATE_MAX_NODES
+    real_ckpt = DataFrame.localCheckpoint
+    captured = []
+
+    def spy(self, eager=True):
+        captured.append(self._jdf.queryExecution().executedPlan().toString())
+        return real_ckpt(self, eager=eager)
+
+    g.BROADCAST_STATE_MAX_NODES = 0
+    DataFrame.localCheckpoint = spy
+    try:
+        df = Context(spark, sf_dir).ref("parts_pagerank")
+    finally:
+        DataFrame.localCheckpoint = real_ckpt
+        g.BROADCAST_STATE_MAX_NODES = saved
+    # edges + pr-init + one per iteration
+    assert len(captured) >= 2 + g.ITERS
+    for plan in captured:
+        assert "BroadcastExchange" not in plan, plan
+    assert df.count() > 0
 
 
 def test_q1_scan_prunes_and_pushes(spark, sf_dir):
