@@ -15,7 +15,8 @@ from dbt_tpch_spark.models.oracle import oracle
 def dq_summary(ctx):
     """One row per declared check with its violation count: unique via
     group-by-having, not_null via filter-count, relationships via left-anti
-    count (dbt's generated-SQL semantics, models/wh/fct_orders.yml:9-60)."""
+    count, accepted_values via not-in filter-count (dbt's generated-SQL
+    semantics, models/wh/fct_orders.yml:9-60)."""
     fo = ctx.ref("fct_orders")
     foi = ctx.ref("fct_orders_items")
     dc = ctx.ref("dim_customer")
@@ -62,14 +63,32 @@ def dq_summary(ctx):
             )
         )
 
+    def accepted_values_violations(df, col, values, model_name):
+        return (
+            df.filter(F.col(col).isNotNull() & ~F.col(col).isin(values))
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+            .select(
+                F.lit(model_name).alias("model"),
+                F.lit("accepted_values").alias("check"),
+                F.lit(col).alias("column"),
+                "violations",
+            )
+        )
+
     parts = [
         unique_violations(fo, "order_key", "fct_orders"),
         not_null_violations(fo, "customer_key", "fct_orders"),
         fk_violations(fo, "customer_key", dc, "customer_key", "fct_orders"),
+        accepted_values_violations(
+            fo, "order_status_code", ["F", "O", "P"], "fct_orders"
+        ),
         unique_violations(foi, "order_item_key", "fct_orders_items"),
         not_null_violations(foi, "ship_date", "fct_orders_items"),
         fk_violations(foi, "part_key", dp, "part_key", "fct_orders_items"),
         fk_violations(foi, "supplier_key", ds, "supplier_key", "fct_orders_items"),
+        accepted_values_violations(
+            foi, "return_status_code", ["A", "N", "R"], "fct_orders_items"
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -90,6 +109,10 @@ SELECT 'fct_orders', 'relationships', 'customer_key',
        CAST((SELECT COUNT(*) FROM fct_orders o WHERE o.customer_key IS NOT NULL
              AND NOT EXISTS (SELECT 1 FROM dim_customer c WHERE c.customer_key = o.customer_key)) AS BIGINT)
 UNION ALL
+SELECT 'fct_orders', 'accepted_values', 'order_status_code',
+       CAST((SELECT COUNT(*) FROM fct_orders WHERE order_status_code IS NOT NULL
+             AND order_status_code NOT IN ('F', 'O', 'P')) AS BIGINT)
+UNION ALL
 SELECT 'fct_orders_items', 'unique', 'order_item_key',
        CAST((SELECT COUNT(*) FROM (SELECT order_item_key FROM fct_orders_items GROUP BY 1 HAVING COUNT(*) > 1)) AS BIGINT)
 UNION ALL
@@ -102,5 +125,9 @@ SELECT 'fct_orders_items', 'relationships', 'part_key',
 UNION ALL
 SELECT 'fct_orders_items', 'relationships', 'supplier_key',
        CAST((SELECT COUNT(*) FROM fct_orders_items i WHERE i.supplier_key IS NOT NULL
-             AND NOT EXISTS (SELECT 1 FROM dim_supplier s WHERE s.supplier_key = i.supplier_key)) AS BIGINT)""",
+             AND NOT EXISTS (SELECT 1 FROM dim_supplier s WHERE s.supplier_key = i.supplier_key)) AS BIGINT)
+UNION ALL
+SELECT 'fct_orders_items', 'accepted_values', 'return_status_code',
+       CAST((SELECT COUNT(*) FROM fct_orders_items WHERE return_status_code IS NOT NULL
+             AND return_status_code NOT IN ('A', 'N', 'R')) AS BIGINT)""",
 )

@@ -9,15 +9,17 @@ table (SURVEY §1.4), so the cost column is omitted on both engines.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dbt_tpch_spark.functions import davg, dsum, housekeeping, isum
+from dbt_tpch_spark.functions import davg, dsum, housekeeping, isum, rnd
 from dbt_tpch_spark.plans import model
 from dbt_tpch_spark.models.oracle import (
     davg_sql,
     dsum_sql,
     isum_sql,
     oracle,
+    rnd_sql,
 )
 
 
@@ -324,4 +326,123 @@ oracle(
 FROM fct_orders_items f
 WHERE f.ship_date <= CAST('1998-12-01' AS DATE) - INTERVAL 90 DAY
 GROUP BY 1, 2""",
+)
+
+
+@model(
+    "rpt_minimum_cost_suppliers_adapted", layer="wh", materialization="table"
+)
+def rpt_minimum_cost_suppliers_adapted(ctx):
+    """TPC-H Q2 minimum-cost-supplier shape, adapted to the available
+    fixtures. Reference: models/wh/rpt_minimum_cost_suppliers.sql:28-39 —
+    rank() over (region, part) by supplier cost, then row_number() over
+    (region, part, cost) by account balance desc, filtered to the cheapest
+    rank (the W1+W2+F4 flagship pattern).
+
+    The reference reads ps_supplycost from dim_part_supplier_xrf (partsupp
+    is not in the driver corpus — FIXTURES.md Part B); the adaptation
+    derives the part-supplier catalog from lineitem (pairs that actually
+    shipped) and uses the observed average unit price
+    (sum(extended_price)/sum(quantity), exact-decimal sums) as the
+    supplier-cost proxy. Swap the `pairs` CTE for partsupp and the proxy
+    for ps_supplycost when the fixture lands — the window/filter shape is
+    the query.
+
+    Scale: one shuffle to aggregate lineitem to (part, supplier) grain,
+    broadcast dim joins, one shuffle for the (region, part) windows — both
+    windows share one partitioning."""
+    li = ctx.ref("base_line_item")
+    pairs = li.groupBy("part_key", "supplier_key").agg(
+        rnd(dsum(F.col("extended_price")) / dsum(F.col("quantity")), 4).alias(
+            "supplier_cost_proxy"
+        )
+    )
+    s = ctx.ref("dim_supplier")
+    p = ctx.ref("dim_part")
+    enriched = pairs.join(
+        F.broadcast(
+            s.select(
+                F.col("supplier_key"),
+                "supplier_name",
+                "supplier_account_balance",
+                "supplier_nation_name",
+                "supplier_region_key",
+                "supplier_region_name",
+            )
+        ),
+        "supplier_key",
+    ).join(
+        F.broadcast(
+            p.select("part_key", "part_brand_name", "part_size", "part_type_name")
+        ),
+        "part_key",
+    )
+    w_cost = Window.partitionBy("supplier_region_key", "part_key").orderBy(
+        "supplier_cost_proxy"
+    )
+    w_bal = Window.partitionBy(
+        "supplier_region_key", "part_key", "supplier_cost_proxy"
+    ).orderBy(F.col("supplier_account_balance").desc(), F.col("supplier_key"))
+    return (
+        enriched.withColumn("supplier_cost_rank", F.rank().over(w_cost).cast("long"))
+        .withColumn("supplier_rank", F.row_number().over(w_bal).cast("long"))
+        .filter((F.col("supplier_cost_rank") == 1) & (F.col("supplier_rank") <= 100))
+        .select(
+            "supplier_key",
+            "supplier_name",
+            "supplier_account_balance",
+            "supplier_nation_name",
+            "supplier_region_key",
+            "supplier_region_name",
+            "part_key",
+            "part_brand_name",
+            "part_size",
+            "part_type_name",
+            "supplier_cost_proxy",
+            "supplier_cost_rank",
+            "supplier_rank",
+        )
+    )
+
+
+oracle(
+    "rpt_minimum_cost_suppliers_adapted",
+    ("base_line_item", "dim_supplier", "dim_part"),
+    f"""WITH pairs AS (
+    SELECT
+        part_key,
+        supplier_key,
+        {rnd_sql(dsum_sql('extended_price') + ' / ' + dsum_sql('quantity'), 4)}
+            AS supplier_cost_proxy
+    FROM base_line_item
+    GROUP BY 1, 2
+),
+enriched AS (
+    SELECT
+        pr.supplier_key,
+        s.supplier_name,
+        s.supplier_account_balance,
+        s.supplier_nation_name,
+        s.supplier_region_key,
+        s.supplier_region_name,
+        pr.part_key,
+        p.part_brand_name,
+        p.part_size,
+        p.part_type_name,
+        pr.supplier_cost_proxy,
+        CAST(RANK() OVER (
+            PARTITION BY s.supplier_region_key, pr.part_key
+            ORDER BY pr.supplier_cost_proxy
+        ) AS BIGINT) AS supplier_cost_rank,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY s.supplier_region_key, pr.part_key,
+                         pr.supplier_cost_proxy
+            ORDER BY s.supplier_account_balance DESC, pr.supplier_key
+        ) AS BIGINT) AS supplier_rank
+    FROM pairs pr
+    JOIN dim_supplier s ON pr.supplier_key = s.supplier_key
+    JOIN dim_part p ON pr.part_key = p.part_key
+)
+SELECT * FROM enriched
+WHERE supplier_cost_rank = 1 AND supplier_rank <= 100""",
 )

@@ -420,10 +420,15 @@ def customers_bloom_prune(ctx):
         )
         .withColumn(
             "fp_rate",
-            rnd(
-                F.col("false_positives")
-                / (F.col("n_customers") - F.col("n_members")),
-                6,
+            # all-members segment -> NULL on both engines (Spark's /0 gives
+            # NULL, DuckDB's ieee default gives inf — the CASE unifies them)
+            F.when(
+                F.col("n_customers") > F.col("n_members"),
+                rnd(
+                    F.col("false_positives")
+                    / (F.col("n_customers") - F.col("n_members")),
+                    6,
+                ),
             ),
         )
     )
@@ -473,7 +478,9 @@ SELECT customer_market_segment_name,
     CAST(SUM(CASE WHEN customer_account_balance > {BLOOM_BALANCE_CUTOFF} THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
     CAST(SUM(is_candidate) AS BIGINT) AS n_candidates,
     CAST(SUM(CASE WHEN is_candidate = 1 AND NOT (customer_account_balance > {BLOOM_BALANCE_CUTOFF}) THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
-    {rnd_sql(f"SUM(CASE WHEN is_candidate = 1 AND NOT (customer_account_balance > {BLOOM_BALANCE_CUTOFF}) THEN 1 ELSE 0 END) * 1.0 / (COUNT(*) - SUM(CASE WHEN customer_account_balance > {BLOOM_BALANCE_CUTOFF} THEN 1 ELSE 0 END))", 6)} AS fp_rate
+    CASE WHEN COUNT(*) > SUM(CASE WHEN customer_account_balance > {BLOOM_BALANCE_CUTOFF} THEN 1 ELSE 0 END)
+         THEN {rnd_sql(f"SUM(CASE WHEN is_candidate = 1 AND NOT (customer_account_balance > {BLOOM_BALANCE_CUTOFF}) THEN 1 ELSE 0 END) * 1.0 / (COUNT(*) - SUM(CASE WHEN customer_account_balance > {BLOOM_BALANCE_CUTOFF} THEN 1 ELSE 0 END))", 6)}
+         END AS fp_rate
 FROM tagged
 GROUP BY 1""",
 )

@@ -182,8 +182,9 @@ def merge_upsert(
     table, the corpus is unpartitioned); a real deployment would swap this
     for MERGE INTO on a table format, same logical plan.
 
-    Writes to a temp sibling then swaps, so a failed job never leaves the
-    target half-written."""
+    Writes to a temp sibling, parks the old target aside, then promotes —
+    a failed WRITE never touches the target, and a crash mid-swap leaves
+    the previous state recoverable at ``<path>__merge_old``."""
     import os
     import shutil
 
@@ -196,12 +197,19 @@ def merge_upsert(
         # keep the max-version row per key across both sides
         from pyspark.sql.window import Window
 
-        merged = target.unionByName(updates)
-        w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+        # __side breaks equal-version ties deterministically in favor of
+        # the update row, so replaying a near-duplicate batch converges
+        # instead of picking a nondeterministic window winner
+        merged = target.withColumn("__side", F.lit(0)).unionByName(
+            updates.withColumn("__side", F.lit(1))
+        )
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(version_col).desc(), F.col("__side").desc()
+        )
         result = (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", "__side")
         )
     else:
         keys = updates.select(*key_cols).distinct()
@@ -214,7 +222,13 @@ def merge_upsert(
     tmp = f"{path}__merge_tmp"
     result.write.mode("overwrite").parquet(tmp)
     n_result = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
+    # park-then-promote: never rmtree the only copy before the new one is
+    # in place — a crash between the renames leaves `old` recoverable
+    old = f"{path}__merge_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     updated = n_target + n_updates - n_result
     return {"inserted": n_updates - updated, "updated": updated}

@@ -122,3 +122,14 @@ def test_merge_upsert(spark, sf_dir, tmp_path):
     merge_upsert(spark, path, stale, ["k"], version_col="ver")
     got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+    # EQUAL-version collision: the update side must win deterministically
+    # (replaying a corrected same-version batch converges on the new value)
+    tie = spark.createDataFrame([(2, "B2", 2)], "k int, v string, ver int")
+    merge_upsert(spark, path, tie, ["k"], version_col="ver")
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    # and replaying the same batch again is a no-op fixed point
+    merge_upsert(spark, path, tie, ["k"], version_col="ver")
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
