@@ -78,6 +78,10 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "tpch_q05_local_supplier_volume",
     "events_hll_users",
+    # round-3 additions
+    "rpt_minimum_cost_suppliers_adapted",
+    "embeddings_pca_variance",
+    "doc_repetition_stats",
 ]
 
 

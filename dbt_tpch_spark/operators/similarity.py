@@ -720,3 +720,145 @@ GROUP BY label"""
 
 
 oracle("embeddings_label_cohesion", (), _cohesion_oracle())
+
+
+# --------------------------------------------------------------------------
+# deterministic contrastive negative sampling
+# --------------------------------------------------------------------------
+
+NEG_K = 5
+NEG_BUCKETS = 16
+NEG_PROBES = 4
+NEG_SALT = "neg|"
+NEG_BUCKET_SALT = "negb|"
+NEG_PROBE_SALT = "negq|"
+
+
+@model("embeddings_negative_samples", layer="operators", materialization="view")
+def embeddings_negative_samples(ctx):
+    """Deterministic negative sampling for contrastive training: each query
+    (vec_id < N_QUERIES) draws NEG_K pseudo-random negatives — vectors with
+    a DIFFERENT ground-truth label — plus the exact cosine of each pair
+    (the stat a hard-negative-mining curriculum consumes).
+
+    Scale shape (the reason this is not a cross join): every corpus vector
+    hashes into one of NEG_BUCKETS buckets; a query probes only the
+    NEG_PROBES buckets derived from its own id, so candidate generation is
+    an equi-join touching NEG_PROBES/NEG_BUCKETS of the corpus per query —
+    the same bucket-then-rank discipline as the LSH ANN path. Within the
+    probed slice, the salted md5 of the (query, candidate) pair is the
+    sampling key: uniform, reproducible run-to-run and engine-to-engine,
+    independent of partition layout. At 100 TB you raise NEG_BUCKETS to
+    keep the probed slice constant-sized per query."""
+    e = ctx.source("embeddings")
+    cand = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_emb"),
+        F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias("c_vv"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(NEG_BUCKET_SALT), F.col("vec_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias("q_vv"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(NEG_PROBE_SALT),
+                            F.col("vec_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            )
+            .cast("int")
+            .alias("b0"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(NEG_PROBES - 1))
+            ).alias("probe"),
+        )
+        .withColumn("bucket", (F.col("b0") + F.col("probe")) % NEG_BUCKETS)
+    )
+    score = F.md5(
+        F.concat(
+            F.lit(NEG_SALT),
+            F.col("query_id").cast("string"),
+            F.lit("|"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    cos = F.expr(DOT_SPARK.format(a="q_emb", b="c_emb")) / (
+        F.sqrt(F.col("q_vv")) * F.sqrt(F.col("c_vv"))
+    )
+    w = Window.partitionBy("query_id").orderBy("sample_key", "neg_id")
+    return (
+        q.join(cand, "bucket")
+        .filter(F.col("q_label") != F.col("neg_label"))
+        .withColumn("sample_key", score)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= NEG_K)
+        .select(
+            "query_id",
+            "neg_id",
+            "neg_label",
+            "sample_rank",
+            rnd(cos, 6).alias("cosine"),
+        )
+    )
+
+
+oracle(
+    "embeddings_negative_samples",
+    ("embeddings",),
+    f"""WITH cand AS (
+    SELECT vec_id AS neg_id, label AS neg_label, embedding AS c_emb,
+           {dot_duck('embedding', 'embedding')} AS c_vv,
+           CAST(strpos('0123456789abcdef', substring(md5(concat('{NEG_BUCKET_SALT}', CAST(vec_id AS VARCHAR))), 1, 1)) - 1 AS INTEGER) AS bucket
+    FROM embeddings
+),
+q AS (
+    SELECT e.vec_id AS query_id, e.label AS q_label, e.embedding AS q_emb,
+           {dot_duck('e.embedding', 'e.embedding')} AS q_vv,
+           (CAST(strpos('0123456789abcdef', substring(md5(concat('{NEG_PROBE_SALT}', CAST(e.vec_id AS VARCHAR))), 1, 1)) - 1 AS INTEGER) + p.probe) % {NEG_BUCKETS} AS bucket
+    FROM embeddings e
+    CROSS JOIN (SELECT UNNEST(range(0, {NEG_PROBES})) AS probe) p
+    WHERE e.vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, c.neg_id, c.neg_label,
+           md5(concat('{NEG_SALT}', CAST(q.query_id AS VARCHAR), '|', CAST(c.neg_id AS VARCHAR))) AS sample_key,
+           {rnd_sql(f"{dot_duck('q.q_emb', 'c.c_emb')} / (sqrt(q.q_vv) * sqrt(c.c_vv))", 6)} AS cosine
+    FROM q JOIN cand c ON q.bucket = c.bucket AND q.q_label != c.neg_label
+),
+ranked AS (
+    SELECT *,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sample_key, neg_id
+           ) AS BIGINT) AS sample_rank
+    FROM scored
+)
+SELECT query_id, neg_id, neg_label, sample_rank, cosine
+FROM ranked WHERE sample_rank <= {NEG_K}""",
+)

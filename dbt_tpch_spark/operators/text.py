@@ -337,3 +337,169 @@ SELECT
 FROM scored
 GROUP BY 1, 2""",
 )
+
+
+# --------------------------------------------------------------------------
+# repetition-based quality signals (Gopher-style rules)
+# --------------------------------------------------------------------------
+
+#: Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models" §A1.1
+#: give the spirit; exact cutoffs tuned to the synthetic corpus)
+REP_DUP_WORD_MAX = 0.6
+REP_RUN_MAX = 2
+
+
+@model("doc_repetition_stats", layer="operators", materialization="view")
+def doc_repetition_stats(ctx):
+    """Per-document repetition signals — the quality-filter family that
+    catches boilerplate/looping text which length or stopword ratios miss
+    (Gopher-style rules): duplicate-word ratio, most-frequent-word and
+    most-frequent-bigram mass, longest consecutive same-word run, and the
+    resulting keep/drop flag.
+
+    Only the max COUNTS are reported (never the argmax token — ties would
+    make the winning token engine-order-dependent). Runs are found with
+    the islands trick: pos - row_number within (doc, word) is constant
+    exactly along a consecutive run.
+
+    Scale: one explode + two doc-keyed aggregations and one doc-partitioned
+    window — everything hash-partitions on doc_id; no joins other than the
+    final doc-grain assembly of two pre-aggregated frames."""
+    from pyspark.sql.window import Window
+
+    d = ctx.source("documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
+            "pos", "word"
+        ),
+    )
+    # longest same-word run via islands: pos - rank-within-(doc,word)
+    w_isl = Window.partitionBy("doc_id", "word").orderBy("pos")
+    runs = (
+        words.withColumn(
+            "island", F.col("pos") - F.row_number().over(w_isl)
+        )
+        .groupBy("doc_id", "word", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").cast("long").alias("max_run_len"))
+    )
+    wc = words.groupBy("doc_id", "lang", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    base = wc.groupBy("doc_id", "lang").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        F.max("n").cast("long").alias("top_word_count"),
+    )
+    bigrams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with("
+                    " slice(split(lower(trim(text)), ' '), 1,"
+                    "       size(split(lower(trim(text)), ' ')) - 1),"
+                    " slice(split(lower(trim(text)), ' '), 2,"
+                    "       size(split(lower(trim(text)), ' ')) - 1),"
+                    " (x, y) -> concat(x, ' ', y))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").cast("long").alias("top_bigram_count"))
+    )
+    dup_ratio = (
+        F.lit(1.0)
+        - F.col("n_distinct_words") / F.col("n_words").cast("double")
+    )
+    return (
+        base.join(runs, "doc_id")
+        .join(bigrams, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_distinct_words",
+            rnd(dup_ratio, 6).alias("dup_word_ratio"),
+            rnd(
+                F.col("top_word_count") / F.col("n_words").cast("double"), 6
+            ).alias("top_word_fraction"),
+            rnd(
+                F.col("top_bigram_count")
+                / (F.col("n_words") - 1).cast("double"),
+                6,
+            ).alias("top_bigram_fraction"),
+            "max_run_len",
+            (
+                (dup_ratio > REP_DUP_WORD_MAX)
+                | (F.col("max_run_len") > REP_RUN_MAX)
+            ).alias("repetition_flag"),
+        )
+    )
+
+
+oracle(
+    "doc_repetition_stats",
+    ("documents",),
+    f"""WITH words AS (
+    SELECT doc_id, lang,
+           unnest(string_split(lower(trim(text)), ' ')) AS word,
+           generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+    FROM documents
+),
+runs AS (
+    SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS max_run_len
+    FROM (
+        SELECT doc_id, word, island, COUNT(*) AS run_len
+        FROM (
+            SELECT doc_id, word, pos,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, word ORDER BY pos
+                   ) AS island
+            FROM words
+        )
+        GROUP BY doc_id, word, island
+    )
+    GROUP BY doc_id
+),
+wc AS (
+    SELECT doc_id, lang, word, COUNT(*) AS n
+    FROM words GROUP BY 1, 2, 3
+),
+base AS (
+    SELECT doc_id, lang,
+           CAST(SUM(n) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+           CAST(MAX(n) AS BIGINT) AS top_word_count
+    FROM wc GROUP BY 1, 2
+),
+bigrams AS (
+    SELECT a.doc_id, CAST(MAX(n) AS BIGINT) AS top_bigram_count
+    FROM (
+        SELECT x.doc_id, concat(x.word, ' ', y.word) AS bigram, COUNT(*) AS n
+        FROM words x
+        JOIN words y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+        GROUP BY 1, 2
+    ) a
+    GROUP BY a.doc_id
+)
+SELECT
+    b.doc_id,
+    b.lang,
+    b.n_words,
+    b.n_distinct_words,
+    {rnd_sql('1.0 - b.n_distinct_words / CAST(b.n_words AS DOUBLE)', 6)} AS dup_word_ratio,
+    {rnd_sql('b.top_word_count / CAST(b.n_words AS DOUBLE)', 6)} AS top_word_fraction,
+    {rnd_sql('g.top_bigram_count / CAST(b.n_words - 1 AS DOUBLE)', 6)} AS top_bigram_fraction,
+    r.max_run_len,
+    ((1.0 - b.n_distinct_words / CAST(b.n_words AS DOUBLE)) > {REP_DUP_WORD_MAX}
+     OR r.max_run_len > {REP_RUN_MAX}) AS repetition_flag
+FROM base b
+JOIN runs r ON b.doc_id = r.doc_id
+JOIN bigrams g ON b.doc_id = g.doc_id""",
+)
