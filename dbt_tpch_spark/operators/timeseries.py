@@ -970,3 +970,122 @@ JOIN baseline b
   ON h.event_type = b.event_type
  AND CAST(EXTRACT(hour FROM h.bucket) AS BIGINT) = b.hour_of_day""",
 )
+
+
+# --------------------------------------------------------------------------
+# incremental-rollup mergeability proof
+# --------------------------------------------------------------------------
+
+#: days after the corpus min(ts) where the old/delta split falls
+INCR_SPLIT_DAYS = 14
+
+
+@model("events_incremental_rollup_check", layer="operators", materialization="view")
+def events_incremental_rollup_check(ctx):
+    """Partial-aggregation mergeability proof as a query (the ordinary-agg
+    companion to events_hll_merge_check): splitting the corpus at a cutoff,
+    aggregating each half, and MERGING the partials must equal aggregating
+    the whole — per event_type, for count / exact-decimal sum / min / max.
+    This is the algebraic property every incremental warehouse rollup and
+    every Spark map-side partial aggregation relies on; materializing it as
+    a hash-checked query pins it against regression (e.g. someone 'fixing'
+    dsum to round partials early would break exact associativity — and this
+    query).
+
+    The intermediate sums stay DECIMAL end-to-end and only the MERGED
+    result casts to double: rounding partials before merging is exactly the
+    bug this proof exists to catch. Scale: three aggregations over one
+    scan's worth of data, all map-side combinable; the cutoff is
+    min(ts) + INCR_SPLIT_DAYS computed once and broadcast."""
+    e = ctx.source("events")
+    cutoff = e.agg(
+        F.date_add(F.to_date(F.min("ts")), INCR_SPLIT_DAYS).alias("cut")
+    )
+    t = e.crossJoin(F.broadcast(cutoff)).withColumn(
+        "is_old", F.to_date("ts") < F.col("cut")
+    )
+    acc = F.col("value").cast("decimal(27,6)")
+    partials = t.groupBy("event_type", "is_old").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(acc).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_merged"),
+        F.sum("s").cast("double").alias("total_merged"),
+        F.min("mn").alias("min_merged"),
+        F.max("mx").alias("max_merged"),
+    )
+    direct = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_direct"),
+        F.sum(acc).cast("double").alias("total_direct"),
+        F.min("value").alias("min_direct"),
+        F.max("value").alias("max_direct"),
+    )
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_direct",
+            "n_merged",
+            "total_direct",
+            "total_merged",
+            "min_direct",
+            "min_merged",
+            "max_direct",
+            "max_merged",
+            (
+                (F.col("n_direct") == F.col("n_merged"))
+                & (F.col("total_direct") == F.col("total_merged"))
+                & (F.col("min_direct") == F.col("min_merged"))
+                & (F.col("max_direct") == F.col("max_merged"))
+            ).alias("rollup_consistent"),
+        )
+    )
+
+
+oracle(
+    "events_incremental_rollup_check",
+    ("events",),
+    f"""WITH cut AS (
+    SELECT CAST(MIN(ts) AS DATE) + {INCR_SPLIT_DAYS} AS cut FROM events
+),
+partials AS (
+    SELECT event_type,
+           CAST(ts AS DATE) < (SELECT cut FROM cut) AS is_old,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(27,6))) AS s,
+           MIN(value) AS mn,
+           MAX(value) AS mx
+    FROM events
+    GROUP BY 1, 2
+),
+merged AS (
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS n_merged,
+           CAST(SUM(s) AS DOUBLE) AS total_merged,
+           MIN(mn) AS min_merged,
+           MAX(mx) AS max_merged
+    FROM partials GROUP BY 1
+),
+direct AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_direct,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_direct,
+           MIN(value) AS min_direct,
+           MAX(value) AS max_direct
+    FROM events GROUP BY 1
+)
+SELECT
+    d.event_type,
+    d.n_direct, m.n_merged,
+    d.total_direct, m.total_merged,
+    d.min_direct, m.min_merged,
+    d.max_direct, m.max_merged,
+    (d.n_direct = m.n_merged
+     AND d.total_direct = m.total_merged
+     AND d.min_direct = m.min_merged
+     AND d.max_direct = m.max_merged) AS rollup_consistent
+FROM direct d JOIN merged m ON d.event_type = m.event_type""",
+)
