@@ -23,9 +23,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dbt_tpch_spark.functions import rnd
+from dbt_tpch_spark.functions import dsum, rnd
 from dbt_tpch_spark.plans import model
-from dbt_tpch_spark.models.oracle import oracle, rnd_sql
+from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
 
 # --------------------------------------------------------------------------
 # shared expression text (valid in BOTH Spark SQL and DuckDB)
@@ -714,4 +714,60 @@ SELECT
     MAX(doc_id) AS max_doc_id
 FROM labels
 GROUP BY 1""",
+)
+
+
+@model("dedup_source_matrix", layer="operators", materialization="view")
+def dedup_source_matrix(ctx):
+    """Cross-source duplication forensics: the MinHash-LSH near-dup pairs
+    rolled up to (source, source) cells — which sources copy from which,
+    how many near-dup pairs cross the boundary, and how similar they are.
+    The standard corpus-audit artifact before fixing mixture weights
+    (within-source duplication inflates a source's effective weight;
+    cross-source duplication leaks eval/train boundaries).
+
+    Composition, not reimplementation: rides ``ctx.ref('dedup_minhash_lsh')``
+    (the model DAG edge), joins the pair list — tiny next to the corpus —
+    against the broadcast (doc_id, source) projection twice, and
+    aggregates to the source-pair grain with least/greatest
+    canonicalization so each cell appears once."""
+    pairs = ctx.ref("dedup_minhash_lsh")
+    src = ctx.source("documents").select("doc_id", "source")
+    sa = src.withColumnsRenamed({"doc_id": "doc_a", "source": "src_a"})
+    sb = src.withColumnsRenamed({"doc_id": "doc_b", "source": "src_b"})
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            "jaccard",
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            rnd(dsum(F.col("jaccard")) / F.count(F.lit(1)), 6).alias(
+                "mean_jaccard"
+            ),
+        )
+        .withColumn(
+            "is_cross_source", F.col("source_lo") != F.col("source_hi")
+        )
+    )
+
+
+oracle(
+    "dedup_source_matrix",
+    ("dedup_minhash_lsh", "documents"),
+    f"""SELECT
+    LEAST(sa.source, sb.source) AS source_lo,
+    GREATEST(sa.source, sb.source) AS source_hi,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    {rnd_sql(dsum_sql('p.jaccard') + ' / COUNT(*)', 6)} AS mean_jaccard,
+    LEAST(sa.source, sb.source) != GREATEST(sa.source, sb.source)
+        AS is_cross_source
+FROM dedup_minhash_lsh p
+JOIN documents sa ON p.doc_a = sa.doc_id
+JOIN documents sb ON p.doc_b = sb.doc_id
+GROUP BY 1, 2""",
 )

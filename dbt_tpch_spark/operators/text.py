@@ -503,3 +503,87 @@ FROM base b
 JOIN runs r ON b.doc_id = r.doc_id
 JOIN bigrams g ON b.doc_id = g.doc_id""",
 )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate scan (distributed tokenizer-training step)
+# --------------------------------------------------------------------------
+
+BPE_TOP_MERGES = 20
+
+
+@model("doc_bpe_merges", layer="operators", materialization="view")
+def doc_bpe_merges(ctx):
+    """The first step of BPE tokenizer training as a query: adjacent
+    character-pair frequencies over the corpus (weighted by word
+    occurrence counts, the classic word-type x count formulation) and the
+    BPE_TOP_MERGES best merge candidates. A full BPE trainer loops this
+    scan with re-segmentation; the expensive distributed part — the
+    corpus-wide pair census — is exactly this plan, re-run per merge round
+    on the (small) word-type table.
+
+    Scale: the corpus collapses to the word-type table first (one shuffle,
+    map-side combined), so pair expansion runs over distinct words (vocab,
+    ~log corpus), not raw tokens. The final ranking window is
+    unpartitioned but runs over the aggregated pair table (alphabet^2
+    bounded)."""
+    from pyspark.sql.window import Window
+
+    d = ctx.source("documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "n",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select("word", "n", F.expr("substr(word, i, 2)").alias("pair"))
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("n").cast("long").alias("n_occurrences"),
+        F.countDistinct("word").cast("long").alias("n_word_types"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        agg.withColumn("merge_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("merge_rank") <= BPE_TOP_MERGES)
+        .select("merge_rank", "pair", "n_occurrences", "n_word_types")
+    )
+
+
+oracle(
+    "doc_bpe_merges",
+    ("documents",),
+    f"""WITH words AS (
+    SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+    FROM documents
+),
+wc AS (
+    SELECT word, COUNT(*) AS n FROM words GROUP BY 1
+),
+pairs AS (
+    SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, n, word
+    FROM (
+        SELECT word, n, unnest(range(1, length(word))) AS i
+        FROM wc WHERE length(word) >= 2
+    )
+),
+agg AS (
+    SELECT pair,
+           CAST(SUM(n) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_word_types
+    FROM pairs GROUP BY 1
+)
+SELECT
+    CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS BIGINT)
+        AS merge_rank,
+    pair, n_occurrences, n_word_types
+FROM agg
+QUALIFY merge_rank <= {BPE_TOP_MERGES}""",
+)

@@ -1089,3 +1089,134 @@ SELECT
      AND d.max_direct = m.max_merged) AS rollup_consistent
 FROM direct d JOIN merged m ON d.event_type = m.event_type""",
 )
+
+
+# --------------------------------------------------------------------------
+# last-touch attribution
+# --------------------------------------------------------------------------
+
+ATTR_WINDOW_HOURS = 168  # 7 days
+ATTR_TOUCH_TYPES = ("click", "signup", "view")
+
+
+@model("events_attribution", layer="operators", materialization="view")
+def events_attribution(ctx):
+    """Last-touch revenue attribution: every purchase credits the most
+    recent preceding touch event (click/signup/view) by the same user
+    within ATTR_WINDOW_HOURS; purchases with no qualifying touch land in
+    the 'unattributed' bucket. The output is the per-channel report a
+    marketing/metrics stack derives from raw event streams.
+
+    Join-free (the as-of-join family, operators/temporal.py): touches and
+    purchases union into one frame, ONE shuffle on user_id, and
+    ``last(..., ignorenulls)`` over the ordered window carries the latest
+    touch type/time onto each purchase row. Ties at identical timestamps
+    resolve touch-before-purchase then by event_id — deterministic on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    e = ctx.source("events")
+    touches = e.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_touch"),
+        F.col("event_type").alias("touch_type"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("is_touch"),
+        F.lit(None).cast("string").alias("touch_type"),
+        F.col("value").alias("purchase_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_touch").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_ts = F.when(F.col("is_touch") == 1, F.col("ts"))
+    tagged = (
+        touches.unionByName(purchases)
+        .withColumn(
+            "last_touch_type",
+            F.last("touch_type", ignorenulls=True).over(w),
+        )
+        .withColumn("last_touch_ts", F.last(touch_ts, ignorenulls=True).over(w))
+    )
+    mins = (
+        F.col("ts").cast("double") - F.col("last_touch_ts").cast("double")
+    ) / 60.0
+    in_window = F.col("last_touch_ts").isNotNull() & (
+        mins <= ATTR_WINDOW_HOURS * 60.0
+    )
+    return (
+        tagged.filter(F.col("is_touch") == 0)
+        .select(
+            F.when(in_window, F.col("last_touch_type"))
+            .otherwise(F.lit("unattributed"))
+            .alias("touch_type"),
+            "purchase_value",
+            F.when(in_window, mins).alias("mins_since_touch"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            rnd(dsum(F.col("purchase_value")), 4).alias("attributed_value"),
+            rnd(
+                dsum(F.col("mins_since_touch"))
+                / F.count("mins_since_touch"),
+                4,
+            ).alias("avg_mins_since_touch"),
+        )
+    )
+
+
+oracle(
+    "events_attribution",
+    ("events",),
+    f"""WITH u AS (
+    SELECT user_id, ts, event_id, 1 AS is_touch,
+           event_type AS touch_type, CAST(NULL AS DOUBLE) AS purchase_value
+    FROM events WHERE event_type IN ('click', 'signup', 'view')
+    UNION ALL
+    SELECT user_id, ts, event_id, 0, NULL, value
+    FROM events WHERE event_type = 'purchase'
+),
+tagged AS (
+    SELECT *,
+        last_value(touch_type IGNORE NULLS) OVER w AS last_touch_type,
+        last_value(CASE WHEN is_touch = 1 THEN ts END IGNORE NULLS)
+            OVER w AS last_touch_ts
+    FROM u
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY ts, is_touch DESC, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+),
+p AS (
+    SELECT
+        CASE WHEN last_touch_ts IS NOT NULL
+                  AND (epoch(ts) - epoch(last_touch_ts)) / 60.0
+                      <= {ATTR_WINDOW_HOURS * 60.0}
+             THEN last_touch_type ELSE 'unattributed' END AS touch_type,
+        purchase_value,
+        CASE WHEN last_touch_ts IS NOT NULL
+                  AND (epoch(ts) - epoch(last_touch_ts)) / 60.0
+                      <= {ATTR_WINDOW_HOURS * 60.0}
+             THEN (epoch(ts) - epoch(last_touch_ts)) / 60.0 END
+            AS mins_since_touch
+    FROM tagged WHERE is_touch = 0
+)
+SELECT
+    touch_type,
+    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+    {rnd_sql(dsum_sql('purchase_value'), 4)} AS attributed_value,
+    {rnd_sql(dsum_sql('mins_since_touch') + ' / COUNT(mins_since_touch)', 4)}
+        AS avg_mins_since_touch
+FROM p
+GROUP BY 1""",
+)
