@@ -46,6 +46,17 @@ SHUFFLE_BUDGETS = {
     "events_cms_topusers": 4,
     "customers_semi_anti": 3,
     "tpch_q22_global_sales_opportunity": 2,
+    # round-3 operators
+    "embeddings_pca_variance": 2,
+    "embeddings_negative_samples": 1,
+    "doc_repetition_stats": 6,
+    "doc_bpe_merges": 2,
+    "dedup_source_matrix": 8,  # 7 inherited from dedup_minhash_lsh + 1 rollup
+    "events_attribution": 2,
+    "events_incremental_rollup_check": 4,
+    "rpt_minimum_cost_suppliers_adapted": 2,
+    "docs_shuffle_global": 3,
+    "events_value_quantile_bins": 4,
 }
 
 
