@@ -64,8 +64,11 @@ def _vectors(ctx):
 
     # the corpus parquet is a single row group -> one input partition; the
     # per-round assignment is CPU-bound decimal math, so spread it across
-    # cores ON THE WINDOW KEY (vec_id) — every round's ranking window then
-    # reuses this partitioning with zero further exchanges
+    # cores. Physical spread is all that matters here: the per-round argmin
+    # is a map-side-combinable aggregation (see _fit), so each round's
+    # shuffle moves only the 1-row-per-vector partials regardless of
+    # metadata (localCheckpoint drops outputPartitioning in this Spark
+    # version — the old rank-window design silently re-shuffled)
     e = ctx.source("embeddings").repartition(_doc_parallelism(ctx), "vec_id")
     return e.select(
         "vec_id",
@@ -93,8 +96,13 @@ def _fit(ctx):
         )
         .localCheckpoint(eager=True)
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell_id"))
     for _ in range(ITERS):
+        # argmin as an aggregation, not a rank window: min(struct(d2,
+        # cell_id)) reproduces the (d2 asc, cell_id) tie-break exactly, is
+        # map-side combinable (1 row/vector crosses the wire instead of K
+        # sorted rows), and needs no partitioning metadata — which
+        # localCheckpoint drops in this Spark version, so the old window
+        # was silently re-shuffling the corpus every round
         assigned = (
             v.crossJoin(
                 F.broadcast(
@@ -104,8 +112,12 @@ def _fit(ctx):
                 )
             )
             .withColumn("d2", _d2())
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cell_id")).alias("a"),
+                F.first("emb").alias("emb"),
+            )
+            .select("vec_id", F.col("a.cell_id").alias("cell_id"), "emb")
         )
         cents = (
             assigned.select("cell_id", F.posexplode("emb").alias("pos", "val"))
@@ -125,13 +137,34 @@ def _fit(ctx):
     return v, cents.withColumn("cc", F.expr(DOT_SPARK.format(a="cent", b="cent")))
 
 
-def _assign_ranked(v, cents):
-    """Every vector scored against every final centroid, ranked by d2."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell_id"))
+def _assign_ranked(v, cents, n: int):
+    """Every vector's n nearest final centroids, ranked by (d2, cell_id).
+
+    Aggregation-shaped top-n (sort_array(collect_list) over the K=16
+    candidate structs, sliced to n) instead of a rank window — same
+    tie-breaks, map-side combinable, no corpus re-sort."""
+    scored = v.crossJoin(F.broadcast(cents)).withColumn("d2", _d2())
     return (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("d2", _d2())
-        .withColumn("rn", F.row_number().over(w))
+        scored.groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("d2", "cell_id", "cc"))),
+                1,
+                n,
+            ).alias("top"),
+            F.first("emb").alias("emb"),
+            F.first("vv").alias("vv"),
+        )
+        .select("vec_id", "emb", "vv", F.posexplode("top").alias("p", "s"))
+        .select(
+            "vec_id",
+            "emb",
+            "vv",
+            F.col("s.d2").alias("d2"),
+            F.col("s.cell_id").alias("cell_id"),
+            F.col("s.cc").alias("cc"),
+            (F.col("p") + 1).alias("rn"),
+        )
     )
 
 
@@ -140,7 +173,7 @@ def kmeans_cells(ctx):
     """Per-cell summary after ITERS Lloyd's rounds: membership count,
     centroid norm, and within-cell inertia (sum of squared distances)."""
     v, cents = _fit(ctx)
-    final = _assign_ranked(v, cents).filter(F.col("rn") == 1)
+    final = _assign_ranked(v, cents, 1)
     return final.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         rnd(F.sqrt(F.first("cc")), 6).alias("centroid_norm"),
@@ -154,7 +187,7 @@ def ann_ivf_kmeans_topk(ctx):
     probe their N_PROBE nearest cells; candidates are ranked by exact
     cosine within the probed cells only."""
     v, cents = _fit(ctx)
-    ranked = _assign_ranked(v, cents)
+    ranked = _assign_ranked(v, cents, N_PROBE)
     members = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("c_emb"),

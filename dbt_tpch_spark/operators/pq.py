@@ -110,9 +110,9 @@ def _subvectors(ctx, emb=None):
             F.explode(F.sequence(F.lit(0), F.lit(M_SUBVECTORS - 1))).alias("m"),
             "embedding",
         )
-        # partition on the assignment-window key (vec_id, m): every Lloyd
-        # round's rank window then reuses this layout with zero further
-        # exchanges (same trick as the kmeans fit — 2.7x there)
+        # spread the single-row-group corpus across cores for the CPU-bound
+        # decimal math; per-round argmin is an aggregation with map-side
+        # combine (see _fit), so rounds never re-shuffle the table body
         .repartition(_doc_parallelism(ctx), "vec_id", "m")
         .select(
             "vec_id",
@@ -151,15 +151,19 @@ def _fit(ctx, iters: int = PQ_ITERS, emb=None):
         )
         .localCheckpoint(eager=True)
     )
-    w_assign = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d2").asc(), F.col("code")
-    )
     for _ in range(iters):
+        # argmin as a map-side-combinable aggregation (see kmeans._fit):
+        # min(struct(d2, code)) == the (d2 asc, code) rank-1 row, without
+        # re-shuffling the subvector table every round
         assigned = (
             sub.join(F.broadcast(_with_cc(cents)), "m")
             .withColumn("d2", _d2())
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(F.struct("d2", "code")).alias("a"),
+                F.first("subv").alias("subv"),
+            )
+            .select("vec_id", "m", F.col("a.code").alias("code"), "subv")
         )
         cents = (
             assigned.select("m", "code", F.posexplode("subv").alias("pos", "val"))
@@ -178,14 +182,19 @@ def _fit(ctx, iters: int = PQ_ITERS, emb=None):
 
 
 def _encode(sub, cents):
-    """Nearest-code assignment per (vec_id, m) against the final codebook."""
-    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("code"))
+    """Nearest-code assignment per (vec_id, m) against the final codebook
+    (aggregation-shaped argmin, see _fit)."""
     return (
         sub.join(F.broadcast(cents), "m")
         .withColumn("d2", _d2())
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code", "d2")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("a"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("a.code").alias("code"),
+            F.col("a.d2").alias("d2"),
+        )
     )
 
 

@@ -362,12 +362,25 @@ def doc_repetition_stats(ctx):
     the islands trick: pos - row_number within (doc, word) is constant
     exactly along a consecutive run.
 
-    Scale: one explode + two doc-keyed aggregations and one doc-partitioned
-    window — everything hash-partitions on doc_id; no joins other than the
-    final doc-grain assembly of two pre-aggregated frames."""
+    Scale: the corpus repartitions on doc_id BEFORE the explode, and every
+    downstream key (the (doc_id, word) window, the (doc_id, word[, island])
+    and doc-grain aggregations, the doc_id assembly joins) CONTAINS doc_id
+    — hash(doc_id) satisfies all their clustered distributions, so the
+    only exchanges left are the three per-branch repartitions of the raw
+    (pre-explode) doc frame; nothing exploded ever shuffles (pinned in
+    tests/test_plan_budgets.py). localCheckpoint can't merge the three
+    branches here: it drops outputPartitioning in this Spark version,
+    which reintroduces post-explode shuffles — worse than re-reading the
+    pruned scan."""
     from pyspark.sql.window import Window
 
-    d = ctx.source("documents")
+    from dbt_tpch_spark.operators.dedup import _doc_parallelism
+
+    d = (
+        ctx.source("documents")
+        .select("doc_id", "lang", "text")
+        .repartition(_doc_parallelism(ctx), "doc_id")
+    )
     words = d.select(
         "doc_id",
         "lang",

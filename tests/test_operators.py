@@ -250,7 +250,7 @@ def test_kmeans_inertia_decreases_and_partitions(spark, sf_dir):
 
     for _ in range(K.ITERS):
         withcc = cents.withColumn("cc", F2.expr(DOT_SPARK.format(a="cent", b="cent")))
-        ranked = K._assign_ranked(v, withcc)
+        ranked = K._assign_ranked(v, withcc, 1)
         best = ranked.filter(F2.col("rn") == 1)
         inertias.append(best.agg(F2.sum("d2")).collect()[0][0])
         cents = (

@@ -49,7 +49,9 @@ SHUFFLE_BUDGETS = {
     # round-3 operators
     "embeddings_pca_variance": 2,
     "embeddings_negative_samples": 1,
-    "doc_repetition_stats": 6,
+    # 3 pre-explode repartitions of the pruned doc frame (one per branch);
+    # every post-explode window/agg/join runs exchange-free on hash(doc_id)
+    "doc_repetition_stats": 3,
     "doc_bpe_merges": 2,
     "dedup_source_matrix": 8,  # 7 inherited from dedup_minhash_lsh + 1 rollup
     "events_attribution": 2,
