@@ -111,10 +111,11 @@ def parts_pagerank(ctx):
     node-sized state moves. Either way the per-round groupBy(dst) is the
     one fundamental edge shuffle, with map-side partial aggregation."""
     n_part = int(ctx.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    edges = (
-        _edges(ctx).repartition(n_part, "src").localCheckpoint(eager=True)
-    )
-    # edges is already hash-partitioned on src -> no exchange for deg
+    # cache, not localCheckpoint: the cached InMemoryRelation KEEPS the
+    # hash(src) outputPartitioning (localCheckpoint drops it in this Spark
+    # version), so deg and every co-partitioned round below consume edges
+    # with zero further exchanges; deg.count() materializes it
+    edges = _edges(ctx).repartition(n_part, "src").cache()
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
     n_nodes = deg.count()
     broadcast_state = n_nodes <= BROADCAST_STATE_MAX_NODES

@@ -167,10 +167,20 @@ def test_pagerank_copartition_mode_has_no_state_broadcast(spark, sf_dir):
     finally:
         DataFrame.localCheckpoint = real_ckpt
         g.BROADCAST_STATE_MAX_NODES = saved
-    # edges + pr-init + one per iteration
-    assert len(captured) >= 2 + g.ITERS
+    # pr-init + one per iteration (edges are cached, not checkpointed)
+    assert len(captured) >= 1 + g.ITERS
+    import re
+
     for plan in captured:
         assert "BroadcastExchange" not in plan, plan
+        # the cached edge table must be consumed as-is: no round may insert
+        # an ENSURE_REQUIREMENTS re-shuffle on the single src key (the
+        # REPARTITION_BY_NUM inside the InMemoryRelation build plan is the
+        # one-time cache fill, not a per-round cost)
+        assert not re.search(
+            r"Exchange hashpartitioning\(src#\d+L, \d+\), ENSURE_REQUIREMENTS",
+            plan,
+        ), plan
     assert df.count() > 0
 
 
