@@ -636,14 +636,21 @@ def dedup_clusters(ctx):
     stable. The oracle reaches the same fixpoint with a recursive CTE
     (transitive closure + MIN per node)."""
     pairs = ctx.ref("dedup_minhash_lsh").select("doc_a", "doc_b")
-    # undirected edges, both directions; checkpointed once (reused per round)
+    # undirected edges, both directions; cached partitioned on the per-round
+    # join key (cache keeps hash(doc_b) outputPartitioning where
+    # localCheckpoint would drop it — same pattern as parts_pagerank), so
+    # every propagation round consumes the edge table with zero further
+    # exchanges on the edge side
+    n_part = int(ctx.spark.conf.get("spark.sql.shuffle.partitions", "32"))
     edges = (
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(n_part, "doc_b")
+        .cache()
     )
+    edges.count()
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
