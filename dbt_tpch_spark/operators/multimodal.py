@@ -264,3 +264,169 @@ SELECT
     md5(substr(text, CAST(off + 1 AS INT), {FRAME_LEN})) AS frame_md5
 FROM frames""",
 )
+
+
+# --------------------------------------------------------------------------
+# perceptual-hash near-dup (aHash over the stub-decoded tensor, banded)
+# --------------------------------------------------------------------------
+
+PHASH_BITS = 64
+PHASH_BANDS = 8  # 8 x 8-bit bands
+#: pigeonhole guarantee: a pair within PHASH_HAMMING_MAX < PHASH_BANDS bit
+#: flips MUST agree on at least one band, so band blocking has 100% recall
+#: at this threshold (the same argument as MinHash banding).
+PHASH_HAMMING_MAX = 7
+
+PHASH_SCHEMA = (
+    "doc_id long, hash_hi long, hash_lo long, "
+    + ", ".join(f"band{k} long" for k in range(PHASH_BANDS))
+)
+
+
+def _phash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """aHash over the stub decode: the payload 'decodes' to a 64-bin
+    bigram-shingle histogram (each adjacent token pair hashes into one of
+    64 bins — the deterministic stand-in for a downscaled grayscale
+    tensor, chosen so near-duplicate payloads produce NEAR hashes, which
+    byte-level md5 would not; bigrams rather than unigrams so a
+    shared-vocabulary corpus stays discriminative), then the classic
+    average-hash threshold in exact integer arithmetic:
+    bit_i = (64 * bin_i >= total). A real deployment replaces the
+    histogram block with decode+downscale of the image; thresholding,
+    bit packing, and banding are the real aHash computation, unchanged."""
+    if _real_decoder_available():  # pragma: no cover
+        raise NotImplementedError("real image decode not wired here")
+    out = {
+        "doc_id": list(batch["doc_id"]),
+        "hash_hi": [],
+        "hash_lo": [],
+        **{f"band{k}": [] for k in range(PHASH_BANDS)},
+    }
+    for p in batch["payload"]:
+        toks = bytes(p).decode("utf-8").lower().strip().split(" ")
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        bins = [0] * PHASH_BITS
+        for g in grams:
+            bins[int(hashlib.md5(g.encode()).hexdigest()[:2], 16) % PHASH_BITS] += 1
+        total = len(grams)
+        bits = [1 if PHASH_BITS * v >= total else 0 for v in bins]
+        out["hash_hi"].append(sum(b << i for i, b in enumerate(bits[:32])))
+        out["hash_lo"].append(sum(b << i for i, b in enumerate(bits[32:])))
+        for k in range(PHASH_BANDS):
+            chunk = bits[8 * k : 8 * k + 8]
+            out[f"band{k}"].append(sum(b << i for i, b in enumerate(chunk)))
+    return pd.DataFrame(out)
+
+
+@model("multimodal_phash_dedup", layer="operators", materialization="view")
+def multimodal_phash_dedup(ctx):
+    """Perceptual-hash near-dup through the multimodal path: Arrow-batched
+    aHash of every payload (mapInPandas — the 'model stage'), then
+    LSH-style band blocking and an exact Hamming verify at
+    <= PHASH_HAMMING_MAX — the binary-modality twin of
+    dedup_simhash_pairs. Never all-pairs: candidates come from the band
+    equi-join, and the 8x8 banding is pigeonhole-complete at the chosen
+    threshold (any pair with <= 7 differing bits shares a band)."""
+    d = ctx.source("documents")
+    payload = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    ).repartition(8, "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _phash_batch(batch)
+
+    hashes = payload.mapInPandas(gen, schema=PHASH_SCHEMA).localCheckpoint(
+        eager=True
+    )
+    bands = hashes.select(
+        "doc_id",
+        "hash_hi",
+        "hash_lo",
+        F.posexplode(
+            F.array(*[F.col(f"band{k}") for k in range(PHASH_BANDS)])
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.withColumnsRenamed(
+        {"doc_id": "doc_a", "hash_hi": "hi_a", "hash_lo": "lo_a"}
+    )
+    b = bands.withColumnsRenamed(
+        {"doc_id": "doc_b", "hash_hi": "hi_b", "hash_lo": "lo_b"}
+    )
+    ham = (
+        F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
+    ).cast("long")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+
+
+oracle(
+    "multimodal_phash_dedup",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(lower(trim(text)), ' ')) AS w,
+           generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+    FROM documents
+),
+grams AS (
+    SELECT a.doc_id, concat(a.w, ' ', b.w) AS g
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+binned AS (
+    SELECT doc_id,
+           ((instr('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(md5(g), 2, 1)) - 1))
+               % {PHASH_BITS} AS bin
+    FROM grams
+),
+bins AS (
+    SELECT doc_id, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2
+),
+tot AS (
+    SELECT doc_id, SUM(n) AS total FROM bins GROUP BY 1
+),
+bits AS (
+    SELECT t.doc_id, d.bin,
+           CASE WHEN b.n IS NOT NULL AND {PHASH_BITS} * b.n >= t.total
+                THEN 1 ELSE 0 END AS bit
+    FROM tot t
+    CROSS JOIN (SELECT UNNEST(range(0, {PHASH_BITS})) AS bin) d
+    LEFT JOIN bins b ON b.doc_id = t.doc_id AND b.bin = d.bin
+),
+hashes AS (
+    SELECT doc_id,
+        CAST(SUM(CASE WHEN bin < 32
+                 THEN bit * (CAST(1 AS BIGINT) << CAST(bin AS INTEGER))
+                 ELSE 0 END) AS BIGINT) AS hash_hi,
+        CAST(SUM(CASE WHEN bin >= 32
+                 THEN bit * (CAST(1 AS BIGINT) << CAST(bin - 32 AS INTEGER))
+                 ELSE 0 END) AS BIGINT) AS hash_lo
+    FROM bits GROUP BY 1
+),
+bandtbl AS (
+    SELECT doc_id,
+           CAST(bin // 8 AS BIGINT) AS band_idx,
+           CAST(SUM(bit * (1 << CAST(bin % 8 AS INTEGER))) AS BIGINT)
+               AS band_val
+    FROM bits GROUP BY 1, 2
+)
+SELECT DISTINCT
+    a.doc_id AS doc_a,
+    b.doc_id AS doc_b,
+    CAST(bit_count(xor(ha.hash_hi, hb.hash_hi))
+         + bit_count(xor(ha.hash_lo, hb.hash_lo)) AS BIGINT) AS hamming
+FROM bandtbl a
+JOIN bandtbl b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+JOIN hashes ha ON ha.doc_id = a.doc_id
+JOIN hashes hb ON hb.doc_id = b.doc_id
+WHERE bit_count(xor(ha.hash_hi, hb.hash_hi))
+      + bit_count(xor(ha.hash_lo, hb.hash_lo)) <= {PHASH_HAMMING_MAX}""",
+)

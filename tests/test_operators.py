@@ -779,3 +779,17 @@ def test_semi_anti_plan_uses_semi_and_anti(spark, sf_dir):
     )
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_phash_pairs_agree_with_minhash_truth(spark, sf_dir):
+    """The perceptual-hash dedup (binary modality, Arrow path) must
+    recover the same near-dup structure the text-side MinHash finds: the
+    corpus's planted near-dups. Exact set equality is corpus-specific;
+    what must hold anywhere is substantial overlap and no explosion."""
+    ctx = Context(spark, sf_dir)
+    ph = {(r.doc_a, r.doc_b) for r in ctx.ref("multimodal_phash_dedup").collect()}
+    mh = {(r.doc_a, r.doc_b) for r in ctx.ref("dedup_minhash_lsh").collect()}
+    n_docs = ctx.source("documents").count()
+    assert ph, "phash found no pairs at all"
+    assert len(ph) < n_docs * 5, "phash candidate explosion"
+    assert len(ph & mh) >= len(mh) * 0.5, (len(ph), len(mh), len(ph & mh))
