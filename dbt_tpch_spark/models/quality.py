@@ -131,3 +131,105 @@ SELECT 'fct_orders_items', 'accepted_values', 'return_status_code',
        CAST((SELECT COUNT(*) FROM fct_orders_items WHERE return_status_code IS NOT NULL
              AND return_status_code NOT IN ('A', 'N', 'R')) AS BIGINT)""",
 )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit conformance
+# --------------------------------------------------------------------------
+
+import math
+
+#: Benford expected first-digit frequencies log10(1 + 1/d), inlined as
+#: identical literals on both engines
+_BENFORD = {d: round(math.log10(1.0 + 1.0 / d), 10) for d in range(1, 10)}
+
+
+@model("orders_benford_check", layer="extended", materialization="view")
+def orders_benford_check(ctx):
+    """Benford's-law conformance of order totals — the classic synthetic /
+    fabricated-data screen: first significant digits of naturally-occurring
+    amounts follow log10(1 + 1/d); per-digit observed vs expected shares
+    plus the chi-square statistic (same value on every row, the
+    report-level verdict).
+
+    First digit extracted numerically (floor(x / 10^floor(log10 x))) —
+    never via string formatting, which differs between engines. One
+    aggregation + a 9-row self-enrichment; trivially scale-safe."""
+    o = ctx.ref("ods_orders").filter(F.col("order_amount") > 0)
+    digit = F.floor(
+        F.col("order_amount")
+        / F.pow(F.lit(10.0), F.floor(F.log10("order_amount")))
+    ).cast("long")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    expected = F.create_map(
+        *[x for d, p in _BENFORD.items() for x in (F.lit(d), F.lit(p))]
+    )[F.col("digit").cast("int")]
+    from dbt_tpch_spark.functions import rnd, with_global_aggs
+
+    enriched = with_global_aggs(
+        counts, {"n_total": F.sum("n").cast("long")}
+    ).select(
+        "digit",
+        F.col("n").cast("long").alias("n_orders"),
+        rnd(F.col("n") / F.col("n_total"), 6).alias("observed_frac"),
+        F.col("n_total"),
+        expected.alias("benford_frac"),
+    )
+    chi = with_global_aggs(
+        enriched,
+        {
+            "chi_square": rnd(
+                F.sum(
+                    F.pow(
+                        F.col("n_orders") / F.col("n_total")
+                        - F.col("benford_frac"),
+                        F.lit(2.0),
+                    )
+                    / F.col("benford_frac")
+                    * F.col("n_total")
+                ),
+                6,
+            )
+        },
+    )
+    return chi.select(
+        "digit", "n_orders", "observed_frac", "benford_frac", "chi_square"
+    )
+
+
+def _benford_case() -> str:
+    cases = " ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items())
+    return f"CASE CAST(digit AS INTEGER) {cases} END"
+
+
+oracle(
+    "orders_benford_check",
+    ("ods_orders",),
+    f"""WITH digits AS (
+    SELECT CAST(FLOOR(order_amount / POWER(10.0, FLOOR(LOG10(order_amount))))
+                AS BIGINT) AS digit
+    FROM ods_orders WHERE order_amount > 0
+),
+counts AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM digits GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM counts),
+enriched AS (
+    SELECT c.digit, c.n_orders,
+           (FLOOR(c.n_orders / CAST(t.n_total AS DOUBLE) * 1000000.0 + 0.5)
+            / 1000000.0) AS observed_frac,
+           t.n_total,
+           {_benford_case()} AS benford_frac
+    FROM counts c CROSS JOIN tot t
+),
+chi AS (
+    SELECT (FLOOR(SUM(POWER(n_orders / CAST(n_total AS DOUBLE) - benford_frac,
+                            2.0) / benford_frac * n_total)
+                  * 1000000.0 + 0.5) / 1000000.0) AS chi_square
+    FROM enriched
+)
+SELECT e.digit, e.n_orders, e.observed_frac, e.benford_frac, c.chi_square
+FROM enriched e CROSS JOIN chi c""",
+)

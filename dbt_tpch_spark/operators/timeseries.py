@@ -1220,3 +1220,99 @@ SELECT
 FROM p
 GROUP BY 1""",
 )
+
+
+# --------------------------------------------------------------------------
+# robust (MAD) outlier scoring
+# --------------------------------------------------------------------------
+
+MAD_Z_CUTOFF = 3.5  # Iglewicz-Hoaglin modified z-score threshold
+MAD_CONSISTENCY = 0.6745  # Phi^-1(0.75): scales MAD to sigma under normality
+
+
+@model("events_value_mad_outliers", layer="operators", materialization="view")
+def events_value_mad_outliers(ctx):
+    """Robust outlier report per event type: median / MAD (median absolute
+    deviation) and the count of modified-z outliers
+    (|0.6745 * (x - med) / mad| > 3.5, Iglewicz-Hoaglin). The robust
+    companion to the rolling z-score gate — a single fat-fingered value
+    shifts a mean/stddev gate but not this one.
+
+    Two exact-percentile passes (median, then median of absolute
+    deviations), each quantized rnd 6 BEFORE the next arithmetic step so
+    both engines carry identical doubles; group medians broadcast back.
+    Scale: exact per-group percentiles sort within groups only; at
+    extreme group cardinality swap in approx_percentile, same contract."""
+    e = ctx.source("events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        rnd(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        rnd(F.percentile("adev", F.lit(0.5)), 6).alias("mad"),
+    )
+    z = rnd(
+        F.lit(MAD_CONSISTENCY)
+        * (F.col("value") - F.col("med"))
+        / F.col("mad"),
+        6,
+    )
+    scored = (
+        e.join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "z", F.when(F.col("mad") > 0, z)
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.first("med").alias("median_value"),
+        F.first("mad").alias("mad_value"),
+        F.sum(
+            F.when(F.abs(F.col("z")) > MAD_Z_CUTOFF, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        rnd(F.max(F.abs(F.col("z"))), 6).alias("max_abs_z"),
+    )
+
+
+oracle(
+    "events_value_mad_outliers",
+    ("events",),
+    f"""WITH med AS (
+    SELECT event_type,
+           {rnd_sql('percentile_cont(0.5) WITHIN GROUP (ORDER BY value)', 6)}
+               AS med
+    FROM events GROUP BY 1
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, ANY_VALUE(med) AS med,
+           {rnd_sql('percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)', 6)}
+               AS mad
+    FROM dev GROUP BY 1
+),
+scored AS (
+    SELECT e.event_type, e.value, m.med, m.mad,
+           CASE WHEN m.mad > 0 THEN
+               {rnd_sql(f'{MAD_CONSISTENCY} * (e.value - m.med) / m.mad', 6)}
+           END AS z
+    FROM events e JOIN mad m USING (event_type)
+)
+SELECT
+    event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    ANY_VALUE(med) AS median_value,
+    ANY_VALUE(mad) AS mad_value,
+    CAST(SUM(CASE WHEN abs(z) > {MAD_Z_CUTOFF} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_outliers,
+    {rnd_sql('MAX(abs(z))', 6)} AS max_abs_z
+FROM scored
+GROUP BY 1""",
+)
