@@ -32,6 +32,7 @@ _LAYER_MODULES = (
     "dbt_tpch_spark.operators.pca",
     "dbt_tpch_spark.operators.sketches",
     "dbt_tpch_spark.operators.skew",
+    "dbt_tpch_spark.operators.winnow",
     "dbt_tpch_spark.streaming.windows",
 )
 

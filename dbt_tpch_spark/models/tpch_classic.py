@@ -1,15 +1,19 @@
-"""The classic TPC-H query suite (Q3/Q5/Q6/Q7/Q8/Q10/Q14/Q15/Q17/Q18),
-adapted to the driver corpus columns.
+"""The classic TPC-H query suite
+(Q3/Q5/Q6/Q7/Q8/Q9/Q10/Q11/Q13/Q14/Q15/Q16/Q17/Q18/Q19/Q20/Q22), adapted
+to the driver corpus columns.
 
 The reference (DataRecce/dbt-tpch) implements Q1
 (models/wh/rpt_pricing_summary.sql) and Q2
-(models/wh/rpt_minimum_cost_suppliers.sql) and stops; these ten widen the
+(models/wh/rpt_minimum_cost_suppliers.sql) and stops; these widen the
 relational surface to the rest of the official suite that is runnable on
 the available fixture columns (FIXTURES.md Part A). Adaptations, each
 noted on the model: Q3 carries o_orderpriority (o_shippriority is not in
 the corpus), Q10 drops the address/phone/comment output columns, Q17 keys
-on brand only (no p_container), and Q2/Q4/Q9/Q11/Q12/Q16/Q19-Q22 stay
-blocked on partsupp / receipt dates / ship modes / phone (SURVEY §2.12).
+on brand only (no p_container), Q9/Q11/Q16/Q20 derive the part-supplier
+catalog / supply-cost proxy from shipped lineitem pairs (no partsupp),
+Q13/Q19/Q22 drop comment/shipmode/phone conjuncts. Q4/Q12/Q21 stay
+blocked outright — their core predicate IS the commit/receipt-date
+comparison the corpus lacks (SURVEY §2.12).
 
 Scale shapes follow TPC-H practice on Spark: region/nation always
 broadcast (25/5 rows at any SF); part/supplier/customer join as plain
@@ -682,4 +686,298 @@ SELECT n.n_name AS cntrycode,
        {dsum_sql('e.c_acctbal')} AS totacctbal
 FROM eligible e JOIN nation n ON e.c_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
+)
+
+
+# ---------------------------------------------------------------- Q9
+
+
+@model("tpch_q09_product_type_profit", layer="reports", materialization="view")
+def tpch_q09_product_type_profit(ctx):
+    """Q9 product-type profit (adapted: ps_supplycost is not in the corpus
+    — FIXTURES.md Part B — so unit supply cost is proxied as
+    0.6 * p_retailprice; swap the proxy expression for ps_supplycost when
+    partsupp lands): profit on '%red%' parts by supplier nation and order
+    year. Reference shape: TPC-H Q9's 5-way lineitem-part-supplier-
+    nation-orders join with an expression aggregate (SURVEY §2.5 A11).
+
+    Scale: the part filter prunes at the parquet scan and the filtered
+    part/supplier/nation sides broadcast; the only shuffles are
+    lineitem⋈orders on orderkey and the (nation, year) aggregate."""
+    l = ctx.source("lineitem")
+    p = ctx.source("part").filter(F.col("p_name").like("%red%"))
+    s = ctx.source("supplier")
+    n = ctx.source("nation")
+    o = ctx.source("orders")
+    amount = money(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+               l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              s.s_nationkey == n.n_nationkey)
+        .join(o.select("o_orderkey", "o_orderdate"),
+              l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+    )
+
+
+oracle(
+    "tpch_q09_product_type_profit",
+    (),
+    f"""SELECT
+    n.n_name AS nation,
+    CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+    {dsum_sql(money_sql(
+        'l.l_extendedprice * (1.0 - l.l_discount)'
+        ' - 0.6 * p.p_retailprice * l.l_quantity'))} AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2""",
+)
+
+
+# ---------------------------------------------------------------- Q11
+
+#: Q11 important-stock threshold (TPC-H uses 0.0001/SF on ps_supplycost *
+#: ps_availqty; the adapted value metric below needs a coarser cut).
+Q11_FRACTION = 0.001
+
+
+@model("tpch_q11_important_stock", layer="reports", materialization="view")
+def tpch_q11_important_stock(ctx):
+    """Q11 important stock identification (adapted: no partsupp, so a
+    part's "stock value" is the shipped revenue ``sum(extended_price)``
+    from suppliers of one nation, instead of supplycost*availqty; the
+    group-total scalar-threshold shape — aggregate, compare each group to
+    a fraction of the global total — is the query). Swap the value metric
+    for ps_supplycost * ps_availqty when partsupp lands.
+
+    Scale: supplier side filters to one nation and broadcasts; the global
+    total is a 1-row scalar broadcast (W7 rewrite, no global window); one
+    shuffle for the part-grain aggregate."""
+    l = ctx.source("lineitem")
+    s = ctx.source("supplier").filter(F.col("s_nationkey") == 3)
+    lines = l.join(
+        F.broadcast(s.select("s_suppkey")), l.l_suppkey == s.s_suppkey
+    ).select("l_partkey", money(F.col("l_extendedprice")).alias("val"))
+    per_part = lines.groupBy("l_partkey").agg(dsum(F.col("val")).alias("value"))
+    total = lines.agg(dsum(F.col("val")).alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.lit(Q11_FRACTION) * F.col("total_value"))
+        .select("l_partkey", "value")
+    )
+
+
+oracle(
+    "tpch_q11_important_stock",
+    (),
+    f"""WITH lines AS (
+    SELECT l.l_partkey, {money_sql('l.l_extendedprice')} AS val
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey = 3
+),
+per_part AS (
+    SELECT l_partkey, {dsum_sql('val')} AS value
+    FROM lines GROUP BY 1
+),
+tot AS (
+    SELECT {dsum_sql('val')} AS total_value FROM lines
+)
+SELECT p.l_partkey, p.value
+FROM per_part p CROSS JOIN tot t
+WHERE p.value > {Q11_FRACTION} * t.total_value""",
+)
+
+
+# ---------------------------------------------------------------- Q16
+
+Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+
+@model(
+    "tpch_q16_parts_supplier_relationship",
+    layer="reports",
+    materialization="view",
+)
+def tpch_q16_parts_supplier_relationship(ctx):
+    """Q16 parts/supplier relationship (adapted: the part-supplier catalog
+    derives from distinct shipped lineitem pairs — no partsupp — and the
+    "customer complaints" supplier exclusion, which needs s_comment,
+    becomes the negative-account-balance suppliers): distinct supplier
+    count per (brand, type, size) over a NOT-IN brand/type and IN-list
+    size predicate, excluding flagged suppliers via LEFT ANTI join.
+
+    Scale: the pair census is one map-side-combinable distinct on
+    (partkey, suppkey); the excluded-supplier side is tiny and broadcasts
+    as an anti-join; part attributes broadcast."""
+    l = ctx.source("lineitem")
+    p = ctx.source("part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    bad = ctx.source("supplier").filter(F.col("s_acctbal") < 0.0)
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad.select(F.col("s_suppkey").alias("bad_key"))),
+            pairs.l_suppkey == F.col("bad_key"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            pairs.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+oracle(
+    "tpch_q16_parts_supplier_relationship",
+    (),
+    f"""WITH pairs AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT
+    p.p_brand, p.p_type, p.p_size,
+    CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs pr
+JOIN part p ON pr.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN ({', '.join(str(s) for s in Q16_SIZES)})
+  AND pr.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY 1, 2, 3""",
+)
+
+
+# ---------------------------------------------------------------- Q19
+
+
+@model("tpch_q19_discounted_revenue", layer="reports", materialization="view")
+def tpch_q19_discounted_revenue(ctx):
+    """Q19 discounted revenue (adapted: the l_shipmode IN (AIR, AIR REG)
+    and l_shipinstruct = 'DELIVER IN PERSON' conjuncts are dropped — those
+    columns are not in the corpus): single scalar revenue over an
+    OR-of-ANDs predicate across three (brand, size range, quantity range)
+    branches — the disjunctive-pushdown stress query.
+
+    Scale: part is broadcast; the disjunction references both sides so it
+    evaluates post-join, but the per-side prunable bounds (size <= 15,
+    quantity <= 30) are pushed to the scans."""
+    l = ctx.source("lineitem")
+    p = ctx.source("part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+
+    def branch(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    pred = (
+        branch("Brand#1", 5, 1, 11)
+        | branch("Brand#2", 10, 10, 20)
+        | branch("Brand#3", 15, 20, 30)
+    )
+    return joined.filter(pred).agg(
+        dsum(_REV()).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+oracle(
+    "tpch_q19_discounted_revenue",
+    (),
+    f"""SELECT
+    {dsum_sql(_REV_SQL)} AS revenue,
+    CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+
+
+# ---------------------------------------------------------------- Q20
+
+#: adapted Q20 shipped-quantity threshold (see probe note in the model).
+Q20_QTY_THRESHOLD = 30.0
+
+
+@model("tpch_q20_potential_promotion", layer="reports", materialization="view")
+def tpch_q20_potential_promotion(ctx):
+    """Q20 potential part promotion (adapted: without ps_availqty the
+    "excess stock" probe ``availqty > 0.5 * shipped`` becomes "deep
+    shipper": (part, supplier) pairs that shipped more than
+    Q20_QTY_THRESHOLD units of 'red%' parts in 1996; the nested-IN
+    subquery chain of the original is expressed as the same semi-join
+    ladder Spark would plan for it): suppliers of one nation having at
+    least one qualifying pair.
+
+    Scale: part filter broadcasts into the pair aggregate (one shuffle on
+    (partkey, suppkey)); the qualifying-pair set semi-joins supplier —
+    LeftSemi, no duplication; nation filter prunes first."""
+    l = ctx.source("lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    p = ctx.source("part").filter(F.col("p_name").like("red%"))
+    s = ctx.source("supplier").filter(F.col("s_nationkey") == 3)
+    qualifying = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > Q20_QTY_THRESHOLD)
+    )
+    return (
+        s.join(
+            qualifying.select("l_suppkey"),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+oracle(
+    "tpch_q20_potential_promotion",
+    (),
+    f"""SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_nationkey = 3
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    )
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_partkey, l.l_suppkey
+    HAVING SUM(l.l_quantity) > {Q20_QTY_THRESHOLD}
+  )""",
 )

@@ -1,0 +1,365 @@
+"""Substring-level duplication operators over ``documents``: C4-style
+boilerplate n-gram pruning and winnowing (MOSS) fingerprints with
+fingerprint-bucketed substring-dup pair detection.
+
+Extension surface (the reference has no text processing — SURVEY §2.9);
+these complete the dedup family in dedup.py: exact (whole-doc), MinHash-LSH
+(set-similarity), SimHash (bit-similarity), embedding-cosine (semantic) —
+and here *substring-level*: repeated n-grams across documents (boilerplate)
+and shared winnow fingerprints (local substring overlap, the
+plagiarism/contamination detector of Schleimer et al. 2003, "Winnowing:
+Local Algorithms for Document Fingerprinting").
+
+Everything is Catalyst expressions (split/transform/slice/array lambdas) —
+zero Python UDFs. Scale shapes:
+
+* boilerplate: one repartition on doc_id before the explode (hash(doc_id)
+  satisfies every downstream per-doc clustering by the subset rule), one
+  shuffle for the shingle document-frequency census; the boilerplate set is
+  df-bounded and broadcasts back.
+* winnowing: fingerprints are computed per-row (array ops, no shuffle);
+  the pair join is bucketed by fingerprint value — the winnow guarantee
+  (one fingerprint per w-window, density ~2/(w+1)) bounds per-doc
+  fingerprints, and the WINNOW_MAX_FP_DOCS valve drops ubiquitous
+  (boilerplate) fingerprints so no bucket goes quadratic — the same
+  hot-bucket discipline as dedup.py's MAX_BAND_BUCKET.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.functions import rnd
+from dbt_tpch_spark.models.oracle import oracle, rnd_sql
+from dbt_tpch_spark.operators.dedup import _doc_parallelism, _hex32
+from dbt_tpch_spark.plans import model
+
+#: boilerplate census: n-gram width, min distinct docs to call an n-gram
+#: boilerplate, and the per-doc boilerplate-coverage drop threshold.
+BOILER_N = 5
+BOILER_MIN_DOCS = 3
+BOILER_MAX_FRACTION = 0.5
+
+#: winnowing: k-gram width, window width (guarantee: any match of length
+#: >= WINNOW_K + WINNOW_W - 1 tokens shares a fingerprint), pair-report
+#: minimum shared fingerprints, and the ubiquitous-fingerprint valve.
+WINNOW_K = 3
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 3
+WINNOW_MAX_FP_DOCS = 100
+
+
+def _shingle_expr(n: int) -> str:
+    """SQL text for the n-gram string array over space-split tokens —
+    identical text on both engines modulo the slice/transform names, so
+    build it per-engine below."""
+    return (
+        f"CASE WHEN size(split(lower(trim(text)), ' ')) >= {n}"
+        f" THEN transform(sequence(1, size(split(lower(trim(text)), ' ')) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(split(lower(trim(text)), ' '), i, {n})))"
+        f" ELSE array() END"
+    )
+
+
+def _shingle_duck(n: int) -> str:
+    return (
+        f"CASE WHEN len(string_split(lower(trim(text)), ' ')) >= {n}"
+        f" THEN list_transform(range(1, len(string_split(lower(trim(text)), ' ')) - {n - 2}),"
+        f" i -> array_to_string(list_slice(string_split(lower(trim(text)), ' '),"
+        f" i, i + {n - 1}), ' '))"
+        f" ELSE [] END"
+    )
+
+
+# --------------------------------------------------------------------------
+# boilerplate n-gram pruning (C4-style repeated-n-gram removal signal)
+# --------------------------------------------------------------------------
+
+
+@model("docs_boilerplate_ngrams", layer="operators", materialization="view")
+def docs_boilerplate_ngrams(ctx):
+    """Per-document boilerplate coverage: the fraction of a document's
+    distinct BOILER_N-grams that appear in >= BOILER_MIN_DOCS distinct
+    documents, and the resulting keep/drop flag — the C4/RefinedWeb
+    "repeated n-gram" cleanup signal that catches templated/boilerplate
+    text which per-doc quality scores miss.
+
+    Scale: corpus repartitions on doc_id before the explode; the
+    (doc_id, shingle) distinct and both per-doc aggregates are satisfied
+    by hash(doc_id) (subset rule) — the only other exchange is the
+    shingle document-frequency census, whose output (the boilerplate set)
+    is df-bounded and broadcasts back onto the per-doc frame."""
+    d = (
+        ctx.source("documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartition(_doc_parallelism(ctx), "doc_id")
+    )
+    ds = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.expr(_shingle_expr(BOILER_N))).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+    df_census = (
+        ds.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )
+    per_doc = ds.groupBy("doc_id", "lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    boiled = (
+        ds.join(F.broadcast(df_census.select("shingle")), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_boiler"))
+    )
+    frac = F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double") / F.col(
+        "n_shingles"
+    ).cast("double")
+    return (
+        per_doc.join(boiled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_shingles",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            rnd(frac, 6).alias("boiler_fraction"),
+            (frac > BOILER_MAX_FRACTION).alias("boiler_flag"),
+        )
+    )
+
+
+oracle(
+    "docs_boilerplate_ngrams",
+    ("documents",),
+    f"""WITH ds AS (
+    SELECT DISTINCT doc_id, lang, source, shingle
+    FROM (
+        SELECT doc_id, lang, source,
+               unnest({_shingle_duck(BOILER_N)}) AS shingle
+        FROM documents
+    )
+),
+census AS (
+    SELECT shingle FROM ds GROUP BY 1 HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+),
+per_doc AS (
+    SELECT doc_id, lang, source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+    FROM ds GROUP BY 1, 2, 3
+),
+boiled AS (
+    SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+    FROM ds JOIN census USING (shingle)
+    GROUP BY 1
+)
+SELECT
+    p.doc_id,
+    p.lang,
+    p.source,
+    p.n_shingles,
+    CAST(COALESCE(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+    {rnd_sql('CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)', 6)}
+        AS boiler_fraction,
+    (CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
+        > {BOILER_MAX_FRACTION}) AS boiler_flag
+FROM per_doc p
+LEFT JOIN boiled b ON p.doc_id = b.doc_id""",
+)
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003)
+# --------------------------------------------------------------------------
+
+#: shared SQL text: 32-bit hash per k-gram via md5 (engine-portable nibble
+#: arithmetic, dedup.py's _hex32)
+_HASH_LAMBDA = _hex32("h", 0)
+
+
+def _fp_expr_spark() -> str:
+    n_kg = f"size(split(lower(trim(text)), ' ')) - {WINNOW_K - 1}"
+    return (
+        f"CASE WHEN ({n_kg}) >= {WINNOW_W} THEN array_distinct("
+        f" transform(sequence(1, ({n_kg}) - {WINNOW_W - 1}),"
+        f" i -> array_min(slice(kg_hashes, i, {WINNOW_W}))))"
+        f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+
+
+def _fp_expr_duck() -> str:
+    n_kg = f"len(string_split(lower(trim(text)), ' ')) - {WINNOW_K - 1}"
+    return (
+        f"CASE WHEN ({n_kg}) >= {WINNOW_W} THEN list_distinct("
+        f" list_transform(range(1, ({n_kg}) - {WINNOW_W - 2}),"
+        f" i -> list_min(list_slice(kg_hashes, i, i + {WINNOW_W - 1}))))"
+        f" ELSE CAST([] AS BIGINT[]) END"
+    )
+
+
+def _with_fps_spark(d):
+    kg = d.withColumn(
+        "kg_hashes",
+        F.expr(
+            f"transform(transform({_shingle_expr(WINNOW_K)}, s -> md5(s)),"
+            f" h -> {_HASH_LAMBDA})"
+        ),
+    )
+    return kg.withColumn("fps", F.expr(_fp_expr_spark()))
+
+
+_FPS_DUCK = f"""
+    SELECT doc_id, lang, source,
+           {_fp_expr_duck()} AS fps,
+           len(kg_hashes) AS n_kgrams
+    FROM (
+        SELECT doc_id, lang, source, text,
+               list_transform(
+                   list_transform({_shingle_duck(WINNOW_K)}, s -> md5(s)),
+                   h -> {_HASH_LAMBDA}) AS kg_hashes
+        FROM documents
+    )
+"""
+
+
+@model("doc_winnow_fingerprints", layer="operators", materialization="view")
+def doc_winnow_fingerprints(ctx):
+    """Winnowing fingerprint summary per document: the distinct minima of
+    WINNOW_W-sized sliding windows over 32-bit k-gram hashes. The winnow
+    guarantee: any shared token run of length >= WINNOW_K + WINNOW_W - 1
+    between two documents shares at least one fingerprint — the
+    substring-level contamination detector.
+
+    Per-row array arithmetic only — no shuffle at all (pinned in
+    tests/test_plan_budgets.py)."""
+    d = ctx.source("documents").select("doc_id", "lang", "source", "text")
+    fps = _with_fps_spark(d)
+    return fps.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("kg_hashes").cast("long").alias("n_kgrams"),
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        rnd(
+            F.size("fps").cast("double")
+            / F.nullif(F.size("kg_hashes"), F.lit(0)).cast("double"),
+            6,
+        ).alias("fp_density"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+oracle(
+    "doc_winnow_fingerprints",
+    ("documents",),
+    f"""WITH fps AS ({_FPS_DUCK})
+SELECT
+    doc_id,
+    lang,
+    source,
+    CAST(n_kgrams AS BIGINT) AS n_kgrams,
+    CAST(len(fps) AS BIGINT) AS n_fingerprints,
+    {rnd_sql('CAST(len(fps) AS DOUBLE) / CAST(NULLIF(n_kgrams, 0) AS DOUBLE)', 6)}
+        AS fp_density,
+    list_min(fps) AS min_fp,
+    list_max(fps) AS max_fp
+FROM fps""",
+)
+
+
+@model("docs_winnow_dups", layer="operators", materialization="view")
+def docs_winnow_dups(ctx):
+    """Substring-level near-dup pairs: documents sharing >=
+    WINNOW_MIN_SHARED winnow fingerprints, with the fingerprint-overlap
+    Jaccard. Candidate generation is bucketed by fingerprint value (never
+    all-pairs); fingerprints present in > WINNOW_MAX_FP_DOCS documents are
+    boilerplate and excluded from pairing (the hot-bucket valve —
+    documented recall tradeoff, same discipline as MinHash-LSH's
+    MAX_BAND_BUCKET)."""
+    d = (
+        ctx.source("documents")
+        .select("doc_id", "text")
+        .repartition(_doc_parallelism(ctx), "doc_id")
+    )
+    fps = (
+        _with_fps_spark(d)
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
+    )
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps")
+    )
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > WINNOW_MAX_FP_DOCS)
+        .select("fp")
+    )
+    cool = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = cool.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = cool.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    # per_doc is doc-cardinality — no broadcast hint; AQE picks the
+    # strategy by actual size (the PageRank state-broadcast lesson)
+    na = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("fps_a"))
+    nb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("fps_b"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            rnd(
+                F.col("n_shared").cast("double")
+                / (F.col("fps_a") + F.col("fps_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("fp_jaccard"),
+        )
+    )
+
+
+oracle(
+    "docs_winnow_dups",
+    ("documents",),
+    f"""WITH fps AS ({_FPS_DUCK}),
+flat AS (
+    SELECT DISTINCT doc_id, fp
+    FROM (SELECT doc_id, unnest(fps) AS fp FROM fps)
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps FROM flat GROUP BY 1
+),
+cool AS (
+    SELECT doc_id, fp FROM flat
+    WHERE fp NOT IN (
+        SELECT fp FROM flat GROUP BY 1 HAVING COUNT(*) > {WINNOW_MAX_FP_DOCS}
+    )
+),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT
+    s.doc_a,
+    s.doc_b,
+    s.n_shared,
+    {rnd_sql('CAST(s.n_shared AS DOUBLE)'
+             ' / CAST(pa.n_fps + pb.n_fps - s.n_shared AS DOUBLE)', 6)}
+        AS fp_jaccard
+FROM shared s
+JOIN per_doc pa ON s.doc_a = pa.doc_id
+JOIN per_doc pb ON s.doc_b = pb.doc_id""",
+)

@@ -59,6 +59,19 @@ SHUFFLE_BUDGETS = {
     "rpt_minimum_cost_suppliers_adapted": 2,
     "docs_shuffle_global": 3,
     "events_value_quantile_bins": 4,
+    # round 3: adapted TPC-H tail (part/supplier sides broadcast; the only
+    # shuffles are the fact-side joins/aggregates)
+    "tpch_q09_product_type_profit": 1,
+    "tpch_q11_important_stock": 2,
+    "tpch_q16_parts_supplier_relationship": 3,
+    "tpch_q19_discounted_revenue": 1,
+    "tpch_q20_potential_promotion": 1,
+    # round 3: substring-dup family — winnow fingerprints are pure per-row
+    # array arithmetic (zero shuffles); the pair model pays the fp-bucketed
+    # join; boilerplate follows the doc_repetition_stats 3-branch pattern
+    "doc_winnow_fingerprints": 0,
+    "docs_boilerplate_ngrams": 4,
+    "docs_winnow_dups": 8,
 }
 
 
