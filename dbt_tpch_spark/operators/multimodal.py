@@ -430,3 +430,125 @@ JOIN hashes hb ON hb.doc_id = b.doc_id
 WHERE bit_count(xor(ha.hash_hi, hb.hash_hi))
       + bit_count(xor(ha.hash_lo, hb.hash_lo)) <= {PHASH_HAMMING_MAX}""",
 )
+
+
+# --------------------------------------------------------------------------
+# audio-style frame energy (numpy-vectorized Arrow batch path)
+# --------------------------------------------------------------------------
+
+AUDIO_FRAME = 64  # samples per analysis frame
+#: mean-square silence threshold (integer-exact compare: energy < MS * n)
+AUDIO_SILENCE_MS = 750_000_000
+
+AUDIO_SCHEMA = (
+    "doc_id long, frame_idx long, n_frame_samples long, "
+    "energy long, peak long, is_silence boolean"
+)
+
+
+def _audio_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Stub 'audio decode': interpret the payload as little-endian int16
+    PCM (dropping a trailing odd byte) and compute per-frame sum-of-squares
+    energy, peak amplitude, and an integer-exact silence flag — the
+    VAD/silence-trim front end of an audio pipeline. A real deployment
+    replaces the frombuffer with an actual codec decode; the framing and
+    energy math are the real computation.
+
+    Unlike the md5 stubs above, this path is numpy-VECTORIZED end to end
+    (frombuffer + reduceat) — the Arrow batch shape a real DSP front end
+    uses: no per-sample Python, one C loop per frame column."""
+    import numpy as np
+
+    if _real_decoder_available():  # pragma: no cover
+        raise NotImplementedError("real audio decode not wired here")
+    doc_ids, fidxs, nsamps, energies, peaks = [], [], [], [], []
+    for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+        raw = bytes(payload)
+        n = len(raw) // 2
+        if n == 0:
+            continue
+        v = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
+        starts = np.arange(0, n, AUDIO_FRAME)
+        e = np.add.reduceat(v * v, starts)
+        p = np.maximum.reduceat(np.abs(v), starts)
+        sizes = np.diff(np.append(starts, n))
+        k = len(starts)
+        doc_ids.extend([doc_id] * k)
+        fidxs.extend(range(k))
+        nsamps.extend(sizes.tolist())
+        energies.extend(e.tolist())
+        peaks.extend(p.tolist())
+    out = pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "frame_idx": fidxs,
+            "n_frame_samples": nsamps,
+            "energy": energies,
+            "peak": peaks,
+        }
+    )
+    out["is_silence"] = out["energy"] < AUDIO_SILENCE_MS * out["n_frame_samples"]
+    return out
+
+
+@model("multimodal_audio_energy", layer="operators", materialization="view")
+def multimodal_audio_energy(ctx):
+    """Per-frame audio energy/silence detection over binary payloads —
+    the numpy-vectorized mapInPandas member of the multimodal family
+    (one input row -> one row per AUDIO_FRAME-sample frame)."""
+    d = ctx.source("documents")
+    payload = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    ).repartition(8, "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _audio_batch(batch)
+
+    return payload.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+oracle(
+    "multimodal_audio_energy",
+    ("documents",),
+    f"""WITH samples AS (
+    -- int16 little-endian from ASCII byte pairs: lo + 256*hi, sign-folded.
+    -- The corpus is pure ASCII so codepoint == byte value (the Python side
+    -- reads the same utf-8 bytes).
+    SELECT
+        doc_id,
+        i,
+        CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+    FROM (
+        SELECT
+            doc_id,
+            i,
+            ord(substr(text, CAST(2 * i + 1 AS INT), 1))
+              + 256 * ord(substr(text, CAST(2 * i + 2 AS INT), 1)) AS raw
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, length(text) // 2)) AS i
+            FROM documents
+            WHERE length(text) >= 2
+        )
+    )
+),
+frames AS (
+    SELECT
+        doc_id,
+        CAST(i // {AUDIO_FRAME} AS BIGINT) AS frame_idx,
+        CAST(COUNT(*) AS BIGINT) AS n_frame_samples,
+        CAST(SUM(v * v) AS BIGINT) AS energy,
+        CAST(MAX(abs(v)) AS BIGINT) AS peak
+    FROM samples
+    GROUP BY 1, 2
+)
+SELECT
+    doc_id,
+    frame_idx,
+    n_frame_samples,
+    energy,
+    peak,
+    energy < {AUDIO_SILENCE_MS} * n_frame_samples AS is_silence
+FROM frames""",
+)

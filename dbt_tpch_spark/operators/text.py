@@ -600,3 +600,73 @@ SELECT
 FROM agg
 QUALIFY merge_rank <= {BPE_TOP_MERGES}""",
 )
+
+
+# --------------------------------------------------------------------------
+# PII / log scrubbing (regexp redaction cascade)
+# --------------------------------------------------------------------------
+
+#: redaction patterns, applied in order (most-specific first so an email's
+#: digits aren't pre-consumed by the number rule). RE2-safe syntax only —
+#: DuckDB is RE2; Java regex accepts the same subset — so both engines run
+#: the identical pattern text.
+PII_PATTERNS = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("number", r"[0-9]+", "<NUM>"),
+)
+
+
+@model("events_props_redaction", layer="operators", materialization="view")
+def events_props_redaction(ctx):
+    """PII scrubbing over the structured event-log payload (``props``) —
+    the log-to-training-data redaction pass: count and redact emails,
+    IPv4 literals, and digit runs with an ordered regexp cascade. The
+    driver corpus's props exercise the number branch (JSON int values);
+    the email/IP branches are structurally identical and share the same
+    cascade machinery.
+
+    Pure per-row JVM regex (zero Python UDFs, zero shuffles) — the scrub
+    pass at 100 TB is a map-only scan, exactly this plan."""
+    e = ctx.source("events")
+    low = F.lower(F.col("props"))
+    counts = {
+        name: F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+    redacted = low
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        redacted.alias("redacted_props"),
+        (sum(counts.values()) > 0).alias("had_pii"),
+    )
+
+
+def _pii_oracle() -> str:
+    count_cols = ",\n    ".join(
+        f"CAST(len(regexp_extract_all(lower(props), '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "lower(props)"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    total = " + ".join(
+        f"len(regexp_extract_all(lower(props), '{pat}'))"
+        for _, pat, _ in PII_PATTERNS
+    )
+    return f"""SELECT
+    event_id,
+    user_id,
+    event_type,
+    {count_cols},
+    {red} AS redacted_props,
+    ({total}) > 0 AS had_pii
+FROM events"""
+
+
+oracle("events_props_redaction", ("events",), _pii_oracle())

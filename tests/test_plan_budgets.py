@@ -72,6 +72,9 @@ SHUFFLE_BUDGETS = {
     "doc_winnow_fingerprints": 0,
     "docs_boilerplate_ngrams": 4,
     "docs_winnow_dups": 8,
+    # map-only scrub scan / one repartition feeding the Arrow audio decode
+    "events_props_redaction": 0,
+    "multimodal_audio_energy": 1,
 }
 
 
