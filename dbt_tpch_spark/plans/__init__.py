@@ -110,6 +110,30 @@ class Context:
     def invalidate(self) -> None:
         self._built.clear()
 
+    def sql(self, query: str) -> DataFrame:
+        """Run ad-hoc Spark SQL against the model catalog — the interface a
+        user of the reference actually has (their warehouse speaks SQL over
+        dbt-materialized tables). Every registered model name or raw source
+        table mentioned in the query is exposed as a temp view on demand
+        (models stay lazy: registering a view just names the unexecuted
+        plan, so Catalyst still prunes/pushes through model boundaries
+        exactly as with ``ref()`` composition).
+
+        Name resolution is registry-driven: identifiers in the query text
+        that match a model or source name get views; everything else is
+        left to Spark's analyzer."""
+        import re
+
+        from dbt_tpch_spark.sources import TABLES
+
+        mentioned = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))
+        with self._lock:
+            for name in sorted(mentioned & set(MODELS)):
+                self.ref(name).createOrReplaceTempView(name)
+            for name in sorted(mentioned & set(TABLES)):
+                self.source(name).createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
 
 def import_all_models() -> None:
     """Import every model module so the registry is populated."""

@@ -1,0 +1,68 @@
+"""The ad-hoc SQL surface (Context.sql): reference users speak SQL to their
+warehouse, so the engine exposes the model catalog to Spark SQL directly.
+Views are registered lazily from the query text and stay unexecuted plans —
+Catalyst must still prune columns and push filters THROUGH a model boundary
+referenced by name, exactly as with ref() composition."""
+
+from __future__ import annotations
+
+from dbt_tpch_spark.plans import Context, import_all_models
+
+import_all_models()
+
+
+def test_sql_over_raw_source(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    got = {
+        r["o_orderstatus"]: r["c"]
+        for r in ctx.sql(
+            "SELECT o_orderstatus, COUNT(*) AS c FROM orders GROUP BY 1"
+        ).collect()
+    }
+    want = {
+        r["o_orderstatus"]: r["c"]
+        for r in ctx.source("orders")
+        .groupBy("o_orderstatus")
+        .count()
+        .withColumnRenamed("count", "c")
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_sql_over_model_matches_ref(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    n_sql = ctx.sql("SELECT COUNT(*) AS n FROM fct_orders").collect()[0]["n"]
+    assert n_sql == ctx.ref("fct_orders").count()
+
+
+def test_sql_join_model_with_source(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    df = ctx.sql(
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS n_orders
+        FROM fct_orders f
+        JOIN customer c ON f.customer_key = c.c_custkey
+        GROUP BY 1
+        """
+    )
+    rows = df.collect()
+    assert rows and sum(r["n_orders"] for r in rows) == ctx.ref("fct_orders").count()
+
+
+def test_sql_prunes_columns_through_model_boundary(spark, sf_dir):
+    """Selecting one column from a wide model must narrow the parquet scan:
+    the temp view is a named lazy plan, not a materialization fence."""
+    ctx = Context(spark, sf_dir)
+    plan = (
+        ctx.sql("SELECT order_key FROM fct_orders_items")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans
+    for ln in scans:
+        cols = ln.split("FileScan parquet [")[1].split("]")[0]
+        # lineitem contributes only its key columns, never the full row
+        assert "l_extendedprice" not in cols and "l_comment" not in cols
