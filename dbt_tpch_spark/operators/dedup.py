@@ -778,3 +778,181 @@ JOIN documents sa ON p.doc_a = sa.doc_id
 JOIN documents sb ON p.doc_b = sb.doc_id
 GROUP BY 1, 2""",
 )
+
+
+# --------------------------------------------------------------------------
+# incremental-ingest dedup (new batch probed against the standing index)
+# --------------------------------------------------------------------------
+
+#: deterministic batch split: doc_id % INGEST_MOD == 0 is the incoming
+#: batch (~1/INGEST_MOD of the corpus), the rest is the standing index.
+INGEST_MOD = 5
+
+
+@model("dedup_incremental_ingest", layer="operators", materialization="view")
+def dedup_incremental_ingest(ctx):
+    """Continuous-ingestion dedup: an incoming batch's MinHash bands probe
+    the standing corpus index — the asymmetric LSH join a production
+    pipeline runs per ingest, where only the (small) new batch is on the
+    probe side and the index is the previously-banded corpus. One verdict
+    row per incoming document: verified match count, best match
+    (jaccard desc, then lowest index doc_id — deterministic), is_new flag.
+
+    Scale: the band join shuffles on (band_idx, band_hash) exactly like
+    dedup_minhash_lsh (index side pre-partitioned in a real deployment,
+    only new-batch bands move); the verify stage touches candidate pairs
+    only; the final verdict aggregates at incoming-batch grain. The
+    hot-bucket valve applies to the standing index side (the side that can
+    degenerate)."""
+    sigs = (
+        _shingle3_set_df(ctx)
+        .selectExpr("doc_id", "words", "transform(words, w -> md5(w)) AS hs")
+        .selectExpr("doc_id", "words", f"{hashpair_spark()} AS hp")
+        .selectExpr("doc_id", "words", *minhash_exprs())
+        .selectExpr("doc_id", "words", *band_exprs())
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    is_incoming = (F.col("doc_id") % INGEST_MOD) == 0
+    from pyspark.sql import Window
+
+    index_bands = bands.filter(~is_incoming)
+    w_bucket = Window.partitionBy("band_idx", "band_hash")
+    index_bands = (
+        index_bands.withColumn("bsize", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("bsize") <= MAX_BAND_BUCKET)
+        .drop("bsize")
+    )
+    probe = bands.filter(is_incoming).withColumnsRenamed({"doc_id": "doc_new"})
+    idx = index_bands.withColumnsRenamed({"doc_id": "doc_old"})
+    cands = (
+        probe.join(idx, ["band_idx", "band_hash"])
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    toks = sigs.select("doc_id", "words")
+    tn = toks.select(F.col("doc_id").alias("doc_new"), F.col("words").alias("words_n"))
+    to = toks.select(F.col("doc_id").alias("doc_old"), F.col("words").alias("words_o"))
+    inter = F.size(F.array_intersect("words_n", "words_o")).cast("long")
+    union = (F.size("words_n") + F.size("words_o")).cast("long") - inter
+    verified = (
+        cands.join(tn, "doc_new")
+        .join(to, "doc_old")
+        .withColumn("jaccard", rnd(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_new", "doc_old", "jaccard")
+    )
+    w_best = Window.partitionBy("doc_new").orderBy(
+        F.col("jaccard").desc(), F.col("doc_old")
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w_best))
+        .groupBy("doc_new")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_matches"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_old"))).alias(
+                "best_match_doc"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("jaccard"))).alias(
+                "best_jaccard"
+            ),
+        )
+    )
+    incoming = (
+        ctx.source("documents")
+        .select("doc_id", "source")
+        .filter((F.col("doc_id") % INGEST_MOD) == 0)
+        .withColumnRenamed("doc_id", "doc_new")
+    )
+    return incoming.join(best, "doc_new", "left").select(
+        "doc_new",
+        "source",
+        F.coalesce(F.col("n_dup_matches"), F.lit(0)).cast("long").alias(
+            "n_dup_matches"
+        ),
+        "best_match_doc",
+        "best_jaccard",
+        F.col("n_dup_matches").isNull().alias("is_new"),
+    )
+
+
+oracle(
+    "dedup_incremental_ingest",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT doc_id, {_SHINGLE3_DUCK} AS words FROM documents
+),
+hashed AS (
+    SELECT doc_id, words, list_transform(words, w -> md5(w)) AS hs FROM toks
+),
+paired AS (
+    SELECT doc_id, words, {hashpair_duck()} AS hp FROM hashed
+),
+sigs AS (
+    SELECT doc_id, words, {', '.join(minhash_exprs_duck())} FROM paired
+),
+banded AS (
+    SELECT doc_id, {', '.join(band_exprs())} FROM sigs
+),
+bands_all AS (
+    SELECT doc_id, k.k AS band_idx,
+        CASE k.k {' '.join(f'WHEN {b} THEN band{b}' for b in range(LSH_BANDS))} END AS band_hash
+    FROM banded CROSS JOIN (SELECT UNNEST([{', '.join(str(b) for b in range(LSH_BANDS))}]) AS k) k
+),
+index_bands AS (
+    SELECT doc_id AS doc_old, band_idx, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsize
+        FROM bands_all WHERE doc_id % {INGEST_MOD} != 0
+    ) WHERE bsize <= {MAX_BAND_BUCKET}
+),
+probe AS (
+    SELECT doc_id AS doc_new, band_idx, band_hash
+    FROM bands_all WHERE doc_id % {INGEST_MOD} = 0
+),
+cands AS (
+    SELECT DISTINCT p.doc_new, i.doc_old
+    FROM probe p JOIN index_bands i
+      ON p.band_idx = i.band_idx AND p.band_hash = i.band_hash
+),
+verified AS (
+    SELECT doc_new, doc_old, jaccard FROM (
+        SELECT
+            c.doc_new,
+            c.doc_old,
+            {rnd_sql('CAST(len(list_intersect(tn.words, tob.words)) AS DOUBLE)'
+                     ' / (len(tn.words) + len(tob.words)'
+                     ' - len(list_intersect(tn.words, tob.words)))', 6)} AS jaccard
+        FROM cands c
+        JOIN toks tn ON c.doc_new = tn.doc_id
+        JOIN toks tob ON c.doc_old = tob.doc_id
+    ) WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+best AS (
+    SELECT
+        doc_new,
+        CAST(COUNT(*) AS BIGINT) AS n_dup_matches,
+        MAX(CASE WHEN rn = 1 THEN doc_old END) AS best_match_doc,
+        MAX(CASE WHEN rn = 1 THEN jaccard END) AS best_jaccard
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_new ORDER BY jaccard DESC, doc_old
+        ) AS rn
+        FROM verified
+    )
+    GROUP BY 1
+)
+SELECT
+    d.doc_id AS doc_new,
+    d.source,
+    CAST(COALESCE(b.n_dup_matches, 0) AS BIGINT) AS n_dup_matches,
+    b.best_match_doc,
+    b.best_jaccard,
+    b.n_dup_matches IS NULL AS is_new
+FROM documents d
+LEFT JOIN best b ON d.doc_id = b.doc_new
+WHERE d.doc_id % {INGEST_MOD} = 0""",
+)

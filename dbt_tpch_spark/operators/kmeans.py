@@ -345,3 +345,87 @@ ranked AS (
 SELECT query_id, neighbor_id, cell_id, cosine, rank
 FROM ranked WHERE rank <= {TOP_K}""",
 )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023)
+# --------------------------------------------------------------------------
+
+#: within-cell cosine at/above which two embeddings are semantic duplicates.
+#: The paper uses ~0.95+ on real embeddings; the synthetic corpus's
+#: within-cell cosines top out near 0.45-0.51 (p99 ~0.35), so the
+#: threshold sits at the tail's edge to keep the verdict branch exercised
+#: at every test SF — same operator, tuned cut.
+SEMDEDUP_THRESHOLD = 0.32
+
+
+@model("dedup_semantic_pairs", layer="operators", materialization="view")
+def dedup_semantic_pairs(ctx):
+    """SemDeDup: semantic near-dup pairs found WITHIN learned k-means
+    cells only — pairwise cosine runs per cell, never across the corpus.
+    This is the scale story that makes semantic dedup tractable at 100 TB:
+    `dedup_embedding_cosine` (the all-pairs exactness baseline) is O(n²);
+    here candidate generation is the k-means assignment (a broadcast
+    linear scan) and the quadratic step is bounded by max cell size. The
+    deterministic keep/drop verdict keeps the lower vec_id — the paper
+    keeps the point farthest from the centroid; with the corpus's exact-
+    decimal distances either rule is deterministic, the simpler one reads
+    cleaner cross-engine.
+
+    Recall caveat vs the baseline: pairs straddling a cell boundary are
+    missed (measurable by diffing with dedup_embedding_cosine) — the
+    standard SemDeDup trade."""
+    v, cents = _fit(ctx)
+    members = _assign_ranked(v, cents, 1).filter(F.col("rn") == 1)
+    a = members.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("vv").alias("vv_a"),
+    )
+    b = members.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("vv").alias("vv_b"),
+    )
+    cos = F.expr(DOT_SPARK.format(a="emb_a", b="emb_b")) / (
+        F.sqrt(F.col("vv_a")) * F.sqrt(F.col("vv_b"))
+    )
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", rnd(cos, 6))
+        .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+        .select(
+            "cell_id",
+            "vec_a",
+            "vec_b",
+            "cosine",
+            F.greatest("vec_a", "vec_b").alias("drop_vec"),
+        )
+    )
+
+
+oracle(
+    "dedup_semantic_pairs",
+    ("embeddings",),
+    f"""WITH {_kmeans_prelude()},
+members AS (
+    SELECT vec_id, emb, vv, cell_id
+    FROM final_ranked WHERE rn = 1
+),
+pairs AS (
+    SELECT
+        a.cell_id,
+        a.vec_id AS vec_a,
+        b.vec_id AS vec_b,
+        {rnd_sql(f"{dot_duck('a.emb', 'b.emb')} / (sqrt(a.vv) * sqrt(b.vv))", 6)} AS cosine
+    FROM members a
+    JOIN members b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+)
+SELECT cell_id, vec_a, vec_b, cosine,
+       greatest(vec_a, vec_b) AS drop_vec
+FROM pairs
+WHERE cosine >= {SEMDEDUP_THRESHOLD}""",
+)

@@ -75,6 +75,10 @@ SHUFFLE_BUDGETS = {
     # map-only scrub scan / one repartition feeding the Arrow audio decode
     "events_props_redaction": 0,
     "multimodal_audio_energy": 1,
+    # SemDeDup: kmeans rounds (argmin aggs) + the cell-scoped pair join;
+    # incremental ingest: band shuffle + candidate verify + verdict agg
+    "dedup_semantic_pairs": 4,
+    "dedup_incremental_ingest": 6,
 }
 
 
