@@ -461,3 +461,108 @@ WHERE NOT EXISTS (
     SELECT 1 FROM fct_orders o WHERE o.customer_key = c.customer_key
 )""",
 )
+
+
+@model("monthly_revenue_forecast", layer="extended", materialization="view")
+def monthly_revenue_forecast(ctx):
+    """Per-market-segment linear revenue forecast: OLS trend over the
+    monthly order-revenue series and the next-month extrapolation — the
+    simplest member of the forecasting family, built on the same
+    exact-decimal moment machinery as brand_price_quantity_fit so the fit
+    hash-matches cross-engine (native regr_* never can).
+
+    Scale: one orders⋈customer join (customer broadcastable per AQE), one
+    (segment, month) aggregate, then moments at segment grain (tiny); the
+    corpus-start month is a 1-row scalar broadcast."""
+    from dbt_tpch_spark.functions import money, rnd, safe_div
+
+    o = ctx.source("orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = ctx.source("customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    month_num = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    start = j.agg(F.min(month_num).alias("start_month"))
+    monthly = (
+        j.groupBy("c_mktsegment", month_num.alias("mnum"))
+        .agg(dsum(money(F.col("o_totalprice"))).alias("revenue"))
+        .crossJoin(F.broadcast(start))
+        .select(
+            "c_mktsegment",
+            (F.col("mnum") - F.col("start_month")).cast("long").alias("x"),
+            F.col("revenue").alias("y"),
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    m = monthly.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.max("x").cast("long").alias("last_x"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_months")
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_months")
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n_months")
+    slope = safe_div(cov, varx)
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n_months")
+    corr = safe_div(cov, F.sqrt(varx * vary))
+    return m.select(
+        "c_mktsegment",
+        "n_months",
+        rnd(slope, 6).alias("trend_slope"),
+        rnd(intercept, 6).alias("trend_intercept"),
+        (F.col("last_x") + 1).alias("next_x"),
+        rnd(intercept + slope * (F.col("last_x") + 1), 6).alias(
+            "forecast_next_month"
+        ),
+        rnd(corr * corr, 6).alias("r_squared"),
+    )
+
+
+def _forecast_sql() -> str:
+    from dbt_tpch_spark.models.oracle import money_sql, rnd_sql
+
+    cov = "(sxy - sx * sy / n_months)"
+    varx = "(sxx - sx * sx / n_months)"
+    vary = "(syy - sy * sy / n_months)"
+    slope = f"({cov} / NULLIF({varx}, 0))"
+    intercept = f"((sy - {slope} * sx) / n_months)"
+    corr = f"({cov} / NULLIF(sqrt({varx} * {vary}), 0))"
+    return f"""WITH j AS (
+    SELECT c.c_mktsegment,
+           year(o.o_orderdate) * 12 + month(o.o_orderdate) AS mnum,
+           {money_sql('o.o_totalprice')} AS rev
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+start AS (SELECT MIN(mnum) AS start_month FROM j),
+monthly AS (
+    SELECT c_mktsegment,
+           CAST(mnum - start_month AS BIGINT) AS x,
+           {dsum_sql('rev')} AS y
+    FROM j CROSS JOIN start
+    GROUP BY 1, 2
+),
+moments AS (
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(MAX(x) AS BIGINT) AS last_x,
+           {dsum_sql('x')} AS sx,
+           {dsum_sql('y')} AS sy,
+           {dsum_sql('x * x')} AS sxx,
+           {dsum_sql('y * y')} AS syy,
+           {dsum_sql('x * y')} AS sxy
+    FROM monthly GROUP BY 1
+)
+SELECT
+    c_mktsegment,
+    n_months,
+    {rnd_sql(slope, 6)} AS trend_slope,
+    {rnd_sql(intercept, 6)} AS trend_intercept,
+    last_x + 1 AS next_x,
+    {rnd_sql(f'{intercept} + {slope} * (last_x + 1)', 6)} AS forecast_next_month,
+    {rnd_sql(f'{corr} * {corr}', 6)} AS r_squared
+FROM moments"""
+
+
+oracle("monthly_revenue_forecast", ("orders", "customer"), _forecast_sql())

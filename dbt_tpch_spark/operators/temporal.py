@@ -212,3 +212,163 @@ LEFT JOIN events e
    AND e.ts < a.ts
 GROUP BY 1, 2, 3""",
 )
+
+
+#: nearest-event tolerance (microseconds): 30 minutes either direction
+NEAREST_TOLERANCE_US = 30 * 60 * 1_000_000
+
+
+@model("events_asof_nearest", layer="operators", materialization="view")
+def events_asof_nearest(ctx):
+    """Nearest-event temporal join: for every ``purchase``, the same
+    user's click closest in time in EITHER direction, within a ±30 min
+    tolerance — the bidirectional as-of variant (sensor alignment,
+    attribution-with-lookahead). Ties at equal distance prefer the earlier
+    (before) click; equal-timestamp clicks count as gap 0.
+
+    Join-free like events_asof_last_click: one union, ONE shuffle on
+    user_id, and two ordered window passes over the SAME sort (ascending
+    for last-before, descending for first-after — Spark reuses the sorted
+    runs). A theta join would be a BroadcastNestedLoopJoin; this is linear.
+
+    Determinism: clicks pre-reduced to one row per (user_id, ts) keeping
+    MAX(event_id); at equal ts the click sorts before the anchor in both
+    passes (is_anchor 0 < 1), so both directions see it."""
+    e = ctx.source("events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    anchors = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    tagged = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_anchor"),
+        "click_id",
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        anchors.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_anchor"),
+            F.lit(None).cast("long").alias("click_id"),
+            "event_id",
+        )
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_anchor")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "is_anchor")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("is_anchor") == 0, F.col("ts"))
+    enriched = (
+        tagged.withColumn("prev_id", F.last("click_id", ignorenulls=True).over(w_fwd))
+        .withColumn("prev_ts", F.last(click_ts, ignorenulls=True).over(w_fwd))
+        .withColumn("next_id", F.last("click_id", ignorenulls=True).over(w_bwd))
+        .withColumn("next_ts", F.last(click_ts, ignorenulls=True).over(w_bwd))
+        .filter(F.col("is_anchor") == 1)
+    )
+    a_us = F.unix_micros(F.col("ts"))
+    prev_gap = a_us - F.unix_micros(F.col("prev_ts"))
+    next_gap = F.unix_micros(F.col("next_ts")) - a_us
+    prev_ok = F.col("prev_ts").isNotNull() & (prev_gap <= NEAREST_TOLERANCE_US)
+    next_ok = F.col("next_ts").isNotNull() & (next_gap <= NEAREST_TOLERANCE_US)
+    use_prev = prev_ok & (~next_ok | (prev_gap <= next_gap))
+    use_next = next_ok & ~use_prev
+    return enriched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(use_prev, F.col("prev_id"))
+        .when(use_next, F.col("next_id"))
+        .alias("nearest_click_id"),
+        F.when(use_prev, F.col("prev_ts"))
+        .when(use_next, F.col("next_ts"))
+        .alias("nearest_click_ts"),
+        F.when(use_prev, -prev_gap)
+        .when(use_next, next_gap)
+        .cast("long")
+        .alias("signed_gap_us"),
+        F.when(use_prev, F.lit("before"))
+        .when(use_next, F.lit("after"))
+        .alias("direction"),
+    )
+
+
+oracle(
+    "events_asof_nearest",
+    ("events",),
+    f"""WITH clicks AS (
+    SELECT user_id, ts, MAX(event_id) AS click_id
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+),
+anchors AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+tagged AS (
+    SELECT user_id, ts, 0 AS is_anchor, click_id,
+           CAST(NULL AS BIGINT) AS event_id
+    FROM clicks
+    UNION ALL
+    SELECT user_id, ts, 1 AS is_anchor, CAST(NULL AS BIGINT) AS click_id,
+           event_id
+    FROM anchors
+),
+enriched AS (
+    SELECT *,
+        LAST_VALUE(click_id IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, is_anchor
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS prev_id,
+        LAST_VALUE(CASE WHEN is_anchor = 0 THEN ts END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, is_anchor
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS prev_ts,
+        LAST_VALUE(click_id IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts DESC, is_anchor
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS next_id,
+        LAST_VALUE(CASE WHEN is_anchor = 0 THEN ts END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts DESC, is_anchor
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS next_ts
+    FROM tagged
+),
+scored AS (
+    SELECT
+        event_id, user_id, ts, prev_id, prev_ts, next_id, next_ts,
+        date_diff('microsecond', prev_ts, ts) AS prev_gap,
+        date_diff('microsecond', ts, next_ts) AS next_gap,
+        (prev_ts IS NOT NULL
+         AND date_diff('microsecond', prev_ts, ts) <= {NEAREST_TOLERANCE_US})
+            AS prev_ok,
+        (next_ts IS NOT NULL
+         AND date_diff('microsecond', ts, next_ts) <= {NEAREST_TOLERANCE_US})
+            AS next_ok
+    FROM enriched WHERE is_anchor = 1
+)
+SELECT
+    event_id,
+    user_id,
+    ts,
+    CASE WHEN prev_ok AND (NOT next_ok OR prev_gap <= next_gap) THEN prev_id
+         WHEN next_ok THEN next_id END AS nearest_click_id,
+    CASE WHEN prev_ok AND (NOT next_ok OR prev_gap <= next_gap) THEN prev_ts
+         WHEN next_ok THEN next_ts END AS nearest_click_ts,
+    CAST(CASE WHEN prev_ok AND (NOT next_ok OR prev_gap <= next_gap)
+              THEN -prev_gap
+         WHEN next_ok THEN next_gap END AS BIGINT) AS signed_gap_us,
+    CASE WHEN prev_ok AND (NOT next_ok OR prev_gap <= next_gap)
+         THEN 'before'
+         WHEN next_ok THEN 'after' END AS direction
+FROM scored""",
+)

@@ -79,6 +79,10 @@ SHUFFLE_BUDGETS = {
     # incremental ingest: band shuffle + candidate verify + verdict agg
     "dedup_semantic_pairs": 4,
     "dedup_incremental_ingest": 6,
+    # bidirectional as-of: one union shuffle on user_id + the window sort
+    # pair; forecast: join + (segment, month) agg + segment moments
+    "events_asof_nearest": 2,
+    "monthly_revenue_forecast": 3,
 }
 
 
