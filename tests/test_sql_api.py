@@ -53,6 +53,11 @@ def test_sql_join_model_with_source(spark, sf_dir):
 def test_sql_prunes_columns_through_model_boundary(spark, sf_dir):
     """Selecting one column from a wide model must narrow the parquet scan:
     the temp view is a named lazy plan, not a materialization fence."""
+    # Spark's CacheManager matches plan fragments session-wide: if another
+    # test cached this model (table_policy="cache"), the InMemoryRelation
+    # (all columns) would be substituted here and mask the pruning under
+    # test. Clearing the cache isolates the lazy-plan property.
+    spark.catalog.clearCache()
     ctx = Context(spark, sf_dir)
     plan = (
         ctx.sql("SELECT order_key FROM fct_orders_items")
