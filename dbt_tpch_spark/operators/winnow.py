@@ -41,12 +41,17 @@ BOILER_MIN_DOCS = 3
 BOILER_MAX_FRACTION = 0.5
 
 #: winnowing: k-gram width, window width (guarantee: any match of length
-#: >= WINNOW_K + WINNOW_W - 1 tokens shares a fingerprint), pair-report
-#: minimum shared fingerprints, and the ubiquitous-fingerprint valve.
-WINNOW_K = 3
-WINNOW_W = 4
+#: >= WINNOW_K + WINNOW_W - 1 = 12 tokens shares a fingerprint),
+#: pair-report minimum shared fingerprints, and the ubiquitous-fingerprint
+#: valve. k/w are sized for selectivity on a SMALL-vocabulary corpus:
+#: 3-grams over ~30 word types collide so heavily that fp buckets go
+#: quadratic (measured 122 s at sf0.1); 5-grams make the k-gram keyspace
+#: vocab^5 so a bucket is "docs genuinely sharing a 5-gram", and w=8 cuts
+#: fingerprint density to ~2/(w+1) = 0.22 of positions.
+WINNOW_K = 5
+WINNOW_W = 8
 WINNOW_MIN_SHARED = 3
-WINNOW_MAX_FP_DOCS = 100
+WINNOW_MAX_FP_DOCS = 50
 
 
 def _shingle_expr(n: int) -> str:
@@ -198,6 +203,14 @@ def _fp_expr_duck() -> str:
 
 
 def _with_fps_spark(d):
+    """Array-form fingerprints (kg_hashes + fps columns).
+
+    SAFE ONLY for consumers that reference kg_hashes/fps MORE than once
+    (as doc_winnow_fingerprints does via size/min/max): multiple
+    references stop CollapseProject from inlining the hash-array
+    expression into the sliding-window lambda. A single-reference consumer
+    gets the O(n² · md5) collapse — use the posexplode + window-min form
+    (docs_winnow_dups) instead."""
     kg = d.withColumn(
         "kg_hashes",
         F.expr(
@@ -277,14 +290,44 @@ def docs_winnow_dups(ctx):
     boilerplate and excluded from pairing (the hot-bucket valve —
     documented recall tradeoff, same discipline as MinHash-LSH's
     MAX_BAND_BUCKET)."""
+    from pyspark.sql import Window
+
     d = (
         ctx.source("documents")
         .select("doc_id", "text")
         .repartition(_doc_parallelism(ctx), "doc_id")
     )
+    # Fingerprints via posexplode + window-frame sliding min, NOT the
+    # per-row array lambda used by doc_winnow_fingerprints. Reason: when a
+    # consumer references the fps array exactly once (as this model's
+    # explode does), CollapseProject inlines the whole kg_hashes expression
+    # into the sliding-window lambda and every window position recomputes
+    # the ENTIRE md5 hash array — O(n² · md5) per document (measured 115 s
+    # at sf0.1 vs ~3 s for this form). The exploded form evaluates the
+    # hash array once per doc row; the frame min is linear; and both the
+    # window and the (doc_id, fp) distinct are satisfied by the hash
+    # (doc_id) repartition — no further exchanges.
+    kg = d.withColumn(
+        "kg_hashes",
+        F.expr(
+            f"transform(transform({_shingle_expr(WINNOW_K)}, s -> md5(s)),"
+            f" h -> {_HASH_LAMBDA})"
+        ),
+    )
+    hashes = kg.select(
+        "doc_id",
+        F.size("kg_hashes").alias("n_kg"),
+        F.posexplode("kg_hashes").alias("pos", "h"),
+    )
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
     fps = (
-        _with_fps_spark(d)
-        .select("doc_id", F.explode("fps").alias("fp"))
+        hashes.withColumn("fp", F.min("h").over(w_min))
+        .filter(F.col("pos") <= F.col("n_kg") - WINNOW_W)
+        .select("doc_id", "fp")
         .dropDuplicates(["doc_id", "fp"])
     )
     per_doc = fps.groupBy("doc_id").agg(
