@@ -163,6 +163,37 @@ def write_incremental(df: DataFrame, spark: SparkSession, path: str, watermark_c
     return spark.read.parquet(path).count()
 
 
+def write_insert_overwrite(
+    df: DataFrame, spark: SparkSession, path: str, partition_col: str
+) -> dict:
+    """dbt's ``insert_overwrite`` incremental strategy on a
+    date-partitioned table: replace EXACTLY the partitions present in the
+    batch, leave every other partition untouched — the idempotent
+    backfill/restatement materialization (re-running a day restates that
+    day; it never truncates the table the way a plain overwrite would).
+
+    Uses Spark's dynamic partitionOverwriteMode, so the file commit only
+    rewrites directories named in the batch — at 100 TB that is the month
+    being restated, not the fact table. The session conf is restored
+    afterwards (static mode is the safer default for ad-hoc writes).
+
+    Returns {"partitions_written": [...], "rows_written": n}.
+    """
+    parts = [
+        r[0] for r in df.select(partition_col).distinct().collect()
+    ]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "partitions_written": sorted(str(p) for p in parts),
+        "rows_written": df.count(),
+    }
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

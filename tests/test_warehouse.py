@@ -133,3 +133,43 @@ def test_merge_upsert(spark, sf_dir, tmp_path):
     merge_upsert(spark, path, tie, ["k"], version_col="ver")
     got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+
+
+def test_insert_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    """dbt insert_overwrite semantics: re-running a batch for one
+    partition restates that partition and leaves the others byte-for-byte
+    alone — a plain overwrite would truncate the whole table."""
+    from dbt_tpch_spark.warehouse import write_insert_overwrite
+
+    path = str(tmp_path / "fact")
+    batch1 = spark.createDataFrame(
+        [("2026-01", 1, 10.0), ("2026-01", 2, 20.0), ("2026-02", 3, 30.0)],
+        "month string, id int, v double",
+    )
+    rep = write_insert_overwrite(batch1, spark, path, "month")
+    assert rep["partitions_written"] == ["2026-01", "2026-02"]
+    assert rep["rows_written"] == 3
+
+    # restate Feb (different rows) and add Mar; Jan must be untouched
+    batch2 = spark.createDataFrame(
+        [("2026-02", 30, 300.0), ("2026-03", 4, 40.0)],
+        "month string, id int, v double",
+    )
+    rep2 = write_insert_overwrite(batch2, spark, path, "month")
+    assert rep2["partitions_written"] == ["2026-02", "2026-03"]
+
+    got = {
+        (r["month"], r["id"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2026-01", 1, 10.0),
+        ("2026-01", 2, 20.0),
+        ("2026-02", 30, 300.0),
+        ("2026-03", 4, 40.0),
+    }
+    # conf restored to its prior value
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        != "dynamic"
+    )
