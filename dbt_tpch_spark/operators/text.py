@@ -670,3 +670,80 @@ FROM events"""
 
 
 oracle("events_props_redaction", ("events",), _pii_oracle())
+
+
+@model("lang_tokenizer_fertility", layer="operators", materialization="view")
+def lang_tokenizer_fertility(ctx):
+    """Per-language tokenizer-fertility diagnostics: characters per
+    BPE-ish token, BPE tokens per whitespace word, and corpus share — the
+    standard check that a tokenizer does not tax some languages with 2-3x
+    the tokens per character (fertility) of others. Integer count sums
+    (exact), ratios formed once at language grain."""
+    d = ctx.source("documents")
+    ltext = F.lower(F.trim(F.col("text")))
+    n_words = F.size(F.split(ltext, " ")).cast("long")
+    n_bpe = F.size(F.regexp_extract_all(ltext, F.lit(BPE_PATTERN), 0)).cast("long")
+    n_chars = F.length(F.col("text")).cast("long")
+    per_doc = d.select(
+        "lang",
+        n_words.alias("w"),
+        n_bpe.alias("b"),
+        n_chars.alias("c"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("b").cast("long").alias("n_bpe_tokens"),
+        F.sum("c").cast("long").alias("n_chars"),
+    )
+    total = agg.agg(F.sum("n_bpe_tokens").cast("double").alias("total_bpe"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        rnd(F.col("n_chars") / F.col("n_bpe_tokens").cast("double"), 6).alias(
+            "chars_per_token"
+        ),
+        rnd(
+            F.col("n_bpe_tokens") / F.col("n_words").cast("double"), 6
+        ).alias("tokens_per_word"),
+        rnd(F.col("n_bpe_tokens") / F.col("total_bpe"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+oracle(
+    "lang_tokenizer_fertility",
+    ("documents",),
+    f"""WITH per_doc AS (
+    SELECT lang,
+           CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS w,
+           CAST(len(regexp_extract_all(lower(trim(text)), '{BPE_PATTERN}')) AS BIGINT) AS b,
+           CAST(length(text) AS BIGINT) AS c
+    FROM documents
+),
+agg AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(b) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_chars
+    FROM per_doc GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_bpe_tokens) AS DOUBLE) AS total_bpe FROM agg
+)
+SELECT
+    lang,
+    n_docs,
+    n_words,
+    n_bpe_tokens,
+    n_chars,
+    {rnd_sql('n_chars / CAST(n_bpe_tokens AS DOUBLE)', 6)} AS chars_per_token,
+    {rnd_sql('n_bpe_tokens / CAST(n_words AS DOUBLE)', 6)} AS tokens_per_word,
+    {rnd_sql('n_bpe_tokens / total_bpe', 6)} AS token_share
+FROM agg CROSS JOIN tot""",
+)

@@ -1316,3 +1316,151 @@ SELECT
 FROM scored
 GROUP BY 1""",
 )
+
+
+# --------------------------------------------------------------------------
+# population-stability drift monitor (PSI)
+# --------------------------------------------------------------------------
+
+#: PSI configuration: fixed equal-width bins (portable across engines and
+#: batches — quantile edges would drift with the data), Laplace smoothing,
+#: and the conventional 0.1 "investigate" threshold.
+PSI_SPLIT = "2024-01-15"
+PSI_N_BINS = 10
+PSI_BIN_WIDTH = 50.0
+PSI_EPS = 0.5
+PSI_DRIFT_THRESHOLD = 0.1
+
+
+@model("events_value_psi", layer="operators", materialization="view")
+def events_value_psi(ctx):
+    """Population-stability-index drift monitor: per event type, compare
+    the value distribution before vs after PSI_SPLIT over fixed
+    equal-width bins — the standard between-batch data-quality gate a
+    production feed runs before letting a new batch into training.
+    Smoothed with PSI_EPS so empty bins stay finite; every bin
+    contributes (including bins empty on both sides — with unequal totals
+    their smoothed frequencies differ, which is part of the statistic).
+
+    Determinism: per-bin PSI terms are 9-dp quantized then exact-decimal
+    summed, so the 10-term sum is accumulation-order-free. One scan, one
+    (type, period, bin) aggregate; the 10×type grid is generated, not
+    scanned."""
+    from dbt_tpch_spark.functions import dsum
+
+    e = ctx.source("events")
+    bin_col = F.least(
+        F.floor(F.col("value") / PSI_BIN_WIDTH).cast("long"),
+        F.lit(PSI_N_BINS - 1),
+    )
+    period = F.when(
+        F.col("ts") < F.to_timestamp(F.lit(PSI_SPLIT)), "base"
+    ).otherwise("cur")
+    counts = (
+        e.select("event_type", period.alias("period"), bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("period") == "base", 1).otherwise(0))
+            .cast("long")
+            .alias("n_base_bin"),
+            F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur_bin"),
+        )
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            ctx.spark.range(PSI_N_BINS).select(F.col("id").alias("bin"))
+        )
+    )
+    full = grid.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("n_base_bin", F.lit(0)).alias("nb"),
+        F.coalesce("n_cur_bin", F.lit(0)).alias("nc"),
+    )
+    totals = full.groupBy("event_type").agg(
+        F.sum("nb").cast("long").alias("n_base"),
+        F.sum("nc").cast("long").alias("n_cur"),
+    )
+    j = full.join(F.broadcast(totals), "event_type")
+    pb = (F.col("nb") + PSI_EPS) / (
+        F.col("n_base") + PSI_N_BINS * PSI_EPS
+    )
+    pc = (F.col("nc") + PSI_EPS) / (F.col("n_cur") + PSI_N_BINS * PSI_EPS)
+    term = rnd((pc - pb) * F.log(pc / pb), 9)
+    return (
+        j.withColumn("term", term)
+        .groupBy("event_type")
+        .agg(
+            F.max("n_base").alias("n_base"),
+            F.max("n_cur").alias("n_cur"),
+            rnd(dsum(F.col("term")), 6).alias("psi"),
+        )
+        .select(
+            "event_type",
+            "n_base",
+            "n_cur",
+            "psi",
+            (F.col("psi") > PSI_DRIFT_THRESHOLD).alias("drift_flag"),
+        )
+    )
+
+
+def _psi_oracle() -> str:
+    from dbt_tpch_spark.models.oracle import dsum_sql
+
+    pb = f"((nb + {PSI_EPS}) / (n_base + {PSI_N_BINS} * {PSI_EPS}))"
+    pc = f"((nc + {PSI_EPS}) / (n_cur + {PSI_N_BINS} * {PSI_EPS}))"
+    term = rnd_sql(f"({pc} - {pb}) * ln({pc} / {pb})", 9)
+    return f"""WITH binned AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 'base' ELSE 'cur' END
+               AS period,
+           least(CAST(floor(value / {PSI_BIN_WIDTH}) AS BIGINT),
+                 {PSI_N_BINS - 1}) AS bin
+    FROM events
+),
+counts AS (
+    SELECT event_type, bin,
+           CAST(SUM(CASE WHEN period = 'base' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_base_bin,
+           CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur_bin
+    FROM binned GROUP BY 1, 2
+),
+grid AS (
+    SELECT t.event_type, b.bin
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (SELECT UNNEST(range(0, {PSI_N_BINS})) AS bin) b
+),
+full_grid AS (
+    SELECT g.event_type, g.bin,
+           COALESCE(c.n_base_bin, 0) AS nb,
+           COALESCE(c.n_cur_bin, 0) AS nc
+    FROM grid g LEFT JOIN counts c
+      ON g.event_type = c.event_type AND g.bin = c.bin
+),
+totals AS (
+    SELECT event_type,
+           CAST(SUM(nb) AS BIGINT) AS n_base,
+           CAST(SUM(nc) AS BIGINT) AS n_cur
+    FROM full_grid GROUP BY 1
+),
+terms AS (
+    SELECT f.event_type, t.n_base, t.n_cur, {term} AS term
+    FROM full_grid f JOIN totals t ON f.event_type = t.event_type
+)
+SELECT
+    event_type,
+    MAX(n_base) AS n_base,
+    MAX(n_cur) AS n_cur,
+    {rnd_sql(dsum_sql('term'), 6)} AS psi,
+    {rnd_sql(dsum_sql('term'), 6)} > {PSI_DRIFT_THRESHOLD} AS drift_flag
+FROM terms
+GROUP BY 1""";
+
+
+oracle("events_value_psi", ("events",), _psi_oracle())

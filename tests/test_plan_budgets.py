@@ -83,6 +83,10 @@ SHUFFLE_BUDGETS = {
     # pair; forecast: join + (segment, month) agg + segment moments
     "events_asof_nearest": 2,
     "monthly_revenue_forecast": 3,
+    # PSI: (type, bin) agg + generated grid join + type rollup;
+    # fertility: lang agg + 1-row scalar broadcast
+    "events_value_psi": 4,
+    "lang_tokenizer_fertility": 3,
 }
 
 
