@@ -1464,3 +1464,130 @@ GROUP BY 1""";
 
 
 oracle("events_value_psi", ("events",), _psi_oracle())
+
+
+@model("events_attribution_multitouch", layer="operators", materialization="view")
+def events_attribution_multitouch(ctx):
+    """Linear multi-touch attribution: every purchase splits its value
+    EQUALLY across all of the user's touch events (click/signup/view)
+    within ATTR_WINDOW_HOURS before it — the companion report to
+    last-touch `events_attribution`, measuring how much each channel's
+    credit changes when intermediate touches count.
+
+    Scale path: the touch gather is the bucketed range join from
+    events_range_context (bucket width == window, each purchase probes
+    two buckets — an equi-join, never a theta NLJ); per-purchase credit
+    is value/n with the n from one aggregate; per-credit amounts are
+    9-dp quantized then exact-decimal summed per channel."""
+    from dbt_tpch_spark.functions import dsum
+
+    window_us = int(ATTR_WINDOW_HOURS * 3600) * 1_000_000
+    e = ctx.source("events")
+    touches = e.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+        F.expr(f"unix_micros(ts) div {window_us}").alias("bucket"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    probes = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"unix_micros(p_ts) div {window_us}") - 1,
+                F.expr(f"unix_micros(p_ts) div {window_us}"),
+            )
+        ),
+    )
+    matched = probes.join(
+        touches,
+        (probes.p_user == touches.t_user) & (probes.bucket == touches.bucket),
+    ).filter(
+        (F.expr("unix_micros(t_ts)") <= F.expr("unix_micros(p_ts)"))
+        & (
+            F.expr("unix_micros(t_ts)")
+            > F.expr("unix_micros(p_ts)") - F.lit(window_us)
+        )
+    )
+    per_purchase = matched.groupBy("p_id").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    credited = (
+        matched.join(per_purchase, "p_id")
+        .withColumn("credit", rnd(F.col("p_value") / F.col("n_touches"), 9))
+        .groupBy("touch_type")
+        .agg(
+            F.countDistinct("p_id").cast("long").alias("n_purchases"),
+            F.count(F.lit(1)).cast("long").alias("n_touch_credits"),
+            rnd(dsum(F.col("credit")), 6).alias("credited_value"),
+        )
+    )
+    unattributed = (
+        purchases.join(per_purchase, purchases.p_id == per_purchase.p_id, "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            rnd(dsum(F.col("p_value")), 6).alias("credited_value"),
+        )
+        .select(
+            F.lit("unattributed").alias("touch_type"),
+            "n_purchases",
+            F.lit(0).cast("long").alias("n_touch_credits"),
+            "credited_value",
+        )
+        .filter(F.col("n_purchases") > 0)
+    )
+    return credited.unionByName(unattributed)
+
+
+def _multitouch_oracle() -> str:
+    window_us = int(ATTR_WINDOW_HOURS * 3600) * 1_000_000
+    return f"""WITH touches AS (
+    SELECT user_id AS t_user, ts AS t_ts, event_type AS touch_type
+    FROM events WHERE event_type IN ({", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)})
+),
+purchases AS (
+    SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value AS p_value
+    FROM events WHERE event_type = 'purchase'
+),
+matched AS (
+    SELECT p.p_id, p.p_value, t.touch_type
+    FROM purchases p
+    JOIN touches t
+      ON t.t_user = p.p_user
+     AND epoch_us(t.t_ts) <= epoch_us(p.p_ts)
+     AND epoch_us(t.t_ts) > epoch_us(p.p_ts) - {window_us}
+),
+per_purchase AS (
+    SELECT p_id, COUNT(*) AS n_touches FROM matched GROUP BY 1
+),
+credited AS (
+    SELECT
+        m.touch_type,
+        CAST(COUNT(DISTINCT m.p_id) AS BIGINT) AS n_purchases,
+        CAST(COUNT(*) AS BIGINT) AS n_touch_credits,
+        {rnd_sql(dsum_sql(rnd_sql('m.p_value / pp.n_touches', 9)), 6)}
+            AS credited_value
+    FROM matched m JOIN per_purchase pp ON m.p_id = pp.p_id
+    GROUP BY 1
+),
+unattributed AS (
+    SELECT
+        'unattributed' AS touch_type,
+        CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        CAST(0 AS BIGINT) AS n_touch_credits,
+        {rnd_sql(dsum_sql('p.p_value'), 6)} AS credited_value
+    FROM purchases p
+    WHERE p.p_id NOT IN (SELECT p_id FROM per_purchase)
+    HAVING COUNT(*) > 0
+)
+SELECT * FROM credited
+UNION ALL
+SELECT * FROM unattributed"""
+
+
+oracle("events_attribution_multitouch", ("events",), _multitouch_oracle())

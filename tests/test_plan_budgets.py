@@ -87,6 +87,8 @@ SHUFFLE_BUDGETS = {
     # fertility: lang agg + 1-row scalar broadcast
     "events_value_psi": 4,
     "lang_tokenizer_fertility": 3,
+    # bucketed range join + per-purchase count + channel rollup + anti side
+    "events_attribution_multitouch": 5,
 }
 
 
