@@ -956,3 +956,71 @@ FROM documents d
 LEFT JOIN best b ON d.doc_id = b.doc_new
 WHERE d.doc_id % {INGEST_MOD} = 0""",
 )
+
+
+@model("docs_dedup_survivors", layer="operators", materialization="view")
+def docs_dedup_survivors(ctx):
+    """Quality-argmax survivor selection: within each exact-duplicate
+    group, keep the member with the highest quality score (doc_id
+    ascending breaks ties) — the dedup policy real pipelines prefer over
+    keep-lowest-id, since duplicates can differ in surrounding whitespace
+    or metadata quality. Singles pass through as their own survivor.
+
+    Shape: the argmax is one max(struct(quality, -doc_id)) aggregation on
+    the content-hash shuffle — map-side combinable, no rank window."""
+    stats = ctx.ref("doc_text_stats").select("doc_id", "quality_score")
+    d = ctx.source("documents").select(
+        "doc_id", F.md5(norm_text_col()).alias("content_hash")
+    )
+    j = d.join(stats, "doc_id")
+    best = F.max(
+        F.struct(
+            F.col("quality_score").alias("q"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    )
+    return (
+        j.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            best.alias("b"),
+        )
+        .select(
+            "content_hash",
+            "group_size",
+            (-F.col("b.neg_id")).cast("long").alias("survivor_doc_id"),
+            F.col("b.q").alias("survivor_quality"),
+            (F.col("group_size") > 1).alias("had_duplicates"),
+        )
+    )
+
+
+oracle(
+    "docs_dedup_survivors",
+    ("documents", "doc_text_stats"),
+    """WITH j AS (
+    SELECT d.doc_id,
+           md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))
+               AS content_hash,
+           s.quality_score
+    FROM documents d
+    JOIN doc_text_stats s ON d.doc_id = s.doc_id
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (
+               PARTITION BY content_hash
+               ORDER BY quality_score DESC, doc_id
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY content_hash) AS group_size
+    FROM j
+)
+SELECT
+    content_hash,
+    CAST(group_size AS BIGINT) AS group_size,
+    CAST(doc_id AS BIGINT) AS survivor_doc_id,
+    quality_score AS survivor_quality,
+    group_size > 1 AS had_duplicates
+FROM ranked
+WHERE rn = 1""",
+)

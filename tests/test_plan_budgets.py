@@ -89,6 +89,9 @@ SHUFFLE_BUDGETS = {
     "lang_tokenizer_fertility": 3,
     # bucketed range join + per-purchase count + channel rollup + anti side
     "events_attribution_multitouch": 5,
+    # quality-argmax survivor: one content-hash shuffle (stats join is
+    # doc_id-side and AQE-sized)
+    "docs_dedup_survivors": 1,
 }
 
 
