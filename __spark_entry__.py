@@ -66,10 +66,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q05_local_supplier_volume",
     "tpch_q13_customer_distribution",
     "tpch_q22_global_sales_opportunity",
-    # dedup family
+    # dedup family (simhash/source-matrix variants stay parity-checked by
+    # tests/test_parity.py; the window favors one member per sub-family)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
+    "dedup_incremental_ingest",
     "dedup_clusters",
     # similarity / ANN family
     "ann_cosine_topk",
@@ -83,15 +84,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # time series / temporal joins / streaming twins
     "events_gapfill_hourly",
     "events_session_30m",
-    "events_tumbling_10m",
     "events_asof_last_click",
     "events_value_quantile_bins",
-    "events_value_ewma",
+    "events_value_psi",
+    "events_props_redaction",
     "user_state_scd",
     # retrieval + sampling/sharding/packing
     "docs_bm25_topk",
     "docs_training_manifest",
-    "docs_mixture_sample",
+    "docs_winnow_dups",
     "docs_shuffle_global",
     "doc_pack_sequences",
     "doc_language_id",
