@@ -1024,3 +1024,103 @@ SELECT
 FROM ranked
 WHERE rn = 1""",
 )
+
+
+@model("dedup_method_agreement", layer="operators", materialization="view")
+def dedup_method_agreement(ctx):
+    """Cross-detector audit: pairwise agreement between the three
+    near-dup detectors (MinHash-LSH verified pairs, SimHash band pairs,
+    winnow substring pairs) as pair-set overlap counts and Jaccard — the
+    report that tells a pipeline owner which detector is loose or tight
+    on THIS corpus before picking thresholds (here SimHash's band
+    blocking is visibly the permissive one).
+
+    Shape: three model refs union into a labeled pair set; one self-join
+    on the (doc_a, doc_b) key computes every intersection; the 3x3 grid
+    is method-cardinality."""
+    sets = [
+        ("minhash_lsh", ctx.ref("dedup_minhash_lsh")),
+        ("simhash", ctx.ref("dedup_simhash_pairs")),
+        ("winnow", ctx.ref("docs_winnow_dups")),
+    ]
+    labeled = None
+    for name, df in sets:
+        part = df.select(
+            "doc_a", "doc_b", F.lit(name).alias("method")
+        )
+        labeled = part if labeled is None else labeled.unionByName(part)
+    # three downstream consumers (census + both self-join sides) would each
+    # re-execute all three detector pipelines; the labeled pair set is tiny
+    # (pair-cardinality), so materialize it once
+    labeled = labeled.localCheckpoint(eager=True)
+    per_method = labeled.groupBy("method").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    a = labeled.withColumnsRenamed({"method": "method_a"})
+    b = labeled.withColumnsRenamed({"method": "method_b"})
+    both = (
+        a.join(b, ["doc_a", "doc_b"])
+        .filter(F.col("method_a") < F.col("method_b"))
+        .groupBy("method_a", "method_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ma = per_method.select(
+        F.col("method").alias("method_a"), F.col("n_pairs").alias("n_a")
+    )
+    mb = per_method.select(
+        F.col("method").alias("method_b"), F.col("n_pairs").alias("n_b")
+    )
+    grid = ma.crossJoin(mb).filter(F.col("method_a") < F.col("method_b"))
+    return (
+        grid.join(both, ["method_a", "method_b"], "left")
+        .select(
+            "method_a",
+            "method_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_both", F.lit(0)).cast("long").alias("n_both"),
+            rnd(
+                F.coalesce("n_both", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_both", F.lit(0))),
+                6,
+            ).alias("pair_jaccard"),
+        )
+    )
+
+
+oracle(
+    "dedup_method_agreement",
+    ("dedup_minhash_lsh", "dedup_simhash_pairs", "docs_winnow_dups"),
+    f"""WITH labeled AS (
+    SELECT doc_a, doc_b, 'minhash_lsh' AS method FROM dedup_minhash_lsh
+    UNION ALL
+    SELECT doc_a, doc_b, 'simhash' AS method FROM dedup_simhash_pairs
+    UNION ALL
+    SELECT doc_a, doc_b, 'winnow' AS method FROM docs_winnow_dups
+),
+per_method AS (
+    SELECT method, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM labeled GROUP BY 1
+),
+ov AS (
+    SELECT a.method AS method_a, b.method AS method_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM labeled a
+    JOIN labeled b
+      ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b AND a.method < b.method
+    GROUP BY 1, 2
+)
+SELECT
+    ma.method AS method_a,
+    mb.method AS method_b,
+    ma.n_pairs AS n_a,
+    mb.n_pairs AS n_b,
+    CAST(COALESCE(o.n_both, 0) AS BIGINT) AS n_both,
+    {rnd_sql('CAST(COALESCE(o.n_both, 0) AS DOUBLE)'
+             ' / (ma.n_pairs + mb.n_pairs - COALESCE(o.n_both, 0))', 6)}
+        AS pair_jaccard
+FROM per_method ma
+CROSS JOIN per_method mb
+LEFT JOIN ov o ON o.method_a = ma.method AND o.method_b = mb.method
+WHERE ma.method < mb.method""",
+)

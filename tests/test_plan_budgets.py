@@ -92,6 +92,9 @@ SHUFFLE_BUDGETS = {
     # quality-argmax survivor: one content-hash shuffle (stats join is
     # doc_id-side and AQE-sized)
     "docs_dedup_survivors": 1,
+    # post-checkpoint plan only (the labeled pair set materializes once;
+    # upstream detector budgets are pinned on their own rows)
+    "dedup_method_agreement": 6,
 }
 
 
