@@ -810,6 +810,11 @@ def dedup_incremental_ingest(ctx):
         .selectExpr("doc_id", "words", f"{hashpair_spark()} AS hp")
         .selectExpr("doc_id", "words", *minhash_exprs())
         .selectExpr("doc_id", "words", *band_exprs())
+        # three consumers (probe bands, index bands, both verify sides)
+        # would each re-run the shingle+minhash pipeline; a real deployment
+        # PERSISTS the banded signature table (the "standing index"), so
+        # materialize it once here too
+        .localCheckpoint(eager=True)
     )
     bands = sigs.select(
         "doc_id",

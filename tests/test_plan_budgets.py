@@ -76,9 +76,10 @@ SHUFFLE_BUDGETS = {
     "events_props_redaction": 0,
     "multimodal_audio_energy": 1,
     # SemDeDup: kmeans rounds (argmin aggs) + the cell-scoped pair join;
-    # incremental ingest: band shuffle + candidate verify + verdict agg
+    # incremental ingest: post-materialization plan (the banded signature
+    # table checkpoints once, as a standing index would persist)
     "dedup_semantic_pairs": 4,
-    "dedup_incremental_ingest": 6,
+    "dedup_incremental_ingest": 4,
     # bidirectional as-of: one union shuffle on user_id + the window sort
     # pair; forecast: join + (segment, month) agg + segment moments
     "events_asof_nearest": 2,
