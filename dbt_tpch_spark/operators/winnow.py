@@ -329,6 +329,10 @@ def docs_winnow_dups(ctx):
         .filter(F.col("pos") <= F.col("n_kg") - WINNOW_W)
         .select("doc_id", "fp")
         .dropDuplicates(["doc_id", "fp"])
+        # four consumers (per-doc census, hot-fp valve, both join sides)
+        # would each re-run hashing+winnowing; a deployment persists the
+        # fingerprint index, so materialize it once here too
+        .localCheckpoint(eager=True)
     )
     per_doc = fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fps")

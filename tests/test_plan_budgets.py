@@ -71,7 +71,7 @@ SHUFFLE_BUDGETS = {
     # join; boilerplate follows the doc_repetition_stats 3-branch pattern
     "doc_winnow_fingerprints": 0,
     "docs_boilerplate_ngrams": 4,
-    "docs_winnow_dups": 8,
+    "docs_winnow_dups": 5,  # post-materialization plan (fp index checkpoints once)
     # map-only scrub scan / one repartition feeding the Arrow audio decode
     "events_props_redaction": 0,
     "multimodal_audio_energy": 1,
