@@ -376,7 +376,13 @@ def dedup_semantic_pairs(ctx):
     missed (measurable by diffing with dedup_embedding_cosine) — the
     standard SemDeDup trade."""
     v, cents = _fit(ctx)
-    members = _assign_ranked(v, cents, 1).filter(F.col("rn") == 1)
+    # both pair sides consume the assignment; materialize it once (a
+    # deployment persists cell assignments next to the index anyway)
+    members = (
+        _assign_ranked(v, cents, 1)
+        .filter(F.col("rn") == 1)
+        .localCheckpoint(eager=True)
+    )
     a = members.select(
         F.col("cell_id"),
         F.col("vec_id").alias("vec_a"),

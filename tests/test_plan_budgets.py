@@ -78,7 +78,7 @@ SHUFFLE_BUDGETS = {
     # SemDeDup: kmeans rounds (argmin aggs) + the cell-scoped pair join;
     # incremental ingest: post-materialization plan (the banded signature
     # table checkpoints once, as a standing index would persist)
-    "dedup_semantic_pairs": 4,
+    "dedup_semantic_pairs": 2,  # post-materialization plan (assignment checkpoints once)
     "dedup_incremental_ingest": 4,
     # bidirectional as-of: one union shuffle on user_id + the window sort
     # pair; forecast: join + (segment, month) agg + segment moments
