@@ -82,6 +82,8 @@ HEADLINE = [
     "rpt_minimum_cost_suppliers_adapted",
     "embeddings_pca_variance",
     "doc_repetition_stats",
+    # late-round-3: the substring-dup family representative
+    "docs_winnow_dups",
 ]
 
 
