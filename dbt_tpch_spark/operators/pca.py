@@ -210,3 +210,169 @@ SELECT
     {rnd_sql('lam.eigenvalue / tr.total_variance', 8)} AS explained_ratio
 FROM v{PCA_ITERS} v CROSS JOIN lam CROSS JOIN tr""",
 )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (data-independent dim reduction)
+# --------------------------------------------------------------------------
+
+RP_DIMS = 16
+RP_SAMPLE_MAX_ID = 32  # distortion report pairs drawn from vec_id < 32
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix from md5 parity — computed once
+    in Python and embedded as LITERALS into both the Spark plan and the
+    oracle SQL, so cross-engine identity holds by construction (no engine
+    hashing involved)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()[-1], 16) % 2
+            else -1
+            for i in range(64)
+        ]
+        for j in range(RP_DIMS)
+    ]
+
+
+def _rp_proj_spark(j: int, signs) -> F.Column:
+    """Projected coordinate j: exact-decimal dot of the embedding with the
+    literal sign row, scaled by 1/sqrt(RP_DIMS) — the same DECIMAL(38,18)
+    accumulation as every other vector op, so it is order-independent."""
+    from dbt_tpch_spark.operators.dedup import DOT_SPARK
+
+    arr = "array(" + ", ".join(f"CAST({s} AS DOUBLE)" for s in signs[j]) + ")"
+    dot = F.expr(DOT_SPARK.format(a="embedding", b=arr))
+    return dot / (RP_DIMS ** 0.5)
+
+
+def _rp_proj_duck(j: int, signs) -> str:
+    from dbt_tpch_spark.operators.dedup import dot_duck
+
+    arr = "[" + ", ".join(f"CAST({s} AS DOUBLE)" for s in signs[j]) + "]"
+    return f"({dot_duck('embedding', arr)} / {RP_DIMS ** 0.5!r})"
+
+
+@model("embeddings_random_projection", layer="operators", materialization="view")
+def embeddings_random_projection(ctx):
+    """Johnson-Lindenstrauss random projection 64 -> RP_DIMS dims with a
+    deterministic ±1 matrix — the data-independent companion to PCA: no
+    training pass, no corpus statistics, so at 100 TB it is a pure
+    map-only scan (zero shuffles) that any executor can apply
+    independently. The embedded sign matrix is the broadcast-free
+    equivalent of shipping a codebook."""
+    signs = _rp_signs()
+    e = ctx.source("embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        *[
+            rnd(_rp_proj_spark(j, signs), 6).alias(f"rp{j}")
+            for j in range(RP_DIMS)
+        ],
+    )
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs()
+    cols = ",\n    ".join(
+        f"{rnd_sql(_rp_proj_duck(j, signs), 6)} AS rp{j}"
+        for j in range(RP_DIMS)
+    )
+    return f"""SELECT
+    vec_id,
+    label,
+    {cols}
+FROM embeddings"""
+
+
+oracle("embeddings_random_projection", ("embeddings",), _rp_oracle())
+
+
+@model("embeddings_rp_distortion", layer="operators", materialization="view")
+def embeddings_rp_distortion(ctx):
+    """JL quality report: over all pairs among vec_id < RP_SAMPLE_MAX_ID,
+    compare original-space cosine to projected-space cosine and report
+    count, mean and max absolute error — the measured guarantee behind
+    using the projection as an ANN pre-filter. Per-pair errors are 9-dp
+    quantized then exact-decimal summed (order-free)."""
+    from dbt_tpch_spark.functions import dsum
+    from dbt_tpch_spark.operators.dedup import DOT_SPARK
+
+    signs = _rp_signs()
+    e = ctx.source("embeddings").filter(F.col("vec_id") < RP_SAMPLE_MAX_ID)
+    proj = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias("vv"),
+        F.array(
+            *[_rp_proj_spark(j, signs) for j in range(RP_DIMS)]
+        ).alias("p"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("vv").alias("vv_a"),
+        F.col("p").alias("p_a"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("vv").alias("vv_b"),
+        F.col("p").alias("p_b"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos_orig = F.expr(DOT_SPARK.format(a="emb_a", b="emb_b")) / (
+        F.sqrt(F.col("vv_a")) * F.sqrt(F.col("vv_b"))
+    )
+    cos_rp = F.expr(DOT_SPARK.format(a="p_a", b="p_b")) / (
+        F.sqrt(F.expr(DOT_SPARK.format(a="p_a", b="p_a")))
+        * F.sqrt(F.expr(DOT_SPARK.format(a="p_b", b="p_b")))
+    )
+    err = rnd(F.abs(cos_rp - cos_orig), 9)
+    return pairs.select(err.alias("abs_err")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        rnd(dsum(F.col("abs_err")) / F.count(F.lit(1)), 6).alias(
+            "mean_abs_cos_err"
+        ),
+        rnd(F.max("abs_err"), 6).alias("max_abs_cos_err"),
+    )
+
+
+def _rp_distortion_oracle() -> str:
+    from dbt_tpch_spark.models.oracle import dsum_sql
+    from dbt_tpch_spark.operators.dedup import dot_duck
+
+    signs = _rp_signs()
+    parr = (
+        "["
+        + ", ".join(_rp_proj_duck(j, signs) for j in range(RP_DIMS))
+        + "]"
+    )
+    return f"""WITH proj AS (
+    SELECT vec_id, embedding AS emb,
+           {dot_duck('embedding', 'embedding')} AS vv,
+           {parr} AS p
+    FROM embeddings WHERE vec_id < {RP_SAMPLE_MAX_ID}
+),
+pairs AS (
+    SELECT
+        {rnd_sql(
+            f"abs({dot_duck('a.p', 'b.p')}"
+            f" / (sqrt({dot_duck('a.p', 'a.p')}) * sqrt({dot_duck('b.p', 'b.p')}))"
+            f" - {dot_duck('a.emb', 'b.emb')} / (sqrt(a.vv) * sqrt(b.vv)))",
+            9,
+        )} AS abs_err
+    FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    {rnd_sql(dsum_sql('abs_err') + ' / COUNT(*)', 6)} AS mean_abs_cos_err,
+    {rnd_sql('MAX(abs_err)', 6)} AS max_abs_cos_err
+FROM pairs"""
+
+
+oracle("embeddings_rp_distortion", ("embeddings",), _rp_distortion_oracle())

@@ -96,6 +96,10 @@ SHUFFLE_BUDGETS = {
     # post-checkpoint plan only (the labeled pair set materializes once;
     # upstream detector budgets are pinned on their own rows)
     "dedup_method_agreement": 6,
+    # JL projection is a map-only scan; the distortion report pays one
+    # sample-pair join
+    "embeddings_random_projection": 0,
+    "embeddings_rp_distortion": 1,
 }
 
 
