@@ -566,3 +566,68 @@ FROM moments"""
 
 
 oracle("monthly_revenue_forecast", ("orders", "customer"), _forecast_sql())
+
+
+#: minimum cell size below which aggregate cells are suppressed
+KANON_K = 5
+
+
+@model("customer_kanon_report", layer="extended", materialization="view")
+def customer_kanon_report(ctx):
+    """K-anonymity-style release gate: the (nation, segment) customer
+    aggregate with every cell of fewer than KANON_K members suppressed —
+    counts stay visible (they drive the suppression audit) but the
+    statistics are withheld, the standard small-cell rule for publishing
+    aggregates derived from personal data. Pairs with
+    events_props_redaction as the privacy surface.
+
+    One groupBy shuffle; the suppression is a projection-level CASE."""
+    from dbt_tpch_spark.functions import davg, dsum, rnd
+
+    c = ctx.source("customer")
+    n = ctx.source("nation")
+    g = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            rnd(davg(F.col("c_acctbal")), 6).alias("avg_balance_raw"),
+            rnd(dsum(F.col("c_acctbal")), 6).alias("total_balance_raw"),
+        )
+    )
+    ok = F.col("n_customers") >= KANON_K
+    return g.select(
+        "n_name",
+        "c_mktsegment",
+        "n_customers",
+        F.when(ok, F.col("avg_balance_raw")).alias("avg_balance"),
+        F.when(ok, F.col("total_balance_raw")).alias("total_balance"),
+        (~ok).alias("suppressed"),
+    )
+
+
+def _kanon_oracle() -> str:
+    from dbt_tpch_spark.models.oracle import davg_sql, dsum_sql, rnd_sql
+
+    return f"""WITH g AS (
+    SELECT
+        n.n_name,
+        c.c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n_customers,
+        {rnd_sql(davg_sql('c.c_acctbal'), 6)} AS avg_balance_raw,
+        {rnd_sql(dsum_sql('c.c_acctbal'), 6)} AS total_balance_raw
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+)
+SELECT
+    n_name,
+    c_mktsegment,
+    n_customers,
+    CASE WHEN n_customers >= {KANON_K} THEN avg_balance_raw END AS avg_balance,
+    CASE WHEN n_customers >= {KANON_K} THEN total_balance_raw END
+        AS total_balance,
+    n_customers < {KANON_K} AS suppressed
+FROM g"""
+
+
+oracle("customer_kanon_report", ("customer", "nation"), _kanon_oracle())

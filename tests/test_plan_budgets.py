@@ -100,6 +100,8 @@ SHUFFLE_BUDGETS = {
     # sample-pair join
     "embeddings_random_projection": 0,
     "embeddings_rp_distortion": 1,
+    # one groupBy shuffle; suppression is projection-level
+    "customer_kanon_report": 1,
 }
 
 
