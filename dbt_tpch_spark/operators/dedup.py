@@ -789,59 +789,77 @@ GROUP BY 1, 2""",
 INGEST_MOD = 5
 
 
-@model("dedup_incremental_ingest", layer="operators", materialization="view")
-def dedup_incremental_ingest(ctx):
-    """Continuous-ingestion dedup: an incoming batch's MinHash bands probe
-    the standing corpus index — the asymmetric LSH join a production
-    pipeline runs per ingest, where only the (small) new batch is on the
-    probe side and the index is the previously-banded corpus. One verdict
-    row per incoming document: verified match count, best match
-    (jaccard desc, then lowest index doc_id — deterministic), is_new flag.
+def _shingle3_cols(df):
+    """(doc_id, text, ...) -> (doc_id, words): distinct 3-gram shingles."""
+    toks = F.split(norm_text_col(), " ")
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select("doc_id", shingles.alias("words"))
 
-    Scale: the band join shuffles on (band_idx, band_hash) exactly like
-    dedup_minhash_lsh (index side pre-partitioned in a real deployment,
-    only new-batch bands move); the verify stage touches candidate pairs
-    only; the final verdict aggregates at incoming-batch grain. The
-    hot-bucket valve applies to the standing index side (the side that can
-    degenerate)."""
-    sigs = (
-        _shingle3_set_df(ctx)
+
+def banded_signatures(docs):
+    """(doc_id, text, ...) -> the persisted banded signature table
+    (doc_id, words, band0..band{n}): the artifact a deployment keeps as
+    its standing dedup index. Materialized eagerly — every consumer
+    (probe, valve, verify) reads the checkpoint, not the pipeline."""
+    return (
+        _shingle3_cols(docs)
         .selectExpr("doc_id", "words", "transform(words, w -> md5(w)) AS hs")
         .selectExpr("doc_id", "words", f"{hashpair_spark()} AS hp")
         .selectExpr("doc_id", "words", *minhash_exprs())
         .selectExpr("doc_id", "words", *band_exprs())
-        # three consumers (probe bands, index bands, both verify sides)
-        # would each re-run the shingle+minhash pipeline; a real deployment
-        # PERSISTS the banded signature table (the "standing index"), so
-        # materialize it once here too
         .localCheckpoint(eager=True)
     )
-    bands = sigs.select(
+
+
+def _explode_bands(sigs):
+    return sigs.select(
         "doc_id",
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias(
-            "band_idx", "band_hash"
-        ),
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
+        ).alias("band_idx", "band_hash"),
     )
-    is_incoming = (F.col("doc_id") % INGEST_MOD) == 0
+
+
+def ingest_verdicts(incoming_docs, index_docs):
+    """The incremental-ingest dedup core, shared by the batch model and
+    the streaming foreachBatch twin (tests/test_streaming_ingest.py):
+    band the incoming frame, probe the index's banded signatures, verify
+    candidates by exact Jaccard, and emit one deterministic verdict row
+    per incoming document. Verdicts depend only on the document itself
+    and the index, so any partitioning of the incoming set into
+    micro-batches yields the same union of verdicts."""
     from pyspark.sql import Window
 
-    index_bands = bands.filter(~is_incoming)
+    in_sigs = banded_signatures(incoming_docs)
+    ix_sigs = banded_signatures(index_docs)
     w_bucket = Window.partitionBy("band_idx", "band_hash")
-    index_bands = (
-        index_bands.withColumn("bsize", F.count(F.lit(1)).over(w_bucket))
+    idx = (
+        _explode_bands(ix_sigs)
+        .withColumn("bsize", F.count(F.lit(1)).over(w_bucket))
         .filter(F.col("bsize") <= MAX_BAND_BUCKET)
         .drop("bsize")
+        .withColumnsRenamed({"doc_id": "doc_old"})
     )
-    probe = bands.filter(is_incoming).withColumnsRenamed({"doc_id": "doc_new"})
-    idx = index_bands.withColumnsRenamed({"doc_id": "doc_old"})
+    probe = _explode_bands(in_sigs).withColumnsRenamed({"doc_id": "doc_new"})
     cands = (
         probe.join(idx, ["band_idx", "band_hash"])
         .select("doc_new", "doc_old")
         .distinct()
     )
-    toks = sigs.select("doc_id", "words")
-    tn = toks.select(F.col("doc_id").alias("doc_new"), F.col("words").alias("words_n"))
-    to = toks.select(F.col("doc_id").alias("doc_old"), F.col("words").alias("words_o"))
+    tn = in_sigs.select(
+        F.col("doc_id").alias("doc_new"), F.col("words").alias("words_n")
+    )
+    to = ix_sigs.select(
+        F.col("doc_id").alias("doc_old"), F.col("words").alias("words_o")
+    )
     inter = F.size(F.array_intersect("words_n", "words_o")).cast("long")
     union = (F.size("words_n") + F.size("words_o")).cast("long") - inter
     verified = (
@@ -867,11 +885,8 @@ def dedup_incremental_ingest(ctx):
             ),
         )
     )
-    incoming = (
-        ctx.source("documents")
-        .select("doc_id", "source")
-        .filter((F.col("doc_id") % INGEST_MOD) == 0)
-        .withColumnRenamed("doc_id", "doc_new")
+    incoming = incoming_docs.select(
+        F.col("doc_id").alias("doc_new"), "source"
     )
     return incoming.join(best, "doc_new", "left").select(
         "doc_new",
@@ -883,6 +898,27 @@ def dedup_incremental_ingest(ctx):
         "best_jaccard",
         F.col("n_dup_matches").isNull().alias("is_new"),
     )
+
+
+@model("dedup_incremental_ingest", layer="operators", materialization="view")
+def dedup_incremental_ingest(ctx):
+    """Continuous-ingestion dedup: an incoming batch's MinHash bands probe
+    the standing corpus index — the asymmetric LSH join a production
+    pipeline runs per ingest, where only the (small) new batch is on the
+    probe side and the index is the previously-banded corpus. One verdict
+    row per incoming document: verified match count, best match
+    (jaccard desc, then lowest index doc_id — deterministic), is_new flag.
+
+    Core logic lives in :func:`ingest_verdicts` (shared with the
+    streaming foreachBatch twin). Scale: the band join shuffles on
+    (band_idx, band_hash) exactly like dedup_minhash_lsh; the verify
+    stage touches candidate pairs only; the hot-bucket valve applies to
+    the standing index side (the side that can degenerate)."""
+    d = ctx.source("documents").select("doc_id", "source", "text").repartition(
+        _doc_parallelism(ctx), "doc_id"
+    )
+    is_incoming = (F.col("doc_id") % INGEST_MOD) == 0
+    return ingest_verdicts(d.filter(is_incoming), d.filter(~is_incoming))
 
 
 oracle(
