@@ -1412,8 +1412,18 @@ def events_value_psi(ctx):
 def _psi_oracle() -> str:
     from dbt_tpch_spark.models.oracle import dsum_sql
 
-    pb = f"((nb + {PSI_EPS}) / (n_base + {PSI_N_BINS} * {PSI_EPS}))"
-    pc = f"((nc + {PSI_EPS}) / (n_cur + {PSI_N_BINS} * {PSI_EPS}))"
+    # CAST to DOUBLE before dividing: bare decimal literals would keep
+    # DuckDB in exact-decimal arithmetic up to the ln() while Spark runs
+    # IEEE doubles throughout — a latent ULP divergence under corpus drift
+    # (the round-2 EWMA lesson)
+    pb = (
+        f"(CAST(nb + {PSI_EPS} AS DOUBLE)"
+        f" / CAST(n_base + {PSI_N_BINS} * {PSI_EPS} AS DOUBLE))"
+    )
+    pc = (
+        f"(CAST(nc + {PSI_EPS} AS DOUBLE)"
+        f" / CAST(n_cur + {PSI_N_BINS} * {PSI_EPS} AS DOUBLE))"
+    )
     term = rnd_sql(f"({pc} - {pb}) * ln({pc} / {pb})", 9)
     return f"""WITH binned AS (
     SELECT event_type,
