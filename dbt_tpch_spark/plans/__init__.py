@@ -134,6 +134,14 @@ class Context:
                 self.source(name).createOrReplaceTempView(name)
         return self.spark.sql(query)
 
+    def audit(self, name: str) -> dict:
+        """Physical-plan audit of a model: shuffle count, scan columns and
+        pushed filters, broadcasts, unpartitioned-window offenders — the
+        scale-review facts as data (see plans/audit.py)."""
+        from dbt_tpch_spark.plans.audit import audit_plan
+
+        return audit_plan(self.ref(name))
+
 
 def import_all_models() -> None:
     """Import every model module so the registry is populated."""

@@ -148,28 +148,11 @@ def test_topk_rank_filter_pushes_window_group_limit(spark, sf_dir, name):
     assert "WindowGroupLimit" in plan, plan
 
 
-def _walk(node):
-    yield node
-    for i in range(node.children().size()):
-        yield from _walk(node.children().apply(i))
-
-
-def _unpartitioned_window_offenders(df):
-    """Unpartitioned Window nodes whose input subtree has no Aggregate.
-
-    An unpartitioned window single-partitions its entire input, so the only
-    acceptable inputs are post-aggregation frames (report-cardinality).
-    Round 2's scale-killers (docs_shuffle_global, quantile bins, kmeans/PQ
-    seeding, pagerank ranking) were exactly this shape over raw corpus —
-    this invariant stops new ones sneaking in."""
-    plan = df._jdf.queryExecution().optimizedPlan()
-    bad = []
-    for n in _walk(plan):
-        if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
-            sub = [m.nodeName() for m in _walk(n.children().apply(0))]
-            if "Aggregate" not in sub:
-                bad.append(sub[:6])
-    return bad
+# the offender walk lives in the engine's audit API (plans/audit.py) so
+# users get the same check the CI invariant runs
+from dbt_tpch_spark.plans.audit import (  # noqa: E402
+    unpartitioned_window_offenders as _unpartitioned_window_offenders,
+)
 
 
 def test_no_unpartitioned_window_over_raw_data(spark, sf_dir):

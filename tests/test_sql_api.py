@@ -71,3 +71,16 @@ def test_sql_prunes_columns_through_model_boundary(spark, sf_dir):
         cols = ln.split("FileScan parquet [")[1].split("]")[0]
         # lineitem contributes only its key columns, never the full row
         assert "l_extendedprice" not in cols and "l_comment" not in cols
+
+
+def test_audit_api_reports_plan_facts(spark, sf_dir):
+    rep = Context(spark, sf_dir).audit("rpt_pricing_summary")
+    from dbt_tpch_spark.plans.audit import format_audit
+
+    assert rep["n_shuffles"] <= 1
+    assert rep["scans"], rep
+    cols = {c for s in rep["scans"] for c in s["columns"]}
+    assert "l_shipdate" in cols and "l_comment" not in cols
+    assert any(s["pushed_filters"] for s in rep["scans"])
+    assert rep["unpartitioned_window_offenders"] == []
+    assert "shuffle" in format_audit(rep)
