@@ -747,3 +747,116 @@ SELECT
     {rnd_sql('n_bpe_tokens / total_bpe', 6)} AS token_share
 FROM agg CROSS JOIN tot""",
 )
+
+
+@model("doc_bigram_surprisal", layer="operators", materialization="view")
+def doc_bigram_surprisal(ctx):
+    """Per-document mean bigram surprisal -ln p(w | prev) under the
+    add-one-smoothed corpus bigram LM — the conditional upgrade of
+    doc_unigram_surprisal: word-salad text scores high here even when its
+    unigram mix looks normal, because transitions carry the signal.
+
+    Scale: one positional-bigram explode -> (doc, prev, w) aggregate; the
+    bigram and context-count models broadcast (vocab²-bounded); vocabulary
+    size rides a 1-row broadcast. Per-token surprisals are 9-dp quantized
+    then decimal-summed, so the per-doc mean is accumulation-order-free."""
+    from dbt_tpch_spark.functions import dsum
+
+    d = ctx.source("documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    bigrams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "zip_with("
+                " slice(split(lower(trim(text)), ' '), 1,"
+                "       size(split(lower(trim(text)), ' ')) - 1),"
+                " slice(split(lower(trim(text)), ' '), 2,"
+                "       size(split(lower(trim(text)), ' ')) - 1),"
+                " (x, y) -> struct(x AS prev, y AS w))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    # three consumers (bigram model, context model, scoring join) — the
+    # (doc, prev, w) tf table is the artifact an LM pipeline persists, so
+    # materialize it once rather than re-exploding the corpus per consumer
+    dtf = (
+        bigrams.groupBy("doc_id", "lang", "prev", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    bc = dtf.groupBy("prev", "w").agg(F.sum("tf").cast("long").alias("c_bg"))
+    cc = bc.groupBy("prev").agg(F.sum("c_bg").cast("long").alias("c_prev"))
+    vocab = (
+        d.select(F.explode(toks).alias("term"))
+        .agg(F.countDistinct("term").cast("double").alias("v"))
+    )
+    surprisal = -F.log(
+        (F.col("c_bg") + F.lit(1.0)) / (F.col("c_prev") + F.col("v"))
+    )
+    scored = (
+        dtf.join(F.broadcast(bc), ["prev", "w"])
+        .join(F.broadcast(cc), "prev")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("tok_surprisal", rnd(surprisal, 9))
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        rnd(
+            dsum(F.col("tok_surprisal") * F.col("tf"))
+            / F.sum("tf").cast("double"),
+            6,
+        ).alias("mean_bigram_surprisal"),
+    )
+
+
+def _bigram_surprisal_oracle() -> str:
+    from dbt_tpch_spark.models.oracle import dsum_sql
+
+    return f"""WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(string_split(lower(trim(text)), ' ')) AS w,
+           generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+    FROM documents
+),
+bigrams AS (
+    SELECT a.doc_id, a.lang, a.w AS prev, b.w AS w
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+dtf AS (
+    SELECT doc_id, lang, prev, w, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM bigrams GROUP BY 1, 2, 3, 4
+),
+bc AS (
+    SELECT prev, w, CAST(SUM(tf) AS BIGINT) AS c_bg FROM dtf GROUP BY 1, 2
+),
+cc AS (
+    SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_prev FROM bc GROUP BY 1
+),
+vocab AS (
+    SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM toks
+),
+scored AS (
+    SELECT d.doc_id, d.lang, d.tf,
+           {rnd_sql('-ln((b.c_bg + 1.0) / (c.c_prev + vb.v))', 9)}
+               AS tok_surprisal
+    FROM dtf d
+    JOIN bc b ON d.prev = b.prev AND d.w = b.w
+    JOIN cc c ON d.prev = c.prev
+    CROSS JOIN vocab vb
+)
+SELECT
+    doc_id,
+    lang,
+    CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+    {rnd_sql(
+        "CAST(SUM(CAST((tok_surprisal * tf) AS DECIMAL(27,6))) AS DOUBLE)"
+        " / CAST(SUM(tf) AS DOUBLE)",
+        6,
+    )} AS mean_bigram_surprisal
+FROM scored
+GROUP BY 1, 2"""
+
+
+oracle("doc_bigram_surprisal", ("documents",), _bigram_surprisal_oracle())

@@ -102,6 +102,9 @@ SHUFFLE_BUDGETS = {
     "embeddings_rp_distortion": 1,
     # one groupBy shuffle; suppression is projection-level
     "customer_kanon_report": 1,
+    # bigram LM: post-materialization plan (the (doc,prev,w) tf table
+    # checkpoints once) — model aggregates + scoring joins
+    "doc_bigram_surprisal": 6,
 }
 
 
