@@ -1601,3 +1601,76 @@ SELECT * FROM unattributed"""
 
 
 oracle("events_attribution_multitouch", ("events",), _multitouch_oracle())
+
+
+#: bot heuristics (thresholds sized to the synthetic corpus so both
+#: branches exercise; a real feed raises them)
+BOT_MAX_PER_MIN = 2
+BOT_MAX_TOTAL = 80
+
+
+@model("user_bot_score", layer="operators", materialization="view")
+def user_bot_score(ctx):
+    """Rate-based bot/automation scoring per user — the log-cleaning gate
+    run before behavioral events enter a training corpus: total volume,
+    active-minute count, burstiest minute, mean events per active minute,
+    and the flag (burst >= BOT_MAX_PER_MIN or volume >= BOT_MAX_TOTAL).
+
+    Two aggregates (user×minute then user): the frame repartitions on
+    user_id once up front — hash(user_id) satisfies BOTH clusterings by
+    the subset rule (a partitioning on a subset of the grouping keys
+    co-locates every group), so a single exchange feeds the whole
+    ladder."""
+    n_part = int(ctx.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = ctx.source("events")
+    per_min = (
+        e.select("user_id", F.date_trunc("minute", F.col("ts")).alias("m"))
+        .repartition(n_part, "user_id")
+        .groupBy("user_id", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    agg = per_min.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_active_minutes"),
+        F.max("n").cast("long").alias("max_per_minute"),
+    )
+    epm = F.col("n_events") / F.col("n_active_minutes").cast("double")
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_active_minutes",
+        "max_per_minute",
+        rnd(epm, 6).alias("events_per_active_minute"),
+        (
+            (F.col("max_per_minute") >= BOT_MAX_PER_MIN)
+            | (F.col("n_events") >= BOT_MAX_TOTAL)
+        ).alias("bot_flag"),
+    )
+
+
+oracle(
+    "user_bot_score",
+    ("events",),
+    f"""WITH per_min AS (
+    SELECT user_id, date_trunc('minute', ts) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+agg AS (
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_active_minutes,
+           CAST(MAX(n) AS BIGINT) AS max_per_minute
+    FROM per_min GROUP BY 1
+)
+SELECT
+    user_id,
+    n_events,
+    n_active_minutes,
+    max_per_minute,
+    {rnd_sql('n_events / CAST(n_active_minutes AS DOUBLE)', 6)}
+        AS events_per_active_minute,
+    (max_per_minute >= {BOT_MAX_PER_MIN} OR n_events >= {BOT_MAX_TOTAL})
+        AS bot_flag
+FROM agg""",
+)

@@ -105,6 +105,8 @@ SHUFFLE_BUDGETS = {
     # bigram LM: post-materialization plan (the (doc,prev,w) tf table
     # checkpoints once) — model aggregates + scoring joins
     "doc_bigram_surprisal": 6,
+    # one user_id repartition feeds both aggregate levels (subset rule)
+    "user_bot_score": 1,
 }
 
 
