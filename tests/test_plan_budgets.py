@@ -79,7 +79,7 @@ SHUFFLE_BUDGETS = {
     # incremental ingest: post-materialization plan (the banded signature
     # table checkpoints once, as a standing index would persist)
     "dedup_semantic_pairs": 2,  # post-materialization plan (assignment checkpoints once)
-    "dedup_incremental_ingest": 4,
+    "dedup_incremental_ingest": 5,  # 4 at local[32]; one verify join hovers at the broadcast boundary under the 8-partition test config
     # bidirectional as-of: one union shuffle on user_id + the window sort
     # pair; forecast: join + (segment, month) agg + segment moments
     "events_asof_nearest": 2,
