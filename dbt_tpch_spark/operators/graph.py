@@ -323,3 +323,133 @@ SELECT
          ELSE 0.0 END AS clustering_coeff
 FROM deg d LEFT JOIN per_node t ON d.part_key = t.part_key""",
 )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (iterative peeling, fixed rounds)
+# --------------------------------------------------------------------------
+
+#: k-core threshold and FIXED peel rounds (the oracle unrolls the same
+#: count — no early stop, so both engines run identical iterations).
+KCORE_K = 70
+KCORE_ROUNDS = 4
+
+
+@model("parts_kcore", layer="operators", materialization="view")
+def parts_kcore(ctx):
+    """K-core membership of the part co-purchase graph: KCORE_ROUNDS
+    rounds of peeling (drop nodes whose degree within the surviving
+    subgraph is < KCORE_K), then each node's verdict and its degree
+    inside the final core — the dense-subgraph extraction that finds the
+    stable co-purchase backbone (graph ML's standard noise filter before
+    embedding training).
+
+    Scale: edges are hash-partitioned ONCE on src and cached; every
+    round's alive-set semi-joins broadcast below
+    BROADCAST_STATE_MAX_NODES (node-cardinality state, the PageRank
+    gate) and the per-round degree count is the one edge-shuffle-free
+    aggregate on the cached layout. Fixed rounds keep the oracle an
+    unrolled CTE chain."""
+    n_part = int(ctx.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = _edges(ctx).repartition(n_part, "src").cache()
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = all_nodes.count()
+    broadcast_state = n_nodes <= BROADCAST_STATE_MAX_NODES
+
+    def _state(df):
+        return F.broadcast(df) if broadcast_state else df.hint("shuffle_hash")
+
+    alive = all_nodes.localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.join(_state(alive.withColumnRenamed("node", "src")), "src")
+            .join(_state(alive.withColumnRenamed("node", "dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        alive = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    # the core table is the artifact; checkpoint it so the emitted plan is
+    # the verdict join, not a re-derivation of the edge pipeline (same
+    # shape as PageRank's severed final rank)
+    core_deg = (
+        edges.join(_state(alive.withColumnRenamed("node", "src")), "src")
+        .join(_state(alive.withColumnRenamed("node", "dst")), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .localCheckpoint(eager=True)
+    )
+    return (
+        all_nodes.join(
+            core_deg.withColumnRenamed("src", "node"), "node", "left"
+        )
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("core_degree").isNotNull().alias("in_kcore"),
+            "core_degree",
+        )
+    )
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+)""",
+        """pairs AS (
+    SELECT DISTINCT a.p AS src, b.p AS dst
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)""",
+        """edges AS (
+    SELECT src, dst FROM pairs
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM pairs
+)""",
+        """alive0 AS (
+    SELECT DISTINCT src AS node FROM edges
+)""",
+    ]
+    prev = "alive0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"""alive{i} AS (
+    SELECT src AS node FROM (
+        SELECT e.src, COUNT(*) AS d
+        FROM edges e
+        JOIN {prev} a ON e.src = a.node
+        JOIN {prev} b ON e.dst = b.node
+        GROUP BY e.src
+    ) WHERE d >= {KCORE_K}
+)"""
+        )
+        prev = f"alive{i}"
+    parts.append(
+        f"""core_deg AS (
+    SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM edges e
+    JOIN {prev} a ON e.src = a.node
+    JOIN {prev} b ON e.dst = b.node
+    GROUP BY e.src
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT
+    n.node AS part_key,
+    c.core_degree IS NOT NULL AS in_kcore,
+    c.core_degree
+FROM alive0 n
+LEFT JOIN core_deg c ON n.node = c.node"""
+    )
+
+
+oracle("parts_kcore", ("lineitem",), _kcore_oracle())

@@ -107,6 +107,8 @@ SHUFFLE_BUDGETS = {
     "doc_bigram_surprisal": 6,
     # one user_id repartition feeds both aggregate levels (subset rule)
     "user_bot_score": 1,
+    # k-core verdict join over the checkpointed census + core table
+    "parts_kcore": 2,
 }
 
 
