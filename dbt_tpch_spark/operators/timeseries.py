@@ -1674,3 +1674,71 @@ SELECT
         AS bot_flag
 FROM agg""",
 )
+
+
+@model("events_dau_wau", layer="operators", materialization="view")
+def events_dau_wau(ctx):
+    """Exact DAU / trailing-7-day WAU / stickiness per day — the standard
+    engagement ladder. Exact rolling DISTINCT cannot be merged from daily
+    partials, so the scale trick is contribute-to-window: each (user, day)
+    activity row explodes into the 7 target days it supports, and WAU is
+    a plain distinct count per target day — one bounded ×7 fan-out
+    instead of a 7-way self-join or an approximate sketch (the HLL path
+    exists separately when approximation is acceptable).
+
+    Days are midnight timestamps (repo date convention). Only days with
+    activity emit rows; trailing windows at the corpus start are
+    naturally partial."""
+    e = ctx.source("events")
+    ud = (
+        e.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        ).distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> timestampadd(DAY, i, day))")
+        ).alias("target_day"),
+    ).distinct()
+    wau = contrib.groupBy("target_day").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.day == wau.target_day)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            rnd(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+oracle(
+    "events_dau_wau",
+    ("events",),
+    f"""WITH ud AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+dau AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+),
+wau AS (
+    SELECT d.day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM (SELECT DISTINCT day FROM ud) d
+    JOIN ud u
+      ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY 1
+)
+SELECT
+    dau.day,
+    dau.dau,
+    wau.wau,
+    {rnd_sql('dau.dau / CAST(wau.wau AS DOUBLE)', 6)} AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day""",
+)

@@ -109,6 +109,9 @@ SHUFFLE_BUDGETS = {
     "user_bot_score": 1,
     # k-core verdict join over the checkpointed census + core table
     "parts_kcore": 2,
+    # (user, day) distinct, DAU agg, contribute-to-window distinct + agg,
+    # day-grain join
+    "events_dau_wau": 5,
 }
 
 
