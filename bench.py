@@ -86,6 +86,11 @@ HEADLINE = [
     "docs_winnow_dups",
 ]
 
+#: the round-2 headline set (first 20 entries) — reported as a separate
+#: subtotal so cross-round driver records compare like-for-like even as
+#: HEADLINE grows (VERDICT r3 "What's wrong" #4)
+STABLE_SUBSET = HEADLINE[:20]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -178,6 +183,13 @@ def main() -> None:
         # driver runs share the box with a second 32-thread JVM (observed
         # 2-5x per-query inflation); solo runs are the comparable numbers
         "solo": os.environ.get("SPARK_GRAFT_SOLO", "0") == "1",
+        # like-for-like cross-round comparator: sum over the fixed round-2
+        # query set only (null if any of those 20 failed)
+        "stable20_subtotal_sec": (
+            None
+            if any(n not in timings for n in STABLE_SUBSET)
+            else round(sum(timings[n] for n in STABLE_SUBSET), 3)
+        ),
         "full_dag_build_sec": full_build,
         "full_dag_tables": n_tables,
         "setup_split_sec": round(split_sec, 3),

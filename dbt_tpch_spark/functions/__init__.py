@@ -170,6 +170,30 @@ def global_topk(df, key: str, k: int, payload_cols):
     )
 
 
+def range_bucket_expr(df, first_key: str, ascending: bool, n_buckets: int):
+    """Range-bucket Column for ``first_key`` from an approx-quantile sketch
+    (collected once, inlined as literals). The bucket is a PURE FUNCTION of
+    the key value, so tied keys never straddle buckets — the property every
+    bucketed exact-rank/cumsum/ntile helper below relies on. The edges are
+    approximate; they only choose where the parallelism cuts fall."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = df.agg(
+        F.percentile_approx(first_key, probs, 10000).alias("e")
+    ).head()
+    edges = sorted(set(edges_row["e"] or []), reverse=not ascending)
+    chain = None
+    for i, ed in enumerate(edges):
+        cond = (
+            F.col(first_key) < F.lit(float(ed))
+            if ascending
+            else F.col(first_key) > F.lit(float(ed))
+        )
+        chain = F.when(cond, i) if chain is None else chain.when(cond, i)
+    return (
+        chain.otherwise(len(edges)) if chain is not None else F.lit(0)
+    ).cast("int")
+
+
 def global_row_number(
     df,
     first_key: str,
@@ -194,22 +218,7 @@ def global_row_number(
     """
     from pyspark.sql.window import Window
 
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    edges_row = df.agg(
-        F.percentile_approx(first_key, probs, 10000).alias("e")
-    ).head()
-    edges = sorted(set(edges_row["e"] or []), reverse=not ascending)
-    chain = None
-    for i, ed in enumerate(edges):
-        cond = (
-            F.col(first_key) < F.lit(float(ed))
-            if ascending
-            else F.col(first_key) > F.lit(float(ed))
-        )
-        chain = F.when(cond, i) if chain is None else chain.when(cond, i)
-    bucket = (
-        chain.otherwise(len(edges)) if chain is not None else F.lit(0)
-    ).cast("int")
+    bucket = range_bucket_expr(df, first_key, ascending, n_buckets)
     base = df.withColumn("_b", bucket)
     counts = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
@@ -226,6 +235,150 @@ def global_row_number(
             out, (F.col("_off") + F.row_number().over(w_local)).cast("long")
         )
         .drop("_b", "_off")
+    )
+
+
+def bucketed_windows(
+    df,
+    first_key: str,
+    tiebreak_cols,
+    *,
+    ascending: bool = False,
+    partition_cols=(),
+    rank_out: str | None = None,
+    running_sum: tuple[str, str] | None = None,
+    grand_sum: tuple[str, str] | None = None,
+    count_out: str | None = None,
+    n_buckets: int = 32,
+):
+    """Exact rank / exact-decimal running sum / grand total / total count
+    over ``order by first_key [desc], *ties`` — the 100 TB-safe rewrite of
+    the Pareto-report window stack (``row_number + sum over (rows unbounded
+    preceding) + sum over () + count over ()``), which would otherwise move
+    the whole (customer/part/supplier-grain, SF-linear) frame through ONE
+    WindowExec task.
+
+    Same tera-sort shape as :func:`global_row_number`: range-bucket on an
+    approx-quantile sketch of ``first_key`` (bucket = pure function of the
+    key, so ties never straddle buckets), rank and running-sum per bucket in
+    parallel, then lift with per-bucket count/sum offsets (a <=n_buckets-row
+    broadcast — the only unpartitioned window). Sums accumulate in exact
+    DECIMAL (associative, so bucket-offset + local running sum is
+    bit-identical to the oracle's single-frame ``wsum_sql``) and cast to
+    double at the end, matching :func:`dsum_over`.
+
+    ``partition_cols``: optional window partition keys (e.g. a per-nation
+    rank); buckets then subdivide each partition and the offset frame is
+    |partitions|×n_buckets rows.
+
+    Because every caller's ordering ends in a unique tie-break key,
+    ``rank()`` has no peer rows and equals ``row_number()`` — callers that
+    previously used ``F.rank()`` keep identical values.
+
+    The input is localCheckpoint-materialized first: the frame feeds THREE
+    plan sites (the quantile sketch, the per-bucket stats aggregate, and
+    the final join) and is typically itself an expensive aggregate;
+    without the barrier each site re-executes the whole upstream and
+    cascaded calls (e.g. three NTILEs) compound it exponentially (observed
+    45 exchanges in customer_rfm_segments before the barrier). The frame
+    is entity-grain by design — far smaller than the facts it came from.
+    """
+    from pyspark.sql.window import Window
+
+    df = df.localCheckpoint(eager=True)
+    part = list(partition_cols)
+    sum_col = running_sum[0] if running_sum else (grand_sum[0] if grand_sum else None)
+    if grand_sum and running_sum and grand_sum[0] != running_sum[0]:
+        raise ValueError("running_sum and grand_sum must share the measure column")
+
+    bucket = range_bucket_expr(df, first_key, ascending, n_buckets)
+    base = df.withColumn("_b", bucket)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if sum_col is not None:
+        aggs.append(F.sum(F.col(sum_col).cast(_ACC_DECIMAL)).alias("_s"))
+    stats = base.groupBy(*part, "_b").agg(*aggs)
+    w_off = (
+        Window.partitionBy(*part)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(*part)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    off_cols = {"_off_n": F.coalesce(F.sum("_n").over(w_off), F.lit(0))}
+    if count_out is not None:
+        off_cols["_tot_n"] = F.sum("_n").over(w_all)
+    if sum_col is not None:
+        off_cols["_off_s"] = F.coalesce(
+            F.sum("_s").over(w_off), F.lit(0).cast("decimal(38,6)")
+        )
+    if grand_sum is not None:
+        off_cols["_tot_s"] = F.sum("_s").over(w_all)
+    offsets = stats.withColumns(off_cols).drop("_n", *(["_s"] if sum_col else []))
+
+    order = [
+        F.col(first_key).asc() if ascending else F.col(first_key).desc()
+    ] + [F.col(c) for c in tiebreak_cols]
+    w_local = Window.partitionBy(*part, "_b").orderBy(*order)
+    w_run = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    res = base.join(F.broadcast(offsets), part + ["_b"])
+    out_cols = {}
+    if rank_out is not None:
+        out_cols[rank_out] = (
+            F.col("_off_n") + F.row_number().over(w_local)
+        ).cast("long")
+    if running_sum is not None:
+        out_cols[running_sum[1]] = (
+            F.col("_off_s")
+            + F.sum(F.col(running_sum[0]).cast(_ACC_DECIMAL)).over(w_run)
+        ).cast("double")
+    if grand_sum is not None:
+        out_cols[grand_sum[1]] = F.col("_tot_s").cast("double")
+    if count_out is not None:
+        out_cols[count_out] = F.col("_tot_n")
+    drop = ["_b", "_off_n"] + [
+        c for c in ("_off_s", "_tot_s", "_tot_n") if c in offsets.columns
+    ]
+    return res.withColumns(out_cols).drop(*drop)
+
+
+def global_ntile(
+    df,
+    n: int,
+    first_key: str,
+    tiebreak_cols,
+    out: str,
+    *,
+    ascending: bool = True,
+    n_buckets: int = 32,
+):
+    """Exact ``ntile(n) over (order by first_key [desc], *ties)`` without
+    the single-partition window: exact global ranks from
+    :func:`bucketed_windows`, then NTILE's first-tiles-get-the-remainder
+    arithmetic applied to the exact rank (bit-identical to the engine
+    ntile because the ranks are exact). Same pattern as
+    events_value_quantile_bins (operators/timeseries.py)."""
+    ranked = bucketed_windows(
+        df,
+        first_key,
+        tiebreak_cols,
+        ascending=ascending,
+        rank_out="_ntile_rk",
+        count_out="_ntile_tot",
+        n_buckets=n_buckets,
+    )
+    rk, tot, t = F.col("_ntile_rk"), F.col("_ntile_tot"), F.lit(n)
+    tile_base, rem = F.floor(tot / t), tot % t
+    big = rem * (tile_base + 1)
+    tile = (
+        F.when(rk <= big, F.floor((rk - 1) / (tile_base + 1)))
+        .otherwise(rem + F.floor((rk - big - 1) / tile_base))
+        + 1
+    )
+    return ranked.withColumn(out, tile.cast("long")).drop(
+        "_ntile_rk", "_ntile_tot"
     )
 
 

@@ -23,10 +23,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dbt_tpch_spark.functions import (
+    bucketed_windows,
     davg,
     days_between,
     dsum,
     dsum_over,
+    global_ntile,
     isum,
     month_of,
     rnd,
@@ -75,17 +77,19 @@ def customer_concentration_risk(ctx):
             F.countDistinct("order_key").alias("order_count"),
         )
     )
-    order_cols = [F.col("total_revenue").desc(), F.col("customer_key")]
-    w_rank = Window.partitionBy().orderBy(*order_cols)
-    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = rev.withColumns(
-        {
-            "revenue_rank": F.row_number().over(w_rank).cast("long"),
-            "total_customers": F.count(F.lit(1)).over(w_all),
-            "grand_total_revenue": dsum_over(F.col("total_revenue"), w_all),
-            "cumulative_revenue": dsum_over(F.col("total_revenue"), w_run),
-        }
+    # Scale: the per-customer frame grows linearly with SF, so the rank /
+    # running-sum / grand-total window stack runs bucketed (exact ranks and
+    # exact-decimal sums lifted via a <=32-row broadcast offset frame)
+    # instead of through one unpartitioned WindowExec task.
+    ranked = bucketed_windows(
+        rev,
+        "total_revenue",
+        ["customer_key"],
+        ascending=False,
+        rank_out="revenue_rank",
+        running_sum=("total_revenue", "cumulative_revenue"),
+        grand_sum=("total_revenue", "grand_total_revenue"),
+        count_out="total_customers",
     )
     share = F.col("cumulative_revenue") / F.col("grand_total_revenue")
     return ranked.select(
@@ -535,11 +539,14 @@ def part_sales_velocity(ctx):
         davg(F.col("monthly_units")).alias("avg_monthly_units"),
         davg(F.col("monthly_revenue")).alias("avg_monthly_revenue"),
     )
-    w = Window.partitionBy().orderBy("avg_monthly_units", "part_key")
-    with_nt = stats.join(
+    # Scale: part-grain frame (SF-linear) — exact global NTILE via bucketed
+    # ranks, not an unpartitioned ntile() window.
+    with_nt = global_ntile(
+        stats, 4, "avg_monthly_units", ["part_key"], "velocity_quartile"
+    ).join(
         F.broadcast(p.select("part_key", "part_name", "part_type_name", "part_brand_name")),
         "part_key",
-    ).withColumn("velocity_quartile", F.ntile(4).over(w).cast("long"))
+    )
     return with_nt.select(
         "part_key",
         "part_name",
@@ -811,15 +818,16 @@ def part_abc_classification(ctx):
             F.countDistinct("order_key").alias("order_count"),
         )
     )
-    w_rank = Window.partitionBy().orderBy(F.col("total_revenue").desc(), F.col("part_key"))
-    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = rev.withColumns(
-        {
-            "grand_total": dsum_over(F.col("total_revenue"), w_all),
-            "running_total": dsum_over(F.col("total_revenue"), w_run),
-            "revenue_rank": F.row_number().over(w_rank).cast("long"),
-        }
+    # Scale: part-grain frame (SF-linear) — bucketed exact rank/cumsum, not
+    # an unpartitioned window (see customer_concentration_risk).
+    ranked = bucketed_windows(
+        rev,
+        "total_revenue",
+        ["part_key"],
+        ascending=False,
+        rank_out="revenue_rank",
+        running_sum=("total_revenue", "running_total"),
+        grand_sum=("total_revenue", "grand_total"),
     )
     share = F.col("running_total") / F.col("grand_total")
     return ranked.select(

@@ -7,10 +7,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dbt_tpch_spark.functions import (
+    bucketed_windows,
     davg,
     days_between,
     dsum,
     dsum_over,
+    global_ntile,
     month_of,
     rnd,
 )
@@ -173,22 +175,29 @@ def supplier_revenue_ranking(ctx):
     nation_totals = rev.groupBy("supplier_nation_name").agg(
         dsum(F.col("total_revenue")).alias("nation_total_revenue")
     )
-    w_global = Window.partitionBy().orderBy(
-        F.col("total_revenue").desc(), F.col("supplier_key")
+    # Scale: supplier-grain frame (SF-linear) — bucketed exact ranks, not
+    # unpartitioned/25-way windows. rank() == row_number() here because the
+    # ordering ends in the unique supplier_key (no peer rows). The nation
+    # rank buckets WITHIN each nation (offset frame = nations×32 rows), so
+    # per-nation cardinality growth never funnels through one task either.
+    ranked = bucketed_windows(
+        rev,
+        "total_revenue",
+        ["supplier_key"],
+        ascending=False,
+        rank_out="global_rank",
+        grand_sum=("total_revenue", "global_total"),
     )
-    w_nation = Window.partitionBy("supplier_nation_name").orderBy(
-        F.col("total_revenue").desc(), F.col("supplier_key")
+    ranked = bucketed_windows(
+        ranked,
+        "total_revenue",
+        ["supplier_key"],
+        ascending=False,
+        partition_cols=["supplier_nation_name"],
+        rank_out="nation_rank",
     )
-    w_all = Window.partitionBy()
     return (
-        rev.join(nation_totals, "supplier_nation_name")
-        .withColumns(
-            {
-                "global_rank": F.rank().over(w_global).cast("long"),
-                "nation_rank": F.rank().over(w_nation).cast("long"),
-                "global_total": dsum_over(F.col("total_revenue"), w_all),
-            }
-        )
+        ranked.join(F.broadcast(nation_totals), "supplier_nation_name")
         .select(
             "supplier_key",
             "supplier_name",
@@ -654,32 +663,15 @@ def customer_rfm_segments(ctx):
             "recency_days",
             days_between(F.col("reference_date"), F.col("last_order_date")),
         )
-        .withColumns(
-            {
-                "r_score": F.ntile(5)
-                .over(
-                    Window.partitionBy().orderBy(
-                        F.col("recency_days").desc(), F.col("customer_key")
-                    )
-                )
-                .cast("long"),
-                "f_score": F.ntile(5)
-                .over(
-                    Window.partitionBy().orderBy(
-                        F.col("frequency"), F.col("customer_key")
-                    )
-                )
-                .cast("long"),
-                "m_score": F.ntile(5)
-                .over(
-                    Window.partitionBy().orderBy(
-                        F.col("monetary"), F.col("customer_key")
-                    )
-                )
-                .cast("long"),
-            }
-        )
     )
+    # Scale: three exact global NTILEs over the customer-grain frame
+    # (SF-linear) via bucketed exact ranks + NTILE remainder arithmetic —
+    # no unpartitioned ntile() window moves the frame through one task.
+    scored = global_ntile(
+        scored, 5, "recency_days", ["customer_key"], "r_score", ascending=False
+    )
+    scored = global_ntile(scored, 5, "frequency", ["customer_key"], "f_score")
+    scored = global_ntile(scored, 5, "monetary", ["customer_key"], "m_score")
     seg = (
         F.when(
             (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),

@@ -1105,13 +1105,24 @@ def dedup_method_agreement(ctx):
         .groupBy("method_a", "method_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     )
-    ma = per_method.select(
+    # the grid comes from a LITERAL 3-method frame (the keys are static),
+    # not from the observed pair set: a detector returning zero pairs must
+    # still appear in the agreement matrix with n=0, or the "which detector
+    # is loose/tight" report silently drops it
+    methods = ctx.spark.createDataFrame(
+        [(name,) for name, _ in sets], "method string"
+    )
+    counted = methods.join(F.broadcast(per_method), "method", "left").select(
+        "method", F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs")
+    )
+    ma = counted.select(
         F.col("method").alias("method_a"), F.col("n_pairs").alias("n_a")
     )
-    mb = per_method.select(
+    mb = counted.select(
         F.col("method").alias("method_b"), F.col("n_pairs").alias("n_b")
     )
     grid = ma.crossJoin(mb).filter(F.col("method_a") < F.col("method_b"))
+    n_both = F.coalesce("n_both", F.lit(0))
     return (
         grid.join(both, ["method_a", "method_b"], "left")
         .select(
@@ -1119,10 +1130,14 @@ def dedup_method_agreement(ctx):
             "method_b",
             "n_a",
             "n_b",
-            F.coalesce("n_both", F.lit(0)).cast("long").alias("n_both"),
+            n_both.cast("long").alias("n_both"),
             rnd(
-                F.coalesce("n_both", F.lit(0)).cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_both", F.lit(0))),
+                n_both.cast("double")
+                # NULLIF guard: two empty detectors would divide 0/0 —
+                # Spark yields NULL but DuckDB IEEE-floats to NaN
+                / F.nullif(
+                    F.col("n_a") + F.col("n_b") - n_both, F.lit(0)
+                ),
                 6,
             ).alias("pair_jaccard"),
         )
@@ -1139,9 +1154,17 @@ oracle(
     UNION ALL
     SELECT doc_a, doc_b, 'winnow' AS method FROM docs_winnow_dups
 ),
+methods AS (
+    SELECT * FROM (VALUES ('minhash_lsh'), ('simhash'), ('winnow'))
+        AS t(method)
+),
 per_method AS (
-    SELECT method, CAST(COUNT(*) AS BIGINT) AS n_pairs
-    FROM labeled GROUP BY 1
+    SELECT m.method,
+           CAST(COALESCE(c.n_pairs, 0) AS BIGINT) AS n_pairs
+    FROM methods m
+    LEFT JOIN (
+        SELECT method, COUNT(*) AS n_pairs FROM labeled GROUP BY 1
+    ) c ON c.method = m.method
 ),
 ov AS (
     SELECT a.method AS method_a, b.method AS method_b,
@@ -1158,10 +1181,113 @@ SELECT
     mb.n_pairs AS n_b,
     CAST(COALESCE(o.n_both, 0) AS BIGINT) AS n_both,
     {rnd_sql('CAST(COALESCE(o.n_both, 0) AS DOUBLE)'
-             ' / (ma.n_pairs + mb.n_pairs - COALESCE(o.n_both, 0))', 6)}
+             ' / NULLIF(ma.n_pairs + mb.n_pairs - COALESCE(o.n_both, 0), 0)', 6)}
         AS pair_jaccard
 FROM per_method ma
 CROSS JOIN per_method mb
 LEFT JOIN ov o ON o.method_a = ma.method AND o.method_b = mb.method
 WHERE ma.method < mb.method""",
+)
+
+
+# --------------------------------------------------------------------------
+# directional n-gram containment (sub-document duplication)
+# --------------------------------------------------------------------------
+
+#: minimum directional containment to report a pair
+CONTAINMENT_MIN = 0.8
+
+
+@model("dedup_ngram_containment", layer="operators", materialization="view")
+def dedup_ngram_containment(ctx):
+    """Directional 5-gram containment |A ∩ B| / |A|: the sub-document
+    duplication signal symmetric Jaccard misses — a short document quoted
+    wholesale inside a long one has high containment but low Jaccard
+    (union is dominated by the long side), and dedup policy differs (drop
+    the contained copy, keep the superset). Same shared-shingle blocking
+    as dedup_ngram_jaccard (shuffle key = shingle, never all-pairs); only
+    pairs with max-direction containment >= CONTAINMENT_MIN survive."""
+    d = ctx.source("documents")
+    toks = F.split(norm_text_col(), " ")
+    shingles = F.when(
+        F.size(toks) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 4),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "size_a"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "size_b"})
+    c_ab = F.col("intersection_size").cast("double") / F.col("size_a")
+    c_ba = F.col("intersection_size").cast("double") / F.col("size_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(c_ab, c_ba) >= F.lit(CONTAINMENT_MIN))
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection_size",
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            rnd(c_ab, 6).alias("containment_a_in_b"),
+            rnd(c_ba, 6).alias("containment_b_in_a"),
+            F.when(c_ab >= c_ba, "a_in_b").otherwise("b_in_a").alias(
+                "direction"
+            ),
+        )
+    )
+
+
+oracle(
+    "dedup_ngram_containment",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT doc_id, string_split({_NORM_TEXT_DUCK}, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, UNNEST(
+        CASE WHEN len(t) >= 5
+             THEN list_distinct(list_transform(range(1, len(t) - 3),
+                  i -> array_to_string(list_slice(t, i, i + 4), ' ')))
+             ELSE [] END) AS shingle
+    FROM toks
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection_size
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT
+    i.doc_a,
+    i.doc_b,
+    i.intersection_size,
+    CAST(sa.n_shingles AS BIGINT) AS size_a,
+    CAST(sb.n_shingles AS BIGINT) AS size_b,
+    {rnd_sql('CAST(i.intersection_size AS DOUBLE) / sa.n_shingles', 6)} AS containment_a_in_b,
+    {rnd_sql('CAST(i.intersection_size AS DOUBLE) / sb.n_shingles', 6)} AS containment_b_in_a,
+    CASE WHEN CAST(i.intersection_size AS DOUBLE) / sa.n_shingles
+              >= CAST(i.intersection_size AS DOUBLE) / sb.n_shingles
+         THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE GREATEST(CAST(i.intersection_size AS DOUBLE) / sa.n_shingles,
+               CAST(i.intersection_size AS DOUBLE) / sb.n_shingles)
+      >= {CONTAINMENT_MIN}""",
 )

@@ -626,17 +626,22 @@ def events_props_redaction(ctx):
     the email/IP branches are structurally identical and share the same
     cascade machinery.
 
+    Each category is counted on the PROGRESSIVELY-REDACTED text (after the
+    previous patterns' replacements), so the counts agree with the replace
+    cascade: a digit run inside an already-redacted email/IP is not also
+    counted as a number.
+
     Pure per-row JVM regex (zero Python UDFs, zero shuffles) — the scrub
     pass at 100 TB is a map-only scan, exactly this plan."""
     e = ctx.source("events")
-    low = F.lower(F.col("props"))
-    counts = {
-        name: F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("long")
-        for name, pat, _ in PII_PATTERNS
-    }
-    redacted = low
-    for _, pat, token in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pat, token)
+    stage = F.lower(F.col("props"))
+    counts = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = F.size(
+            F.regexp_extract_all(stage, F.lit(pat), 0)
+        ).cast("long")
+        stage = F.regexp_replace(stage, pat, token)
+    redacted = stage
     return e.select(
         "event_id",
         "user_id",
@@ -648,17 +653,19 @@ def events_props_redaction(ctx):
 
 
 def _pii_oracle() -> str:
-    count_cols = ",\n    ".join(
-        f"CAST(len(regexp_extract_all(lower(props), '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
-    red = "lower(props)"
-    for _, pat, token in PII_PATTERNS:
-        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
-    total = " + ".join(
-        f"len(regexp_extract_all(lower(props), '{pat}'))"
-        for _, pat, _ in PII_PATTERNS
-    )
+    # mirror the Spark cascade: each category counts on the text AFTER the
+    # previous patterns' replacements
+    stage = "lower(props)"
+    count_exprs, totals = [], []
+    for name, pat, token in PII_PATTERNS:
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({stage}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        totals.append(f"len(regexp_extract_all({stage}, '{pat}'))")
+        stage = f"regexp_replace({stage}, '{pat}', '{token}', 'g')"
+    count_cols = ",\n    ".join(count_exprs)
+    red = stage
+    total = " + ".join(totals)
     return f"""SELECT
     event_id,
     user_id,

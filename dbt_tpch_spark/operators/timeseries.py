@@ -40,6 +40,7 @@ from dbt_tpch_spark.models.oracle import (
     dsum_sql,
     oracle,
     rnd_sql,
+    wsum_sql,
 )
 from dbt_tpch_spark.plans import model
 
@@ -1349,9 +1350,16 @@ def events_value_psi(ctx):
     from dbt_tpch_spark.functions import dsum
 
     e = ctx.source("events")
-    bin_col = F.least(
-        F.floor(F.col("value") / PSI_BIN_WIDTH).cast("long"),
-        F.lit(PSI_N_BINS - 1),
+    # clamp at BOTH ends: without the greatest(), a negative value bins to
+    # -1, falls off the generated 0..N-1 grid, and silently vanishes from
+    # bin counts AND period totals (the drift monitor would ignore
+    # negative-value mass)
+    bin_col = F.greatest(
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_WIDTH).cast("long"),
+            F.lit(PSI_N_BINS - 1),
+        ),
+        F.lit(0).cast("long"),
     )
     period = F.when(
         F.col("ts") < F.to_timestamp(F.lit(PSI_SPLIT)), "base"
@@ -1429,8 +1437,8 @@ def _psi_oracle() -> str:
     SELECT event_type,
            CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 'base' ELSE 'cur' END
                AS period,
-           least(CAST(floor(value / {PSI_BIN_WIDTH}) AS BIGINT),
-                 {PSI_N_BINS - 1}) AS bin
+           greatest(least(CAST(floor(value / {PSI_BIN_WIDTH}) AS BIGINT),
+                 {PSI_N_BINS - 1}), 0) AS bin
     FROM events
 ),
 counts AS (
@@ -1741,4 +1749,115 @@ SELECT
     wau.wau,
     {rnd_sql('dau.dau / CAST(wau.wau AS DOUBLE)', 6)} AS stickiness
 FROM dau JOIN wau ON dau.day = wau.day""",
+)
+
+
+# --------------------------------------------------------------------------
+# changepoint detection: single best mean-shift split per series
+# --------------------------------------------------------------------------
+
+
+@model("events_mean_shift", layer="operators", materialization="view")
+def events_mean_shift(ctx):
+    """Changepoint detection per event type: the hourly-bucket split point
+    that maximizes |mean(before) - mean(after)| — the binary-segmentation
+    primitive a feed-quality monitor runs to localize WHEN a metric
+    shifted (PSI above says IF the distribution drifted; this says when
+    the level moved).
+
+    Scale: raw events collapse to (type, hour) buckets first (map-side
+    partial agg), so every window below runs at bucket grain — bounded by
+    time span, not SF — partitioned by event_type. Evaluating all N-1
+    candidate splits is two running sums + one full-frame sum over the
+    same sort; no self-join against the candidate set.
+
+    Determinism: bucket sums and their running/total sums accumulate in
+    exact decimal (dsum/dsum_over); the split statistic is identical IEEE
+    double arithmetic on identical operands; ties on the statistic break
+    to the earliest bucket."""
+    e = ctx.source("events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum(F.col("value")).alias("hr_sum"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type")
+    from dbt_tpch_spark.functions import dsum_over
+
+    scored = hourly.withColumns(
+        {
+            "cum_n": F.sum("n_events").over(w_run).cast("long"),
+            "cum_s": dsum_over(F.col("hr_sum"), w_run),
+            "tot_n": F.sum("n_events").over(w_all).cast("long"),
+            "tot_s": dsum_over(F.col("hr_sum"), w_all),
+            "idx": F.row_number().over(w),
+            "n_buckets": F.count(F.lit(1)).over(w_all),
+        }
+    ).filter(F.col("idx") < F.col("n_buckets"))  # right side must be non-empty
+    mean_l = F.col("cum_s") / F.col("cum_n")
+    mean_r = (F.col("tot_s") - F.col("cum_s")) / (F.col("tot_n") - F.col("cum_n"))
+    shift = F.abs(mean_l - mean_r)
+    ranked = scored.withColumn("shift_mag", shift).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("shift_mag").desc(), F.col("bucket")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("bucket").alias("split_after_bucket"),
+        F.col("cum_n").alias("n_before"),
+        (F.col("tot_n") - F.col("cum_n")).alias("n_after"),
+        rnd(mean_l, 6).alias("mean_before"),
+        rnd(mean_r, 6).alias("mean_after"),
+        rnd(F.col("shift_mag"), 6).alias("mean_shift"),
+    )
+
+
+_MS_OVER = "PARTITION BY event_type ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+_MS_ALL = "PARTITION BY event_type"
+oracle(
+    "events_mean_shift",
+    ("events",),
+    f"""WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dsum_sql('value')} AS hr_sum
+    FROM events
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT *,
+        CAST(SUM(n_events) OVER ({_MS_OVER}) AS BIGINT) AS cum_n,
+        {wsum_sql('hr_sum', _MS_OVER)} AS cum_s,
+        CAST(SUM(n_events) OVER ({_MS_ALL}) AS BIGINT) AS tot_n,
+        {wsum_sql('hr_sum', _MS_ALL)} AS tot_s,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS idx,
+        COUNT(*) OVER ({_MS_ALL}) AS n_buckets
+    FROM hourly
+),
+cand AS (
+    SELECT *,
+        ABS(cum_s / cum_n - (tot_s - cum_s) / (tot_n - cum_n)) AS shift_mag
+    FROM scored WHERE idx < n_buckets
+),
+best AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY shift_mag DESC, bucket) AS rk
+    FROM cand
+)
+SELECT
+    event_type,
+    bucket AS split_after_bucket,
+    cum_n AS n_before,
+    tot_n - cum_n AS n_after,
+    {rnd_sql('cum_s / cum_n', 6)} AS mean_before,
+    {rnd_sql('(tot_s - cum_s) / (tot_n - cum_n)', 6)} AS mean_after,
+    {rnd_sql('shift_mag', 6)} AS mean_shift
+FROM best WHERE rk = 1""",
 )

@@ -47,6 +47,11 @@ class ModelSpec:
 
 MODELS: dict[str, ModelSpec] = {}
 
+#: temp views Context.sql registered itself: view name -> weakref to the
+#: owning Context. Lets a later Context (different sf_dir/policy) rebind
+#: them without ever touching user-created views.
+_ENGINE_VIEWS: dict = {}
+
 
 def model(name: str, layer: str, materialization: str = "view"):
     def decorator(fn: Callable[["Context"], DataFrame]):
@@ -113,26 +118,85 @@ class Context:
     def sql(self, query: str) -> DataFrame:
         """Run ad-hoc Spark SQL against the model catalog — the interface a
         user of the reference actually has (their warehouse speaks SQL over
-        dbt-materialized tables). Every registered model name or raw source
-        table mentioned in the query is exposed as a temp view on demand
-        (models stay lazy: registering a view just names the unexecuted
-        plan, so Catalyst still prunes/pushes through model boundaries
-        exactly as with ``ref()`` composition).
+        dbt-materialized tables). Model/source names the query references
+        are exposed as temp views on demand (models stay lazy: registering
+        a view just names the unexecuted plan, so Catalyst still prunes/
+        pushes through model boundaries exactly as with ``ref()``
+        composition).
 
-        Name resolution is registry-driven: identifiers in the query text
-        that match a model or source name get views; everything else is
-        left to Spark's analyzer."""
-        import re
+        Name resolution is analyzer-driven: the query is analyzed as-is and
+        only a genuinely unresolved relation whose name matches a model or
+        source gets a view (then the analysis retries). A model name inside
+        a string literal or comment is never registered — so mentioning a
+        checkpoint-eager model in a comment no longer builds it — and a
+        user's existing temp view with the same name resolves first and is
+        never clobbered (only views this engine registered itself are ever
+        replaced, and only when a different Context — e.g. another sf_dir —
+        takes over)."""
+        from pyspark.errors import AnalysisException
 
         from dbt_tpch_spark.sources import TABLES
 
-        mentioned = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))
+        # a view registered by a PREVIOUS Context must not satisfy this
+        # context's query (it would pin the old sf_dir/policy): drop it and
+        # let the lazy re-registration below rebind only what's referenced.
+        # If the user has since REPLACED the view with their own, cede
+        # ownership and leave it alone (sameResult check against the plan
+        # we registered).
         with self._lock:
-            for name in sorted(mentioned & set(MODELS)):
-                self.ref(name).createOrReplaceTempView(name)
-            for name in sorted(mentioned & set(TABLES)):
-                self.source(name).createOrReplaceTempView(name)
-        return self.spark.sql(query)
+            for vname, (owner, jplan) in list(_ENGINE_VIEWS.items()):
+                if owner() is self:
+                    continue
+                del _ENGINE_VIEWS[vname]
+                try:
+                    cur = (
+                        self.spark.table(vname)
+                        ._jdf.queryExecution()
+                        .analyzed()
+                    )
+                    still_ours = cur.sameResult(jplan)
+                except Exception:
+                    still_ours = False
+                if still_ours:
+                    self.spark.catalog.dropTempView(vname)
+
+        tried: set[str] = set()
+        while True:
+            try:
+                return self.spark.sql(query)
+            except AnalysisException as exc:
+                cls = (
+                    exc.getCondition()
+                    if hasattr(exc, "getCondition")
+                    else exc.getErrorClass()
+                ) or ""
+                params = exc.getMessageParameters() or {}
+                name = (
+                    (params.get("relationName") or "")
+                    .strip("`")
+                    .split("`.`")[-1]
+                )
+                if (
+                    not cls.startswith("TABLE_OR_VIEW_NOT_FOUND")
+                    or not name
+                    or name in tried
+                ):
+                    raise
+                tried.add(name)
+                with self._lock:
+                    if name in MODELS:
+                        vdf = self.ref(name)
+                    elif name in TABLES:
+                        vdf = self.source(name)
+                    else:
+                        raise
+                    vdf.createOrReplaceTempView(name)
+                    import weakref
+
+                    _ENGINE_VIEWS[name] = (
+                        weakref.ref(self),
+                        vdf._jdf.queryExecution().analyzed(),
+                    )
 
     def audit(self, name: str) -> dict:
         """Physical-plan audit of a model: shuffle count, scan columns and

@@ -18,17 +18,66 @@ def _walk(node):
         yield from _walk(node.children().apply(i))
 
 
+#: grouping-column names whose cardinality grows linearly with SF — an
+#: unpartitioned window over an aggregate at one of these grains still
+#: funnels an SF-linear frame through ONE WindowExec task (the round-3
+#: verdict's fact-dimension-grain class: 150K customers at SF1 → 15M at
+#: SF100). Bounded-domain grains (month, nation, status, band, bucket
+#: index, …) pass.
+_UNBOUNDED_KEY = re.compile(
+    r"(^|_)("
+    r"key|id|"  # customer_key, part_key, doc_id, user_id, event_id, …
+    r"custkey|partkey|suppkey|orderkey|nationkey|regionkey"  # raw tpch
+    r")$"
+)
+
+
+def _nearest_aggregate_grain(node):
+    """Grouping-column names of the aggregate nearest below ``node``
+    (BFS — the node that determines the window input's cardinality), or
+    None if no Aggregate exists in the subtree."""
+    frontier = [node]
+    while frontier:
+        nxt = []
+        for n in frontier:
+            if n.nodeName() in ("GlobalLimit", "WindowGroupLimit"):
+                # input already capped at a literal k (top-k re-rank shape,
+                # e.g. global_topk output or InferWindowGroupLimit) —
+                # bounded regardless of the grain below
+                return []
+            if n.nodeName() == "Aggregate":
+                exprs = n.groupingExpressions()
+                names = []
+                for i in range(exprs.size()):
+                    s = exprs.apply(i).toString()
+                    names.append(s.split("#")[0].split(".")[-1].strip("'`"))
+                return names
+            for i in range(n.children().size()):
+                nxt.append(n.children().apply(i))
+        frontier = nxt
+    return None
+
+
 def unpartitioned_window_offenders(df: DataFrame) -> list:
-    """Unpartitioned Window nodes whose input subtree has no Aggregate —
-    the single-partition scale-killer shape. Post-aggregation
-    (report-cardinality) inputs are acceptable and excluded."""
+    """Unpartitioned Window nodes whose input frame grows with SF — the
+    single-partition scale-killer shape. Acceptable inputs are
+    bounded-cardinality only: the subtree's nearest Aggregate must exist
+    AND group by bounded-domain columns (month/nation/status/bucket …).
+    An aggregate at ``*_key``/``*_id`` grain (customer/part/supplier/doc/
+    user) is SF-linear and still flags — merely being "post-aggregation"
+    is not enough (round-3 verdict, fact-dimension-grain class)."""
     plan = df._jdf.queryExecution().optimizedPlan()
     bad = []
     for n in _walk(plan):
         if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
-            sub = [m.nodeName() for m in _walk(n.children().apply(0))]
-            if "Aggregate" not in sub:
-                bad.append(sub[:6])
+            grain = _nearest_aggregate_grain(n.children().apply(0))
+            if grain is None:
+                sub = [m.nodeName() for m in _walk(n.children().apply(0))]
+                bad.append(["no-aggregate"] + sub[:6])
+            else:
+                hot = [g for g in grain if _UNBOUNDED_KEY.search(g.lower())]
+                if hot:
+                    bad.append(["sf-linear-grain"] + hot)
     return bad
 
 

@@ -16,6 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: cap on the driver-side distinct-partition collect in
+#: write_insert_overwrite (≈27 years of daily partitions; a legitimate
+#: date/month grain never approaches it, a mistaken key column blows
+#: straight past it)
+MAX_OVERWRITE_PARTITIONS = 10_000
+
 
 def write_partitioned(
     df: DataFrame,
@@ -179,9 +185,25 @@ def write_insert_overwrite(
 
     Returns {"partitions_written": [...], "rows_written": n}.
     """
+    # the distinct partition list lands on the DRIVER: fine for the
+    # date/month partitions this strategy exists for (thousands), unbounded
+    # if a caller passes a high-cardinality column — fail loudly instead of
+    # OOMing the driver (and a >MAX_PARTITIONS partitionBy would be a
+    # small-files disaster on the write path anyway)
     parts = [
-        r[0] for r in df.select(partition_col).distinct().collect()
+        r[0]
+        for r in df.select(partition_col)
+        .distinct()
+        .limit(MAX_OVERWRITE_PARTITIONS + 1)
+        .collect()
     ]
+    if len(parts) > MAX_OVERWRITE_PARTITIONS:
+        raise ValueError(
+            f"insert_overwrite: partition column {partition_col!r} has more "
+            f"than {MAX_OVERWRITE_PARTITIONS} distinct values — that is not "
+            "a partition grain; partition on a bounded column (day/month) "
+            "or raise MAX_OVERWRITE_PARTITIONS explicitly"
+        )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

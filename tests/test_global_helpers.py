@@ -78,3 +78,81 @@ def test_global_row_number_constant_key(spark):
         for r in global_row_number(df, "key", True, ["id"]).collect()
     )
     assert got == [(i, i + 1) for i in range(50)]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),  # heavy-tie numeric key
+            st.integers(min_value=0, max_value=100_000),
+            st.integers(min_value=-1000, max_value=1000),  # measure
+        ),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[1],
+    ),
+    st.booleans(),
+)
+def test_bucketed_windows_matches_window_stack(spark, rows, ascending):
+    """bucketed_windows == the single-partition rank/running-sum/grand-
+    total/count window stack it replaces, for arbitrary ties and skew."""
+    from dbt_tpch_spark.functions import bucketed_windows
+
+    data = [(float(k), i, float(v)) for k, i, v in rows]
+    df = spark.createDataFrame(data, "key double, id long, val double")
+    got = {
+        (r["id"], r["rk"], r["run"], r["tot"], r["cnt"])
+        for r in bucketed_windows(
+            df,
+            "key",
+            ["id"],
+            ascending=ascending,
+            rank_out="rk",
+            running_sum=("val", "run"),
+            grand_sum=("val", "tot"),
+            count_out="cnt",
+        ).collect()
+    }
+    ordered = sorted(data, key=lambda t: (t[0] if ascending else -t[0], t[1]))
+    tot = float(sum(v for _, _, v in ordered))
+    run = 0.0
+    expected = set()
+    for pos, (_k, i, v) in enumerate(ordered):
+        run += v
+        expected.add((i, pos + 1, run, tot, len(ordered)))
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=0, max_value=100_000),
+        ),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_global_ntile_matches_ntile_window(spark, rows, n):
+    from pyspark.sql.window import Window
+
+    from dbt_tpch_spark.functions import global_ntile
+
+    data = [(float(k), i) for k, i in rows]
+    df = spark.createDataFrame(data, "key double, id long")
+    got = {
+        (r["id"], r["t"])
+        for r in global_ntile(df, n, "key", ["id"], "t").collect()
+    }
+    w = Window.orderBy(F.col("key"), F.col("id"))
+    expected = {
+        (r["id"], r["t"])
+        for r in df.withColumn(
+            "t", F.ntile(n).over(w).cast("long")
+        ).collect()
+    }
+    assert got == expected

@@ -420,6 +420,24 @@ def test_pagerank_mass_and_rank_density(spark, sf_dir):
     assert sorted(r.importance_rank for r in rows) == list(range(1, n + 1))
 
 
+def test_kcore_alive_set_is_fixpoint(spark, sf_dir):
+    """parts_kcore peels a FIXED number of rounds; the docstring's honesty
+    contract is that on the test corpus the result is an actual fixpoint.
+    Convergence is checkable from the output itself: core_degree is each
+    surviving node's degree within the final core, so another peel round
+    would remove nothing iff no in_kcore node has core_degree < K."""
+    from dbt_tpch_spark.operators.graph import KCORE_K
+
+    ctx = Context(spark, sf_dir)
+    df = ctx.ref("parts_kcore")
+    not_converged = df.filter(
+        F.col("in_kcore") & (F.col("core_degree") < KCORE_K)
+    ).count()
+    assert not_converged == 0, (
+        f"{not_converged} core nodes below K={KCORE_K}: raise KCORE_ROUNDS"
+    )
+
+
 def test_pq_training_reduces_reconstruction_error(spark, sf_dir):
     """Mean PQ reconstruction error after the Lloyd rounds must beat the
     raw seed codebook (training actually helps), and every vector encodes

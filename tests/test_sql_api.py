@@ -84,3 +84,51 @@ def test_audit_api_reports_plan_facts(spark, sf_dir):
     assert any(s["pushed_filters"] for s in rep["scans"])
     assert rep["unpartitioned_window_offenders"] == []
     assert "shuffle" in format_audit(rep)
+
+
+def test_sql_literal_mention_does_not_build_model(spark, sf_dir):
+    """A model name inside a string literal/comment must NOT trigger a
+    build (checkpoint-eager models would run real Spark jobs just from
+    being mentioned) — resolution is analyzer-driven, not a token scan."""
+    ctx = Context(spark, sf_dir)
+    df = ctx.sql(
+        "SELECT 'docs_winnow_dups' AS s  -- fct_orders in a comment"
+    )
+    assert df.collect()[0]["s"] == "docs_winnow_dups"
+    assert "docs_winnow_dups" not in ctx._built
+    assert "fct_orders" not in ctx._built
+
+
+def test_sql_does_not_clobber_user_temp_view(spark, sf_dir):
+    """A user temp view sharing a model name resolves first — Context.sql
+    must not silently replace it session-wide."""
+    ctx = Context(spark, sf_dir)
+    spark.range(3).toDF("z").createOrReplaceTempView("fct_orders")
+    try:
+        assert ctx.sql("SELECT COUNT(*) AS n FROM fct_orders").collect()[0]["n"] == 3
+    finally:
+        spark.catalog.dropTempView("fct_orders")
+
+
+def test_sql_unknown_relation_still_raises(spark, sf_dir):
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        Context(spark, sf_dir).sql("SELECT * FROM definitely_not_a_table")
+
+
+def test_sql_second_context_rebinds_engine_views(spark):
+    """An engine view registered by one Context (one sf_dir) must not pin a
+    later Context's resolution — the second context rebinds to ITS data."""
+    n1 = (
+        Context(spark, "/root/testdata/sf0.001")
+        .sql("SELECT COUNT(*) AS n FROM orders")
+        .collect()[0]["n"]
+    )
+    n2 = (
+        Context(spark, "/root/testdata/sf0.01")
+        .sql("SELECT COUNT(*) AS n FROM orders")
+        .collect()[0]["n"]
+    )
+    assert n2 > n1 > 0

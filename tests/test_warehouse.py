@@ -173,3 +173,19 @@ def test_insert_overwrite_replaces_only_touched_partitions(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
         != "dynamic"
     )
+
+
+def test_insert_overwrite_rejects_high_cardinality_partition_col(
+    spark, tmp_path, monkeypatch
+):
+    """A high-cardinality partition column must fail loudly BEFORE the
+    distinct-value collect lands unbounded rows on the driver (and before
+    a million-directory partitionBy write)."""
+    import pytest
+
+    import dbt_tpch_spark.warehouse as wh
+
+    monkeypatch.setattr(wh, "MAX_OVERWRITE_PARTITIONS", 5)
+    df = spark.range(100).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="not a partition grain"):
+        wh.write_insert_overwrite(df, spark, str(tmp_path / "t"), "k")
