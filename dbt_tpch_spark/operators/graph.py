@@ -494,8 +494,12 @@ def parts_neighbor_similarity(ctx):
     (WindowGroupLimit — running top-k, no global sort). Degrees join back
     broadcast (node-cardinality)."""
     edges = _edges(ctx).localCheckpoint(eager=True)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
+    # node-cardinality degree table feeds THREE consumers (hub valve +
+    # both endpoint joins) — materialize once instead of re-aggregating
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
     )
     # wedge: a -n- b through shared neighbor n (valve: deg(n) <= cap)
     hub_ok = deg.filter(F.col("degree") <= NEIGHBOR_DEG_CAP).select(

@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dbt_tpch_spark.plans import model
-from dbt_tpch_spark.models.oracle import isum_sql, oracle
+from dbt_tpch_spark.functions import dsum, rnd
+from dbt_tpch_spark.models.oracle import dsum_sql, isum_sql, oracle, rnd_sql
 
 #: per-language keep rates in 1/16ths (hex-digit threshold). The majority
 #: class (en) is downsampled hard, mid-resource kept at half, the rarest
@@ -645,4 +646,137 @@ oracle(
     CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2""",
+)
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled mixture (multilingual/source upsampling knob)
+# --------------------------------------------------------------------------
+
+#: mixing temperature τ: source weights ∝ share^(1/τ). τ=2 (exponent 0.5)
+#: is the standard "flatten toward uniform" upsampling used for low-resource
+#: sources/languages; exponent 0.5 is computed as SQRT — correctly rounded
+#: per IEEE-754, so bit-identical cross-engine (a general pow() is not).
+MIX_TEMPERATURE = 2.0
+
+
+@model("docs_mixture_temperature", layer="operators", materialization="view")
+def docs_mixture_temperature(ctx):
+    """Temperature-scaled data mixing: instead of fixed MIX_TARGETS, each
+    source's sampling weight is its natural corpus share raised to 1/τ and
+    renormalized — the standard knob that upsamples small sources (τ>1
+    flattens toward uniform, τ=1 is proportional). Targets come out of the
+    same global budget (MIX_BUDGET_FRAC) and selection inside a source is
+    the same deterministic smallest-salted-md5 rank, so the blend is
+    reproducible end to end.
+
+    Determinism: the weight denominator Σ share^(1/τ) is a 4-row sum of
+    12-dp-quantized sqrt values accumulated in exact decimal; all other
+    arithmetic is identical IEEE ops. Scale: one window per source
+    partition + source-cardinality aggregates — the corpus shuffles once."""
+    from pyspark.sql.window import Window
+
+    d = ctx.source("documents").select("doc_id", "source")
+    # the stats frame is source-cardinality (a handful of rows) but feeds
+    # four consumers (denominator agg, weight projection, rank join, final
+    # join) — checkpoint it once so the corpus aggregate underneath is not
+    # re-executed per consumer
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_available")
+    ).localCheckpoint(eager=True)
+    total = counts.agg(
+        F.sum("n_available").cast("double").alias("n_total")
+    )
+    q = rnd(F.sqrt(F.col("n_available") / F.col("n_total")), 12)
+    stats = counts.crossJoin(F.broadcast(total)).withColumn("q", q)
+    denom = stats.agg(dsum(F.col("q")).alias("q_sum"))
+    stats = (
+        stats.crossJoin(F.broadcast(denom))
+        .withColumns(
+            {
+                "temp_weight": F.col("q") / F.col("q_sum"),
+                "n_target": F.floor(
+                    (F.col("q") / F.col("q_sum"))
+                    * F.floor(F.col("n_total") * F.lit(MIX_BUDGET_FRAC))
+                ).cast("long"),
+            }
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    kept = (
+        d.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(stats.select("source", "n_target")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("n_target"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept")
+        )
+    )
+    return (
+        stats.join(kept, "source")
+        .select(
+            "source",
+            "n_available",
+            rnd(F.col("n_available") / F.col("n_total"), 6).alias(
+                "natural_share"
+            ),
+            rnd(F.col("temp_weight"), 6).alias("temp_weight"),
+            "n_target",
+            "n_kept",
+            F.greatest(F.col("n_target") - F.col("n_kept"), F.lit(0)).alias(
+                "deficit"
+            ),
+        )
+    )
+
+
+oracle(
+    "docs_mixture_temperature",
+    (),
+    f"""WITH d AS (SELECT doc_id, source FROM documents),
+counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_available FROM d GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM d),
+qs AS (
+    SELECT source, n_available, n_total,
+           {rnd_sql('SQRT(n_available / n_total)', 12)} AS q
+    FROM counts CROSS JOIN total
+),
+denom AS (SELECT {dsum_sql('q')} AS q_sum FROM qs),
+stats AS (
+    SELECT source, n_available, n_total, q / q_sum AS temp_weight,
+           CAST(FLOOR((q / q_sum) * FLOOR(n_total * {MIX_BUDGET_FRAC}))
+                AS BIGINT) AS n_target
+    FROM qs CROSS JOIN denom
+),
+ranked AS (
+    SELECT source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('{MIX_SALT}', CAST(doc_id AS VARCHAR))), doc_id
+           ) AS rk
+    FROM d
+),
+kept AS (
+    SELECT r.source,
+           CAST(SUM(CASE WHEN r.rk <= s.n_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM ranked r JOIN stats s ON r.source = s.source
+    GROUP BY 1
+)
+SELECT
+    s.source,
+    s.n_available,
+    {rnd_sql('s.n_available / s.n_total', 6)} AS natural_share,
+    {rnd_sql('s.temp_weight', 6)} AS temp_weight,
+    s.n_target,
+    k.n_kept,
+    GREATEST(s.n_target - k.n_kept, 0) AS deficit
+FROM stats s JOIN kept k ON s.source = k.source""",
 )

@@ -867,3 +867,101 @@ GROUP BY 1, 2"""
 
 
 oracle("doc_bigram_surprisal", ("documents",), _bigram_surprisal_oracle())
+
+
+# --------------------------------------------------------------------------
+# model-based quality filter (logistic scorer with swappable weights)
+# --------------------------------------------------------------------------
+
+#: fixed logistic weights (bias, length, lexical diversity, stopwords,
+#: punctuation). Stand-ins for a trained fastText-style quality
+#: classifier: a real deployment exports its linear head here and the
+#: whole stage — feature extraction, score, threshold — stays this exact
+#: plan. Kept as literals so both engines run identical arithmetic.
+QC_WEIGHTS = (-1.0, 2.0, 1.5, 1.0, -3.0)
+QC_KEEP_THRESHOLD = 0.5
+
+
+@model("doc_quality_classifier", layer="operators", materialization="view")
+def doc_quality_classifier(ctx):
+    """Model-based quality filtering: per-document logistic score
+    sigmoid(w·x) over the standard cheap features (capped length, lexical
+    diversity, stopword ratio, punctuation ratio) with a keep/drop verdict
+    at QC_KEEP_THRESHOLD — the classifier-filter stage of a pretraining
+    pipeline (CCNet/fastText-style) as a map-only scan, zero shuffles.
+
+    Determinism: the logit is 6-dp-quantized before the sigmoid so a
+    sub-ULP libm exp() divergence cannot flip the rounded output."""
+    d = ctx.source("documents")
+    ltext = F.lower(F.trim(F.col("text")))
+    words = F.split(ltext, " ")
+    n_tokens = F.size(words).cast("long")
+    n_chars = F.length(F.col("text")).cast("long")
+    x_len = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    x_div = F.size(F.array_distinct(words)).cast("double") / F.nullif(
+        n_tokens, F.lit(0)
+    )
+    x_stop = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    ).cast("double") / F.nullif(n_tokens, F.lit(0))
+    x_punct = F.length(
+        F.regexp_replace(ltext, "[a-z0-9 ]", "")
+    ).cast("double") / F.nullif(n_chars, F.lit(0))
+    w0, w1, w2, w3, w4 = QC_WEIGHTS
+    z = rnd(
+        F.lit(w0)
+        + F.lit(w1) * x_len
+        + F.lit(w2) * x_div
+        + F.lit(w3) * x_stop
+        + F.lit(w4) * x_punct,
+        6,
+    )
+    p = rnd(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        rnd(x_len, 6).alias("x_length"),
+        rnd(x_div, 6).alias("x_diversity"),
+        rnd(x_stop, 6).alias("x_stopword"),
+        rnd(x_punct, 6).alias("x_punct"),
+        z.alias("logit"),
+        p.alias("quality_prob"),
+        (p >= F.lit(QC_KEEP_THRESHOLD)).alias("keep"),
+    )
+
+
+def _qc_oracle() -> str:
+    w0, w1, w2, w3, w4 = QC_WEIGHTS
+    z = (
+        f"{w0} + {w1} * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)"
+        f" + {w2} * (CAST(len(list_distinct(words)) AS DOUBLE)"
+        " / NULLIF(len(words), 0))"
+        f" + {w3} * (CAST(len(list_filter(words, w -> w IN"
+        f" ({_sql_list(STOPWORDS)}))) AS DOUBLE) / NULLIF(len(words), 0))"
+        f" + {w4} * (CAST(length(regexp_replace(ltext, '[a-z0-9 ]', '', 'g'))"
+        " AS DOUBLE) / NULLIF(CAST(length(text) AS BIGINT), 0))"
+    )
+    zq = rnd_sql(z, 6)
+    p = rnd_sql(f"1.0 / (1.0 + exp(-({zq})))", 6)
+    return f"""WITH base AS (
+    SELECT doc_id, lang, source, text,
+           lower(trim(text)) AS ltext,
+           string_split(lower(trim(text)), ' ') AS words
+    FROM documents
+)
+SELECT
+    doc_id,
+    lang,
+    source,
+    {rnd_sql('least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)', 6)} AS x_length,
+    {rnd_sql('CAST(len(list_distinct(words)) AS DOUBLE) / NULLIF(len(words), 0)', 6)} AS x_diversity,
+    {rnd_sql(f'CAST(len(list_filter(words, w -> w IN ({_sql_list(STOPWORDS)}))) AS DOUBLE) / NULLIF(len(words), 0)', 6)} AS x_stopword,
+    {rnd_sql("CAST(length(regexp_replace(ltext, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(CAST(length(text) AS BIGINT), 0)", 6)} AS x_punct,
+    {zq} AS logit,
+    {p} AS quality_prob,
+    ({p}) >= {QC_KEEP_THRESHOLD} AS keep
+FROM base"""
+
+
+oracle("doc_quality_classifier", ("documents",), _qc_oracle())

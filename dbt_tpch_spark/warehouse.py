@@ -232,8 +232,10 @@ def merge_upsert(
     dropped via LEFT ANTI against the (broadcast-sized) update key set,
     then updates append. At 100 TB with a partitioned target the anti join
     + rewrite touch only the partitions the updates land in (here: whole
-    table, the corpus is unpartitioned); a real deployment would swap this
-    for MERGE INTO on a table format, same logical plan.
+    table, the corpus is unpartitioned); for the table-format version —
+    versioned snapshots, copy-on-write MERGE that rewrites only key-range-
+    overlapping files, time travel — see dbt_tpch_spark.tableformat.TxnTable
+    (same logical plan, file-skipping on top).
 
     Writes to a temp sibling, parks the old target aside, then promotes —
     a failed WRITE never touches the target, and a crash mid-swap leaves

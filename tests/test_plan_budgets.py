@@ -36,8 +36,16 @@ SHUFFLE_BUDGETS = {
     # round-4 operators: changepoint (type+hour agg + window sort),
     # neighborhood-Jaccard wedge join family, containment (shingle join)
     "events_mean_shift": 2,
-    "parts_neighbor_similarity": 9,
+    # wedge join (both sides from the checkpointed edges) + pair agg +
+    # top-k window; the node-sized degree table checkpoints once (was 9
+    # exchanges with deg re-aggregated per consumer)
+    "parts_neighbor_similarity": 3,
     "dedup_ngram_containment": 3,
+    # temperature mixing: the checkpointed source-stats frame leaves the
+    # per-source rank window as the only corpus shuffle; the classifier is
+    # a map-only scan
+    "docs_mixture_temperature": 1,
+    "doc_quality_classifier": 0,
     "monthly_revenue_kpis": 4,
     "dedup_minhash_lsh": 7,
     "ann_cosine_topk": 1,

@@ -1,0 +1,193 @@
+"""The transactional table format (dbt_tpch_spark/tableformat.py):
+snapshot reads, time travel, copy-on-write MERGE with file-stats
+skipping, optimistic-concurrency commits, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.tableformat import CommitConflict, TxnTable
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v string")
+
+
+def test_create_append_overwrite_time_travel(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxnTable.create(spark, p, _mk(spark, [(1, "a"), (2, "b")]), ["k"])
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+    v1 = t.append(_mk(spark, [(3, "c")]))
+    assert v1 == 1
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+    t.overwrite(_mk(spark, [(9, "z")]))
+    assert _rows(t.read()) == [(9, "z")]
+    # time travel: every prior snapshot still reads exactly
+    assert _rows(t.read(version=0)) == [(1, "a"), (2, "b")]
+    assert _rows(t.read(version=1)) == [(1, "a"), (2, "b"), (3, "c")]
+    ops = [c["operation"] for c in t.history()]
+    assert ops == ["create", "append", "overwrite"]
+
+
+def test_merge_upserts_and_skips_disjoint_files(spark, tmp_path):
+    """Two appends with disjoint key ranges -> an update touching only the
+    low range must rewrite the low file(s) and carry the high file(s) by
+    reference (file-stats skipping — the property that keeps
+    copy-on-write MERGE sublinear at scale)."""
+    p = str(tmp_path / "t")
+    low = _mk(spark, [(1, "a"), (2, "b")]).coalesce(1)
+    high = _mk(spark, [(100, "x"), (200, "y")]).coalesce(1)
+    t = TxnTable.create(spark, p, low, ["k"])
+    t.append(high)
+
+    rep = t.merge(_mk(spark, [(2, "B"), (3, "C")]).coalesce(1))
+    assert rep["files_rewritten"] == 1 and rep["files_skipped"] == 1
+    assert _rows(t.read()) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "C"),
+        (100, "x"),
+        (200, "y"),
+    ]
+    # pre-merge snapshot unchanged (time travel across a merge)
+    assert _rows(t.read(version=1)) == [
+        (1, "a"),
+        (2, "b"),
+        (100, "x"),
+        (200, "y"),
+    ]
+
+
+def test_merge_version_col_higher_wins(spark, tmp_path):
+    p = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "old", 5), (2, "keep", 9)], "k long, v string, ver long"
+    ).coalesce(1)
+    t = TxnTable.create(spark, p, base, ["k"])
+    updates = spark.createDataFrame(
+        [(1, "new", 7), (2, "stale", 3)], "k long, v string, ver long"
+    ).coalesce(1)
+    t.merge(updates, version_col="ver")
+    got = sorted((r["k"], r["v"], r["ver"]) for r in t.read().collect())
+    # k=1: update ver 7 > 5 wins; k=2: target ver 9 > 3 survives
+    assert got == [(1, "new", 7), (2, "keep", 9)]
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxnTable.create(spark, p, _mk(spark, [(1, "a")]), ["k"])
+    # a second handle races to the same next version
+    t2 = TxnTable(spark, p, ["k"])
+    t.append(_mk(spark, [(2, "b")]))
+    with pytest.raises(CommitConflict):
+        t2._commit(1, "append", adds=[], removes=[])
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxnTable.create(spark, p, _mk(spark, [(1, "a")]).coalesce(1), ["k"])
+    t.overwrite(_mk(spark, [(2, "b")]).coalesce(1))
+    removed = t.vacuum(retain_versions=1)
+    assert removed  # version-0 file gone
+    assert _rows(t.read()) == [(2, "b")]  # latest snapshot intact
+    with pytest.raises(Exception):
+        t.read(version=0).collect()  # time travel past retention is gone
+    # all remaining files on disk are referenced
+    live = {a["file"] for a in t.snapshot_files()}
+    on_disk = set()
+    for root, _d, fs in os.walk(os.path.join(p, "data")):
+        for f in fs:
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, f), p))
+    assert on_disk == live
+
+
+def test_merge_timestamp_keys_prune(spark, tmp_path):
+    """Timestamp key stats serialize as ISO strings and still prune
+    correctly (order-preserving)."""
+    p = str(tmp_path / "t")
+    jan = spark.sql(
+        "SELECT timestamp'2026-01-15 00:00:00' AS k, 'a' AS v"
+    ).coalesce(1)
+    jun = spark.sql(
+        "SELECT timestamp'2026-06-15 00:00:00' AS k, 'b' AS v"
+    ).coalesce(1)
+    t = TxnTable.create(spark, p, jan, ["k"])
+    t.append(jun)
+    upd = spark.sql(
+        "SELECT timestamp'2026-06-15 00:00:00' AS k, 'B' AS v"
+    ).coalesce(1)
+    rep = t.merge(upd)
+    assert rep["files_rewritten"] == 1 and rep["files_skipped"] == 1
+    got = sorted((str(r["k"]), r["v"]) for r in t.read().collect())
+    assert got == [
+        ("2026-01-15 00:00:00", "a"),
+        ("2026-06-15 00:00:00", "B"),
+    ]
+
+
+def test_streaming_foreachbatch_merge_sink(spark, tmp_path, sf_dir):
+    """Production shape: structured streaming upserts each micro-batch into
+    the transactional table via foreachBatch + TxnTable.merge (the
+    streaming MERGE-INTO sink). availableNow over the static corpus ->
+    final snapshot must equal a batch upsert of the same rows (last state
+    per user wins by event ts; ties break to higher event_id)."""
+    from dbt_tpch_spark.streaming.windows import read_events_stream
+
+    p = str(tmp_path / "user_state")
+    # per-user latest state with a total order (ts, event_id): within and
+    # across micro-batches the higher (ts, event_id) must win — encode the
+    # pair into one monotone version number for version_col semantics
+    # (seconds * 1e9 + id stays under the long limit; corpus ids << 1e9)
+    ver = (
+        F.unix_timestamp(F.col("ts")).cast("long") * F.lit(1_000_000_000)
+        + F.col("event_id")
+    )
+
+    def latest_per_user(df):
+        return (
+            df.withColumn("ver", ver)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ver", "event_type", "value")).alias("s"))
+            .select(
+                "user_id",
+                F.col("s.ver").alias("ver"),
+                F.col("s.event_type").alias("event_type"),
+                F.col("s.value").alias("value"),
+            )
+        )
+
+    seed = spark.createDataFrame(
+        [], "user_id long, ver long, event_type string, value double"
+    ).coalesce(1)
+    table = TxnTable.create(spark, p, seed, ["user_id"])
+
+    def sink(batch_df, batch_id):
+        table.merge(latest_per_user(batch_df), version_col="ver")
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from dbt_tpch_spark.plans import Context
+
+    batch = latest_per_user(
+        Context(spark, sf_dir).source("events")
+    )
+    got = sorted(map(tuple, table.read().collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and got
