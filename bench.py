@@ -84,6 +84,9 @@ HEADLINE = [
     "doc_repetition_stats",
     # late-round-3: the substring-dup family representative
     "docs_winnow_dups",
+    # round-4 additions: bucketed-Pareto report + graph node similarity
+    "customer_concentration_risk",
+    "parts_neighbor_similarity",
 ]
 
 #: the round-2 headline set (first 20 entries) — reported as a separate

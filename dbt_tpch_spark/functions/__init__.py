@@ -285,7 +285,10 @@ def bucketed_windows(
     """
     from pyspark.sql.window import Window
 
-    df = df.localCheckpoint(eager=True)
+    # lazy checkpoint: the quantile sketch's head() below is the first
+    # action and materializes it — fusing the checkpoint write into a pass
+    # that must run anyway (eager=True would add a separate blocking pass)
+    df = df.localCheckpoint(eager=False)
     part = list(partition_cols)
     sum_col = running_sum[0] if running_sum else (grand_sum[0] if grand_sum else None)
     if grand_sum and running_sum and grand_sum[0] != running_sum[0]:

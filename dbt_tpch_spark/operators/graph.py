@@ -472,27 +472,41 @@ oracle("parts_kcore", ("lineitem",), _kcore_oracle())
 
 #: top-k similar neighbors kept per part
 NEIGHBOR_TOP_K = 5
-#: a node with degree above this cap is excluded from serving as the
-#: SHARED neighbor in the wedge join (its deg² wedge fan-out dominates the
-#: 2-path count while contributing near-zero similarity signal — the same
-#: hot-key valve idea as the LSH hot-bucket cap). Endpoint nodes keep
-#: their full degree in the Jaccard denominator.
+#: a node with FULL degree above this cap is excluded from serving as the
+#: SHARED neighbor in the wedge join: even with sampled adjacency lists, a
+#: hub n still lands in many OTHER nodes' sampled lists (its in-sample
+#: popularity is Σ H/deg(m) over its neighbors), so its wedge fan-out
+#: would dominate while contributing near-zero similarity signal — the
+#: same hot-key valve idea as the LSH hot-bucket cap.
 NEIGHBOR_DEG_CAP = 200
+#: per-node adjacency sample size: each node contributes at most H salted-
+#: md5-ranked neighbors to the wedge join, so the wedge row count is
+#: bounded by nodes x H² at ANY scale factor (the full wedge join grows
+#: with deg² — measured 103 s at sf0.1 vs ~8 s sampled). Similarity is
+#: then the standard sampled-adjacency ESTIMATE (GraphSAGE-style neighbor
+#: sampling); full degrees are still reported exactly.
+NEIGHBOR_SAMPLE_H = 32
 
 
 @model("parts_neighbor_similarity", layer="operators", materialization="view")
 def parts_neighbor_similarity(ctx):
     """Item-item similarity over the co-purchase graph: for each part, the
-    NEIGHBOR_TOP_K most similar parts by neighborhood Jaccard
-    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the classic co-occurrence recommender
-    ("parts bought with parts like this") and the graph-native near-dup
-    signal for entity collapsing.
+    NEIGHBOR_TOP_K most similar parts by neighborhood Jaccard over SAMPLED
+    adjacency — the classic co-occurrence recommender ("parts bought with
+    parts like this") and the graph-native near-dup signal for entity
+    collapsing.
 
-    Scale: common-neighbor counting is ONE wedge join on the shared
-    neighbor key (never an all-pairs cross join) with the hot-node valve
-    above; the per-source top-k is a partitioned rank window
-    (WindowGroupLimit — running top-k, no global sort). Degrees join back
-    broadcast (node-cardinality)."""
+    Scale contract: every node's neighbor list is capped at
+    NEIGHBOR_SAMPLE_H deterministically-salted-md5-ranked neighbors before
+    the wedge join, so common-neighbor counting is bounded by nodes x H²
+    rows regardless of SF — the neighbor-sampling estimate production
+    item-item similarity actually ships (exact deg² wedges are quadratic
+    in density). ``jaccard_est`` = |S(a) ∩ S(b)| / |S(a) ∪ S(b)| over the
+    sampled lists; full degrees are reported exactly alongside. The
+    hot-node valve drops ultra-hubs from serving as the shared neighbor.
+    Per-source top-k is a partitioned rank window (WindowGroupLimit)."""
+    from pyspark.sql.window import Window
+
     edges = _edges(ctx).localCheckpoint(eager=True)
     # node-cardinality degree table feeds THREE consumers (hub valve +
     # both endpoint joins) — materialize once instead of re-aggregating
@@ -501,12 +515,31 @@ def parts_neighbor_similarity(ctx):
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .localCheckpoint(eager=True)
     )
-    # wedge: a -n- b through shared neighbor n (valve: deg(n) <= cap)
+    # deterministic per-node neighbor sample (partitioned window — the
+    # rank runs inside each node's list, never globally)
+    w_s = Window.partitionBy("src").orderBy(
+        F.md5(
+            F.concat_ws(
+                "|", F.col("src").cast("string"), F.col("dst").cast("string")
+            )
+        ),
+        "dst",
+    )
+    adj = (
+        edges.withColumn("_srk", F.row_number().over(w_s))
+        .filter(F.col("_srk") <= NEIGHBOR_SAMPLE_H)
+        .drop("_srk")
+        .localCheckpoint(eager=True)
+    )
+    sdeg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("sdeg")
+    )
+    # wedge: a -n- b through shared SAMPLED neighbor n (valve on full deg)
     hub_ok = deg.filter(F.col("degree") <= NEIGHBOR_DEG_CAP).select(
         F.col("node").alias("n")
     )
-    an = edges.select(F.col("src").alias("a"), F.col("dst").alias("n"))
-    bn = edges.select(F.col("src").alias("b"), F.col("dst").alias("n"))
+    an = adj.select(F.col("src").alias("a"), F.col("dst").alias("n"))
+    bn = adj.select(F.col("src").alias("b"), F.col("dst").alias("n"))
     common = (
         an.join(bn, "n")
         .filter(F.col("a") < F.col("b"))
@@ -516,14 +549,18 @@ def parts_neighbor_similarity(ctx):
     )
     da = deg.withColumnsRenamed({"node": "a", "degree": "deg_a"})
     db = deg.withColumnsRenamed({"node": "b", "degree": "deg_b"})
+    sa = sdeg.withColumnsRenamed({"node": "a", "sdeg": "sdeg_a"})
+    sb = sdeg.withColumnsRenamed({"node": "b", "sdeg": "sdeg_b"})
     sim = (
         common.join(F.broadcast(da), "a")
         .join(F.broadcast(db), "b")
+        .join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
         .withColumn(
-            "jaccard",
+            "jaccard_est",
             rnd(
                 F.col("n_common").cast("double")
-                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
+                / (F.col("sdeg_a") + F.col("sdeg_b") - F.col("n_common")),
                 6,
             ),
         )
@@ -536,13 +573,13 @@ def parts_neighbor_similarity(ctx):
             "n_common",
             F.col("deg_b").alias("deg_a"),
             F.col("deg_a").alias("deg_b"),
-            "jaccard",
+            F.col("sdeg_b").alias("sdeg_a"),
+            F.col("sdeg_a").alias("sdeg_b"),
+            "jaccard_est",
         )
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("a").orderBy(
-        F.col("jaccard").desc(), F.col("n_common").desc(), F.col("b")
+        F.col("jaccard_est").desc(), F.col("n_common").desc(), F.col("b")
     )
     return (
         both.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -553,7 +590,7 @@ def parts_neighbor_similarity(ctx):
             "n_common",
             F.col("deg_a").alias("degree"),
             F.col("deg_b").alias("similar_degree"),
-            "jaccard",
+            "jaccard_est",
             F.col("rk").alias("similarity_rank"),
         )
     )
@@ -578,24 +615,44 @@ deg AS (
     SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
     FROM edges GROUP BY 1
 ),
+adj AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (
+                   PARTITION BY src
+                   ORDER BY md5(concat(CAST(src AS VARCHAR), '|',
+                                       CAST(dst AS VARCHAR))), dst
+               ) AS srk
+        FROM edges
+    ) WHERE srk <= {NEIGHBOR_SAMPLE_H}
+),
+sdeg AS (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS sdeg
+    FROM adj GROUP BY 1
+),
 common AS (
     SELECT an.src AS a, bn.src AS b, CAST(COUNT(*) AS BIGINT) AS n_common
-    FROM edges an
-    JOIN edges bn ON an.dst = bn.dst AND an.src < bn.src
+    FROM adj an
+    JOIN adj bn ON an.dst = bn.dst AND an.src < bn.src
     JOIN deg h ON h.node = an.dst AND h.degree <= {NEIGHBOR_DEG_CAP}
     GROUP BY 1, 2
 ),
 sim AS (
-    SELECT c.a, c.b, c.n_common, da.degree AS deg_a, db.degree AS deg_b,
-           {rnd_sql('CAST(c.n_common AS DOUBLE) / (da.degree + db.degree - c.n_common)', 6)} AS jaccard
+    SELECT c.a, c.b, c.n_common,
+           da.degree AS deg_a, db.degree AS deg_b,
+           sa.sdeg AS sdeg_a, sb.sdeg AS sdeg_b,
+           {rnd_sql('CAST(c.n_common AS DOUBLE) / (sa.sdeg + sb.sdeg - c.n_common)', 6)} AS jaccard_est
     FROM common c
     JOIN deg da ON da.node = c.a
     JOIN deg db ON db.node = c.b
+    JOIN sdeg sa ON sa.node = c.a
+    JOIN sdeg sb ON sb.node = c.b
 ),
 bidir AS (
-    SELECT a, b, n_common, deg_a, deg_b, jaccard FROM sim
+    SELECT a, b, n_common, deg_a, deg_b, jaccard_est FROM sim
     UNION ALL
-    SELECT b AS a, a AS b, n_common, deg_b AS deg_a, deg_a AS deg_b, jaccard
+    SELECT b AS a, a AS b, n_common, deg_b AS deg_a, deg_a AS deg_b,
+           jaccard_est
     FROM sim
 )
 SELECT
@@ -604,9 +661,9 @@ SELECT
     n_common,
     deg_a AS degree,
     deg_b AS similar_degree,
-    jaccard,
+    jaccard_est,
     CAST(ROW_NUMBER() OVER (
-        PARTITION BY a ORDER BY jaccard DESC, n_common DESC, b
+        PARTITION BY a ORDER BY jaccard_est DESC, n_common DESC, b
     ) AS BIGINT) AS similarity_rank
 FROM bidir
 QUALIFY similarity_rank <= {NEIGHBOR_TOP_K}""",

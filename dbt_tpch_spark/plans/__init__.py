@@ -16,7 +16,9 @@ layer, and materialization. ``ref()``/``source()`` mirror dbt's functions
   Catalyst prunes columns across the whole DAG), ``cache`` persists the
   DataFrame (best when many downstream models fan out from one fact, e.g.
   fct_orders_items feeding 24 report models), ``parquet`` writes and re-reads
-  (the faithful CTAS, what a 100 TB deployment would do per layer).
+  (the faithful CTAS, what a 100 TB deployment would do per layer), ``txn``
+  writes each build as a new snapshot of a transactional table
+  (tableformat.TxnTable) so successive DAG builds are time-travelable.
 """
 
 from __future__ import annotations
@@ -69,7 +71,7 @@ class Context:
         spark: SparkSession,
         sf_dir: str,
         variables: dict | None = None,
-        table_policy: str = "lazy",  # lazy | cache | parquet
+        table_policy: str = "lazy",  # lazy | cache | parquet | txn
         warehouse_dir: str | None = None,
     ):
         self.spark = spark
@@ -110,6 +112,24 @@ class Context:
             path = f"{self.warehouse_dir}/{name}"
             df.write.mode("overwrite").parquet(path)
             return self.spark.read.parquet(path)
+        if self.table_policy == "txn":
+            # versioned CTAS: each build lands as a new snapshot of the
+            # transactional table (tableformat.TxnTable), so successive DAG
+            # builds are time-travelable ("what did training read last
+            # week" is a version pin) instead of overwrites
+            if not self.warehouse_dir:
+                raise ValueError("table_policy='txn' requires warehouse_dir")
+            import os
+
+            from dbt_tpch_spark.tableformat import TxnTable
+
+            path = f"{self.warehouse_dir}/{name}"
+            if os.path.isdir(os.path.join(path, "_log")):
+                t = TxnTable(self.spark, path)
+                t.overwrite(df)
+            else:
+                t = TxnTable.create(self.spark, path, df)
+            return t.read()
         return df
 
     def invalidate(self) -> None:

@@ -209,6 +209,96 @@ GROUP BY 1""",
 )
 
 
+@model("events_props_schema", layer="streaming", materialization="view")
+def events_props_schema(ctx):
+    """Semi-structured schema discovery over the JSON ``props`` payload:
+    per key, its event coverage and a lexical type census (int / float /
+    bool / null / other) — the "what is actually in this JSON column"
+    report run before promoting payload fields to real columns.
+
+    Shape: props parses ONCE to map<string,string>, entries explode, one
+    groupBy(key) shuffle; coverage joins the 1-row total broadcast. Types
+    are inferred from the extracted value's lexical form (a JSON string
+    "87" is indistinguishable from the number 87 post-extraction — fine
+    for a census, documented). Scale: output is key-cardinality."""
+    e = ctx.source("events")
+    total = e.agg(F.count(F.lit(1)).alias("n_events_total"))
+    kv = e.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "key", "val"
+        )
+    )
+    is_int = F.col("val").rlike("^-?[0-9]+$")
+    is_float = F.col("val").rlike("^-?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?$")
+    is_bool = F.col("val").isin("true", "false")
+    per_key = kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(F.when(is_int, 1).otherwise(0)).cast("long").alias("n_int"),
+        F.sum(F.when(is_float, 1).otherwise(0)).cast("long").alias("n_float"),
+        F.sum(F.when(is_bool, 1).otherwise(0)).cast("long").alias("n_bool"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+    )
+    from dbt_tpch_spark.functions import rnd
+
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_present",
+            rnd(
+                F.col("n_present") / F.col("n_events_total") * 100, 2
+            ).alias("coverage_pct"),
+            "n_int",
+            "n_float",
+            "n_bool",
+            "n_null",
+            (
+                F.col("n_present")
+                - F.col("n_int")
+                - F.col("n_float")
+                - F.col("n_bool")
+                - F.col("n_null")
+            ).alias("n_other"),
+        )
+    )
+
+
+oracle(
+    "events_props_schema",
+    ("events",),
+    f"""WITH total AS (SELECT COUNT(*) AS n_events_total FROM events),
+kv AS (
+    SELECT unnest(json_keys(props)) AS key, props FROM events
+),
+typed AS (
+    SELECT key, json_extract_string(props, '$.' || key) AS val FROM kv
+),
+per_key AS (
+    SELECT
+        key,
+        CAST(COUNT(*) AS BIGINT) AS n_present,
+        CAST(SUM(CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+        CAST(SUM(CASE WHEN regexp_matches(val, '^-?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?$') THEN 1 ELSE 0 END) AS BIGINT) AS n_float,
+        CAST(SUM(CASE WHEN val IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+        CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+    FROM typed
+    GROUP BY 1
+)
+SELECT
+    key,
+    n_present,
+    {rnd_sql('CAST(n_present AS DOUBLE) / n_events_total * 100', 2)} AS coverage_pct,
+    n_int,
+    n_float,
+    n_bool,
+    n_null,
+    (n_present - n_int - n_float - n_bool - n_null) AS n_other
+FROM per_key CROSS JOIN total""",
+)
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming builders (used by tests / live deployments)
 # --------------------------------------------------------------------------

@@ -36,16 +36,19 @@ SHUFFLE_BUDGETS = {
     # round-4 operators: changepoint (type+hour agg + window sort),
     # neighborhood-Jaccard wedge join family, containment (shingle join)
     "events_mean_shift": 2,
-    # wedge join (both sides from the checkpointed edges) + pair agg +
-    # top-k window; the node-sized degree table checkpoints once (was 9
-    # exchanges with deg re-aggregated per consumer)
-    "parts_neighbor_similarity": 3,
+    # sampled-adjacency wedge family: per-node sample window + sampled-
+    # degree agg + wedge join sides + pair agg + top-k window, all on the
+    # checkpointed edge/adjacency tables (exact-wedge variant measured
+    # 103 s at sf0.1 vs ~14 s sampled — the sampling IS the scale design)
+    "parts_neighbor_similarity": 7,
     "dedup_ngram_containment": 3,
     # temperature mixing: the checkpointed source-stats frame leaves the
     # per-source rank window as the only corpus shuffle; the classifier is
     # a map-only scan
     "docs_mixture_temperature": 1,
     "doc_quality_classifier": 0,
+    # JSON schema census: map-entries explode + key agg + 1-row total
+    "events_props_schema": 2,
     "monthly_revenue_kpis": 4,
     "dedup_minhash_lsh": 7,
     "ann_cosine_topk": 1,
