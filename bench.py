@@ -87,6 +87,9 @@ HEADLINE = [
     # round-4 additions: bucketed-Pareto report + graph node similarity
     "customer_concentration_risk",
     "parts_neighbor_similarity",
+    # round-4 exact-similarity-join representative (prefix-filtered
+    # PPJoin — the no-false-negative dedup path)
+    "dedup_ppjoin",
 ]
 
 #: the round-2 headline set (first 20 entries) — reported as a separate

@@ -33,6 +33,8 @@ _LAYER_MODULES = (
     "dbt_tpch_spark.operators.sketches",
     "dbt_tpch_spark.operators.skew",
     "dbt_tpch_spark.operators.winnow",
+    "dbt_tpch_spark.operators.simjoin",
+    "dbt_tpch_spark.operators.stats",
     "dbt_tpch_spark.streaming.windows",
 )
 

@@ -622,19 +622,11 @@ WHERE cosine >= {COSINE_THRESHOLD}""",
 # --------------------------------------------------------------------------
 
 
-@model("dedup_clusters", layer="operators", materialization="view")
-def dedup_clusters(ctx):
-    """Connected components over the verified MinHash near-dup pairs:
-    every document in a component gets the component's minimum doc_id as
-    cluster id (the canonical survivor a dedup pass keeps).
-
-    Implemented as iterative min-label propagation — the standard
-    large-graph DataFrame pattern: join + re-aggregate until fixpoint, with
-    an eager ``localCheckpoint`` per round to truncate lineage (without it
-    the logical plan nests exponentially and analysis alone stalls).
-    Converges in O(component diameter) rounds; early-stops when labels are
-    stable. The oracle reaches the same fixpoint with a recursive CTE
-    (transitive closure + MIN per node)."""
+def _component_labels(ctx):
+    """(doc_id, cluster_id) min-label fixpoint over the verified MinHash
+    near-dup pairs — only documents that appear in at least one pair.
+    Shared feedstock of :func:`dedup_clusters` (per-cluster rollup) and
+    :func:`dedup_doc_labels` (per-doc labels incl. singletons)."""
     pairs = ctx.ref("dedup_minhash_lsh").select("doc_a", "doc_b")
     # undirected edges, both directions; cached partitioned on the per-round
     # join key (cache keeps hash(doc_b) outputPartitioning where
@@ -685,6 +677,23 @@ def dedup_clusters(ctx):
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+@model("dedup_clusters", layer="operators", materialization="view")
+def dedup_clusters(ctx):
+    """Connected components over the verified MinHash near-dup pairs:
+    every document in a component gets the component's minimum doc_id as
+    cluster id (the canonical survivor a dedup pass keeps).
+
+    Implemented as iterative min-label propagation — the standard
+    large-graph DataFrame pattern: join + re-aggregate until fixpoint, with
+    an eager ``localCheckpoint`` per round to truncate lineage (without it
+    the logical plan nests exponentially and analysis alone stalls).
+    Converges in O(component diameter) rounds; early-stops when labels are
+    stable. The oracle reaches the same fixpoint with a recursive CTE
+    (transitive closure + MIN per node)."""
+    labels = _component_labels(ctx)
     return labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("doc_id").alias("canonical_doc_id"),
@@ -721,6 +730,59 @@ SELECT
     MAX(doc_id) AS max_doc_id
 FROM labels
 GROUP BY 1""",
+)
+
+
+@model("dedup_doc_labels", layer="operators", materialization="view")
+def dedup_doc_labels(ctx):
+    """Per-document canonical component label over the WHOLE corpus:
+    documents in a near-dup component carry the component's min doc_id;
+    singletons (never in a verified pair) are their own label. This is
+    the frame group-aware downstream stages key on — leakage-safe
+    train/test splitting (docs_split_by_cluster), group-aware sharding,
+    survivor election — so it is materialized as a first-class model
+    rather than recomputed per consumer.
+
+    Plan: the min-label fixpoint runs only over docs that appear in
+    pairs; the corpus-wide frame is one left hash join + coalesce (the
+    label side is SF-linear in the worst case, so it is NOT broadcast —
+    AQE will still pick broadcast when the pair set is actually small).
+    """
+    labels = _component_labels(ctx)
+    d = ctx.source("documents").select("doc_id")
+    return d.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+oracle(
+    "dedup_doc_labels",
+    ("dedup_minhash_lsh", "documents"),
+    """WITH RECURSIVE edges AS (
+    SELECT doc_a, doc_b FROM dedup_minhash_lsh
+    UNION
+    SELECT doc_b, doc_a FROM dedup_minhash_lsh
+),
+nodes AS (
+    SELECT DISTINCT doc_a AS doc_id FROM edges
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT r.src, e.doc_b
+    FROM reach r JOIN edges e ON r.dst = e.doc_a
+),
+labels AS (
+    SELECT src AS doc_id, MIN(dst) AS cluster_id
+    FROM reach
+    GROUP BY src
+)
+SELECT
+    d.doc_id,
+    COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d
+LEFT JOIN labels l ON d.doc_id = l.doc_id""",
 )
 
 

@@ -780,3 +780,143 @@ SELECT
     GREATEST(s.n_target - k.n_kept, 0) AS deficit
 FROM stats s JOIN kept k ON s.source = k.source""",
 )
+
+
+# --------------------------------------------------------------------------
+# leakage-safe (group-aware) splitting + contamination audit
+# --------------------------------------------------------------------------
+
+
+def _split_col(key) -> F.Column:
+    """train/val/test from md5(SPLIT_SALT|key) — the same thresholds as
+    docs_split_assign, parameterized by the hashing key so callers can
+    split by doc_id (per-doc) or by dedup-cluster id (group-aware)."""
+    h = F.md5(F.concat(F.lit(SPLIT_SALT), key.cast("string")))
+    return (
+        F.when(h < F.lit(SPLIT_BOUNDS[0][1]), SPLIT_BOUNDS[0][0])
+        .when(h < F.lit(SPLIT_BOUNDS[1][1]), SPLIT_BOUNDS[1][0])
+        .otherwise(SPLIT_BOUNDS[2][0])
+    )
+
+
+def _split_sql(key_expr: str) -> str:
+    return (
+        f"CASE WHEN md5(concat('{SPLIT_SALT}', CAST({key_expr} AS VARCHAR)))"
+        f" < '{SPLIT_BOUNDS[0][1]}' THEN '{SPLIT_BOUNDS[0][0]}'"
+        f" WHEN md5(concat('{SPLIT_SALT}', CAST({key_expr} AS VARCHAR)))"
+        f" < '{SPLIT_BOUNDS[1][1]}' THEN '{SPLIT_BOUNDS[1][0]}'"
+        f" ELSE '{SPLIT_BOUNDS[2][0]}' END"
+    )
+
+
+@model("docs_split_by_cluster", layer="operators", materialization="view")
+def docs_split_by_cluster(ctx):
+    """Leakage-safe train/val/test split: documents are assigned by the
+    md5 of their DEDUP-CLUSTER id (dedup_doc_labels), not their own id,
+    so every member of a near-duplicate component lands in the same
+    split — the contamination guarantee a per-doc split cannot give
+    (docs_split_leakage measures exactly that gap). Census output at
+    (split, lang) grain, like docs_split_assign, plus the cluster count
+    so the stratification loss from moving whole groups is visible.
+
+    Scale: one hash join to labels (SF-linear both sides, co-keyed on
+    doc_id) + a stateless split map + one bounded-grain aggregation."""
+    labels = ctx.ref("dedup_doc_labels")
+    d = ctx.source("documents").select("doc_id", "lang", "n_chars")
+    return (
+        d.join(labels, "doc_id")
+        .withColumn("split", _split_col(F.col("cluster_id")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+oracle(
+    "docs_split_by_cluster",
+    ("dedup_doc_labels", "documents"),
+    f"""SELECT
+    {_split_sql('l.cluster_id')} AS split,
+    d.lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT l.cluster_id) AS BIGINT) AS n_clusters,
+    CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d
+JOIN dedup_doc_labels l ON d.doc_id = l.doc_id
+GROUP BY 1, 2""",
+)
+
+
+@model("docs_split_leakage", layer="operators", materialization="view")
+def docs_split_leakage(ctx):
+    """Train/test contamination audit: for each verified near-dup pair,
+    where do its two members land under (a) the naive per-doc split and
+    (b) the cluster-aware split? One row per (scheme, split_a, split_b)
+    with the pair count — the `per_doc` scheme's off-diagonal rows ARE
+    the leaked eval pairs; the `by_cluster` scheme is zero off-diagonal
+    by construction (asserted in tests). This is the audit artifact an
+    eval-integrity review asks for before trusting held-out numbers.
+
+    Scale: the pair list is tiny next to the corpus, so it is enriched
+    with both endpoints' cluster ids in ONE pass and checkpointed (the
+    post-materialization plan — without the barrier each scheme branch
+    would re-run the LSH pipeline and both label joins); both schemes'
+    splits then derive from the enriched rows as a stateless explode +
+    one bounded-grain (2x3x3) aggregation."""
+    pairs = ctx.ref("dedup_minhash_lsh").select("doc_a", "doc_b")
+    labels = ctx.ref("dedup_doc_labels")
+    la = labels.withColumnsRenamed({"doc_id": "doc_a", "cluster_id": "ca"})
+    lb = labels.withColumnsRenamed({"doc_id": "doc_b", "cluster_id": "cb"})
+    enriched = (
+        pairs.join(la, "doc_a").join(lb, "doc_b").localCheckpoint(eager=True)
+    )
+    scheme_rows = enriched.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("per_doc").alias("scheme"),
+                    _split_col(F.col("doc_a")).alias("split_a"),
+                    _split_col(F.col("doc_b")).alias("split_b"),
+                ),
+                F.struct(
+                    F.lit("by_cluster").alias("scheme"),
+                    _split_col(F.col("ca")).alias("split_a"),
+                    _split_col(F.col("cb")).alias("split_b"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.scheme", "s.split_a", "s.split_b")
+    return (
+        scheme_rows.groupBy("scheme", "split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn(
+            "is_leak", (F.col("split_a") != F.col("split_b")).cast("boolean")
+        )
+    )
+
+
+oracle(
+    "docs_split_leakage",
+    ("dedup_minhash_lsh", "dedup_doc_labels"),
+    f"""WITH schemes AS (
+    SELECT 'per_doc' AS scheme, doc_id, {_split_sql('doc_id')} AS split
+    FROM dedup_doc_labels
+    UNION ALL
+    SELECT 'by_cluster' AS scheme, doc_id, {_split_sql('cluster_id')} AS split
+    FROM dedup_doc_labels
+)
+SELECT
+    s.scheme,
+    sa.split AS split_a,
+    sb.split AS split_b,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    sa.split <> sb.split AS is_leak
+FROM dedup_minhash_lsh p
+CROSS JOIN (SELECT DISTINCT scheme FROM schemes) s
+JOIN schemes sa ON sa.scheme = s.scheme AND sa.doc_id = p.doc_a
+JOIN schemes sb ON sb.scheme = s.scheme AND sb.doc_id = p.doc_b
+GROUP BY 1, 2, 3""",
+)

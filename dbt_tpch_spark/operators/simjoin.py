@@ -1,0 +1,324 @@
+"""Exact set-similarity joins — the *no-false-negative* complement of the
+probabilistic dedup detectors in :mod:`dbt_tpch_spark.operators.dedup`.
+
+Two classic algorithms from the record-linkage / similarity-join
+literature, both re-expressed as shuffle-friendly DataFrame plans:
+
+* ``dedup_ppjoin`` — AllPairs/PPJoin-style **prefix-filtered exact Jaccard
+  join** (Bayardo et al., WWW'07; Xiao et al., WWW'08). Tokens are
+  globally ordered rarest-first by document frequency; a document only
+  emits its *prefix* (the first ``|T| - ceil(t*|T|) + 1`` tokens) into the
+  candidate join. Any pair with Jaccard >= t must share at least one
+  prefix token under this ordering, so the candidate set is complete —
+  unlike MinHash-LSH there are no false negatives — while the
+  rarest-first ordering keeps stopword-grade hot tokens out of prefixes
+  (the skew guard LSH needs a valve for).
+* ``dedup_sorted_neighborhood`` — the **sorted-neighborhood method**
+  (Hernández & Stolfo, SIGMOD'95): sort by a domain key, compare each
+  record only with its w nearest neighbors in sort order. Distributed
+  here without a single-partition global sort via *halo exchange*: rows
+  are range-bucketed by the key's first character (bounded domain), each
+  bucket's first w rows are additionally copied into the preceding bucket
+  as read-only "ghosts", and a per-bucket window then reproduces the
+  GLOBAL sorted adjacency exactly — the oracle is the plain global
+  ``lead()`` and the hash gate proves the halo construction equal to it.
+
+Scale shapes: PPJoin shuffles on (rare) prefix tokens and verifies only
+candidates with one array_intersect per pair; SNM is one bucketed sort +
+a w-row halo per bucket boundary (halo volume = w x n_buckets, constant).
+
+Reference parity: the reference engine ships no similarity joins; this is
+extension surface mandated by the task (SURVEY §2.12-ext), sharing the
+3-gram shingle feedstock and threshold with the LSH detector so the
+detectors are directly comparable (see dedup_method_agreement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbt_tpch_spark.functions import rnd
+from dbt_tpch_spark.models.oracle import oracle, rnd_sql
+from dbt_tpch_spark.operators.dedup import (
+    _NORM_TEXT_DUCK,
+    _SHINGLE3_DUCK,
+    _shingle3_set_df,
+    JACCARD_THRESHOLD,
+    norm_text_col,
+)
+from dbt_tpch_spark.plans import model
+
+# --------------------------------------------------------------------------
+# PPJoin: prefix-filtered exact Jaccard self-join
+# --------------------------------------------------------------------------
+
+#: Jaccard threshold t (shared with the LSH detector so outputs compare).
+PPJOIN_THRESHOLD = JACCARD_THRESHOLD
+
+
+def _pair_jaccard_cols():
+    """(intersection, union, jaccard) from two shingle-array columns —
+    engine-portable arithmetic: |A∩B| = |A| + |B| - |A∪B| with the union
+    via distinct-concat, so both engines count the same multiset-free
+    sizes. 0/0 (two shingle-less docs) is NULL-guarded on both sides."""
+    inter = (
+        F.size("words_a") + F.size("words_b")
+        - F.size(F.array_distinct(F.concat("words_a", "words_b")))
+    ).cast("long")
+    union = (F.size("words_a") + F.size("words_b")).cast("long") - inter
+    jac = inter.cast("double") / F.nullif(union, F.lit(0))
+    return inter, union, jac
+
+
+_PAIR_JACCARD_DUCK = {
+    "inter": (
+        "CAST(len(wa) + len(wb) - len(list_distinct(list_concat(wa, wb))) AS BIGINT)"
+    ),
+    "union": (
+        "CAST(len(wa) AS BIGINT) + CAST(len(wb) AS BIGINT) "
+        "- CAST(len(wa) + len(wb) - len(list_distinct(list_concat(wa, wb))) AS BIGINT)"
+    ),
+}
+_PAIR_JACCARD_DUCK["jac"] = (
+    f"CAST({_PAIR_JACCARD_DUCK['inter']} AS DOUBLE) "
+    f"/ NULLIF({_PAIR_JACCARD_DUCK['union']}, 0)"
+)
+
+
+@model("dedup_ppjoin", layer="operators", materialization="view")
+def dedup_ppjoin(ctx):
+    """Exact Jaccard >= t self-join over 3-gram shingle sets via prefix
+    filtering. Candidate completeness: order every document's shingles by
+    (global df ASC, shingle ASC) and emit only the first
+    ``sz - ceil(t*sz) + 1`` as prefix tokens; a pair missing ALL of one
+    side's prefix can share at most ``ceil(t*sz) - 1 < t*sz`` tokens with
+    it, so every true pair survives candidate generation. Verification is
+    one JVM-side array intersection per candidate — no re-join on tokens.
+
+    Scale: the candidate shuffle keys are the *rarest* tokens per doc, so
+    bucket sizes stay small even with stopword-grade hot shingles; output
+    equals the full exact similarity join (superset of the LSH detector's
+    verified pairs — asserted in tests)."""
+    sets = _shingle3_set_df(ctx)
+    sh = sets.select("doc_id", F.explode("words").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rk", F.row_number().over(w_doc))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(PPJOIN_THRESHOLD) * F.col("sz")) + 1
+    )
+    pref = ranked.filter(F.col("rk") <= prefix_len).select("doc_id", "shingle")
+    a = pref.withColumnsRenamed({"doc_id": "doc_a"})
+    b = pref.withColumnsRenamed({"doc_id": "doc_b"})
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = sets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a"))
+    tb = sets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b"))
+    inter, union, jac = _pair_jaccard_cols()
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("intersection_size"),
+            union.alias("union_size"),
+            rnd(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= PPJOIN_THRESHOLD)
+    )
+
+
+oracle(
+    "dedup_ppjoin",
+    ("documents",),
+    f"""WITH sets AS (
+    SELECT doc_id, {_SHINGLE3_DUCK} AS words FROM documents
+),
+sh AS (
+    SELECT doc_id, UNNEST(words) AS shingle FROM sets
+),
+dfreq AS (
+    SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+),
+ranked AS (
+    SELECT s.doc_id, s.shingle,
+        ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rk,
+        COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
+    FROM sh s JOIN dfreq d USING (shingle)
+),
+pref AS (
+    SELECT doc_id, shingle FROM ranked
+    WHERE rk <= sz - CEIL({PPJOIN_THRESHOLD} * sz) + 1
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT c.doc_a, c.doc_b, ta.words AS wa, tb.words AS wb
+    FROM cands c
+    JOIN sets ta ON c.doc_a = ta.doc_id
+    JOIN sets tb ON c.doc_b = tb.doc_id
+)
+SELECT
+    doc_a,
+    doc_b,
+    {_PAIR_JACCARD_DUCK['inter']} AS intersection_size,
+    {_PAIR_JACCARD_DUCK['union']} AS union_size,
+    {rnd_sql(_PAIR_JACCARD_DUCK['jac'], 6)} AS jaccard
+FROM scored
+WHERE {rnd_sql(_PAIR_JACCARD_DUCK['jac'], 6)} >= {PPJOIN_THRESHOLD}""",
+)
+
+
+# --------------------------------------------------------------------------
+# sorted-neighborhood method with halo exchange
+# --------------------------------------------------------------------------
+
+#: neighborhood width: each row is compared with the next W rows in global
+#: (sort_key, doc_id) order.
+SNM_WINDOW = 2
+
+#: sort-key length — enough normalized-text prefix that near-duplicates
+#: collate adjacently, short enough that the key is cheap to carry.
+SNM_KEY_LEN = 24
+
+
+@model("dedup_sorted_neighborhood", layer="operators", materialization="view")
+def dedup_sorted_neighborhood(ctx):
+    """Sorted-neighborhood dedup: global sort by a 24-char normalized-text
+    key, compare each doc with its next ``SNM_WINDOW`` neighbors, keep
+    pairs with shingle-Jaccard >= threshold.
+
+    The global sorted adjacency is computed WITHOUT a single-partition
+    window: rows range-bucket by the key's first character (bounded
+    domain, pure function of the key so ties never straddle buckets);
+    each bucket's first W rows are also copied into every *preceding*
+    bucket as ghost rows (their keys sort strictly after every native
+    key there, because their first character is strictly larger, and
+    ghost groups from successive buckets collate in bucket order), so a
+    per-bucket ``lead()`` sees past the boundary exactly the first W
+    rows of the global suffix — even when intervening buckets hold
+    fewer than W rows. Ghosts serve only as lead targets — they emit
+    no pairs themselves. Halo volume is <= W x n_buckets^2 rows —
+    constant, independent of SF. The oracle runs the plain global
+    ``lead()``; the hash gate is the equality proof of the halo
+    construction.
+
+    Scale: one shuffle to bucket, per-bucket parallel sort, halo volume
+    W rows per boundary — constant; versus LSH this trades recall for a
+    bound (only sort-adjacent pairs are found) but costs no token join
+    at all — the classic cheap first pass of a multi-pass dedup."""
+    sets = _shingle3_set_df(ctx)
+    d = (
+        ctx.source("documents")
+        .select("doc_id", F.substring(norm_text_col(), 1, SNM_KEY_LEN).alias("skey"))
+        .join(sets, "doc_id")
+        .withColumn("bucket", F.substring("skey", 1, 1))
+    )
+    # first W rows of each bucket (in global order) become ghosts in EVERY
+    # preceding bucket — so a lead() near a boundary still finds W global
+    # successors when the next bucket(s) hold fewer than W rows. The
+    # heads frame is <= W x |buckets| rows — checkpoint it so the corpus
+    # window that extracts it runs ONCE (it feeds the ghost rows AND the
+    # bucket map); the real-row branch then costs one plain scan. The
+    # bucket-pair map is a tiny (<= alphabet-size^2) broadcast frame
+    # (every non-empty bucket has a rank-1 row, so heads covers the
+    # bucket domain).
+    w_b = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    heads = (
+        d.withColumn("_rn", F.row_number().over(w_b))
+        .filter(F.col("_rn") <= SNM_WINDOW)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    buckets = heads.select("bucket").distinct()
+    pred_map = (
+        buckets.withColumnRenamed("bucket", "from_bucket")
+        .join(
+            buckets.withColumnRenamed("bucket", "to_bucket"),
+            F.col("from_bucket") > F.col("to_bucket"),
+        )
+    )
+    ghosts = (
+        heads.join(
+            F.broadcast(pred_map),
+            heads["bucket"] == F.col("from_bucket"),
+        )
+        .select(
+            "doc_id",
+            "skey",
+            "words",
+            F.col("to_bucket").alias("bucket"),
+            F.lit(1).alias("is_ghost"),
+        )
+    )
+    frame = d.select(
+        "doc_id", "skey", "words", "bucket", F.lit(0).alias("is_ghost")
+    ).unionByName(ghosts)
+    w_adj = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    adj = frame.select(
+        "doc_id",
+        "words",
+        "is_ghost",
+        *[F.lead("doc_id", k).over(w_adj).alias(f"d{k}") for k in range(1, SNM_WINDOW + 1)],
+        *[F.lead("words", k).over(w_adj).alias(f"w{k}") for k in range(1, SNM_WINDOW + 1)],
+    ).filter(F.col("is_ghost") == 0)
+    pairs = None
+    for k in range(1, SNM_WINDOW + 1):
+        p = adj.filter(F.col(f"d{k}").isNotNull()).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(f"d{k}").alias("doc_b"),
+            F.lit(k).alias("gap"),
+            F.col("words").alias("words_a"),
+            F.col(f"w{k}").alias("words_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    inter, union, jac = _pair_jaccard_cols()
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "gap",
+        inter.alias("intersection_size"),
+        rnd(jac, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= PPJOIN_THRESHOLD)
+
+
+oracle(
+    "dedup_sorted_neighborhood",
+    ("documents",),
+    f"""WITH sets AS (
+    SELECT doc_id,
+        substr({_NORM_TEXT_DUCK}, 1, {SNM_KEY_LEN}) AS skey,
+        {_SHINGLE3_DUCK} AS words
+    FROM documents
+),
+ord AS (
+    SELECT doc_id, words,
+        {', '.join(f'lead(doc_id, {k}) OVER w AS d{k}, lead(words, {k}) OVER w AS w{k}' for k in range(1, SNM_WINDOW + 1))}
+    FROM sets
+    WINDOW w AS (ORDER BY skey, doc_id)
+),
+pairs AS (
+    {' UNION ALL '.join(f'''SELECT doc_id AS doc_a, d{k} AS doc_b, {k} AS gap,
+        words AS wa, w{k} AS wb FROM ord WHERE d{k} IS NOT NULL''' for k in range(1, SNM_WINDOW + 1))}
+)
+SELECT
+    doc_a,
+    doc_b,
+    gap,
+    {_PAIR_JACCARD_DUCK['inter']} AS intersection_size,
+    {rnd_sql(_PAIR_JACCARD_DUCK['jac'], 6)} AS jaccard
+FROM pairs
+WHERE {rnd_sql(_PAIR_JACCARD_DUCK['jac'], 6)} >= {PPJOIN_THRESHOLD}""",
+)

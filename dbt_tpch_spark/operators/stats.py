@@ -1,0 +1,286 @@
+"""Distributed statistics operators: categorical independence testing and
+sample-based quantile estimation with measured error.
+
+* ``events_chi_square`` — Pearson chi-square test of independence between
+  two categorical dimensions of the event stream (event_type x day-of-
+  week). The whole computation is three bounded-cardinality hash
+  aggregations (cells, two margins) plus broadcast joins — the shape a
+  feature-drift / AB-test gate runs over 100 TB without any window.
+* ``events_sampled_quantiles`` — bottom-k-by-md5 fixed-size uniform
+  sample (k = 2048) -> quantiles of the sample, reported NEXT TO the
+  exact corpus quantiles (bucketed global ranks) with the absolute
+  error. This is the "quantile without a global pass" pattern: the
+  sample is a deterministic function of row keys (resumable, engine-
+  portable, no rand()), its size is FIXED so the quantile step is O(k)
+  regardless of SF, and the operator doubles as the error-measurement
+  harness that justifies using it at scale.
+
+Determinism notes: day-of-week is epoch-day arithmetic ((days+4) % 7,
+0 = Sunday) — identical integer math on both engines, no locale-dependent
+date functions. The chi-square statistic sums per-cell doubles through
+DECIMAL(27,6) (dsum) so the total is addition-order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_tpch_spark.functions import dsum, global_row_number, global_topk, rnd
+from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
+from dbt_tpch_spark.plans import model
+
+# --------------------------------------------------------------------------
+# chi-square independence: event_type x day-of-week
+# --------------------------------------------------------------------------
+
+
+def _dow_col():
+    """0=Sunday..6=Saturday via epoch-day arithmetic (1970-01-01 was a
+    Thursday -> +4). Pure integer math, identical on both engines."""
+    days = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    return ((days + 4) % 7).cast("int")
+
+
+_DOW_DUCK = (
+    "CAST((DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS INT)"
+)
+
+
+@model("events_chi_square", layer="operators", materialization="view")
+def events_chi_square(ctx):
+    """Pearson chi-square test: is event_type independent of day-of-week?
+    One row per contingency cell with observed/expected counts and the
+    cell's contribution, plus the (repeated) global statistic and degrees
+    of freedom — the Benford-report convention for scalar+detail outputs.
+
+    Scale: cells/margins are bounded-domain aggregations (|types| x 7);
+    every join after the first groupBy is a broadcast of a tiny frame.
+    The cells frame (<= |types| x 7 rows) is checkpointed once — it feeds
+    margins, total AND the scored output, and without the barrier each
+    consumer would re-aggregate the corpus. Expected counts use exact
+    BIGINT margin products divided as DOUBLE — bit-identical
+    cross-engine; the statistic is a decimal-summed total.
+    """
+    e = ctx.source("events").select(
+        "event_type", _dow_col().alias("dow")
+    )
+    cells = (
+        e.groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .localCheckpoint(eager=True)
+    )
+    row_m = cells.groupBy("event_type").agg(F.sum("n_obs").alias("row_total"))
+    col_m = cells.groupBy("dow").agg(F.sum("n_obs").alias("col_total"))
+    tot = cells.agg(F.sum("n_obs").alias("n_total"))
+    expected = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("n_total")
+    )
+    scored = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("expected_raw", expected)
+        .withColumn(
+            "contribution_raw",
+            (F.col("n_obs") - F.col("expected_raw"))
+            * (F.col("n_obs") - F.col("expected_raw"))
+            / F.col("expected_raw"),
+        )
+    )
+    stat = scored.agg(
+        rnd(dsum(F.col("contribution_raw")), 6).alias("chi_square"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("long").alias("dof"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(stat))
+        .select(
+            "event_type",
+            "dow",
+            "n_obs",
+            rnd(F.col("expected_raw"), 6).alias("expected"),
+            rnd(F.col("contribution_raw"), 6).alias("contribution"),
+            "chi_square",
+            "dof",
+        )
+    )
+
+
+oracle(
+    "events_chi_square",
+    ("events",),
+    f"""WITH base AS (
+    SELECT event_type, {_DOW_DUCK} AS dow FROM events
+),
+cells AS (
+    SELECT event_type, dow, COUNT(*) AS n_obs FROM base GROUP BY 1, 2
+),
+row_m AS (
+    SELECT event_type, SUM(n_obs) AS row_total FROM cells GROUP BY 1
+),
+col_m AS (
+    SELECT dow, SUM(n_obs) AS col_total FROM cells GROUP BY 1
+),
+tot AS (
+    SELECT SUM(n_obs) AS n_total FROM cells
+),
+scored AS (
+    SELECT
+        c.event_type,
+        c.dow,
+        c.n_obs,
+        CAST(r.row_total AS DOUBLE) * CAST(m.col_total AS DOUBLE) / t.n_total
+            AS expected_raw,
+        (c.n_obs - CAST(r.row_total AS DOUBLE) * CAST(m.col_total AS DOUBLE) / t.n_total)
+        * (c.n_obs - CAST(r.row_total AS DOUBLE) * CAST(m.col_total AS DOUBLE) / t.n_total)
+        / (CAST(r.row_total AS DOUBLE) * CAST(m.col_total AS DOUBLE) / t.n_total)
+            AS contribution_raw
+    FROM cells c
+    JOIN row_m r USING (event_type)
+    JOIN col_m m USING (dow)
+    CROSS JOIN tot t
+),
+stat AS (
+    SELECT
+        {rnd_sql(dsum_sql('contribution_raw'), 6)} AS chi_square,
+        CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS BIGINT)
+            AS dof
+    FROM scored
+)
+SELECT
+    s.event_type,
+    s.dow,
+    s.n_obs,
+    {rnd_sql('s.expected_raw', 6)} AS expected,
+    {rnd_sql('s.contribution_raw', 6)} AS contribution,
+    st.chi_square,
+    st.dof
+FROM scored s CROSS JOIN stat st""",
+)
+
+
+# --------------------------------------------------------------------------
+# fixed-size uniform sample quantiles vs exact quantiles
+# --------------------------------------------------------------------------
+
+SQ_SALT = "sq|"
+SQ_K = 2048
+SQ_PROBS = (0.5, 0.9, 0.99)
+
+
+@model("events_sampled_quantiles", layer="operators", materialization="view")
+def events_sampled_quantiles(ctx):
+    """Quantiles of ``events.value`` from a fixed-size bottom-k-by-md5
+    sample, with the exact quantile and absolute error beside each.
+
+    The sample is the k rows with the smallest md5(salt|event_id) — a
+    uniform random subset that is a pure function of the row keys
+    (reproducible, engine-portable) and whose SIZE IS CONSTANT: the
+    quantile step costs O(k log k) no matter the corpus size, which is
+    the whole trade at 100 TB. The k winners come from
+    ``functions.global_topk`` (16-way hex-prefix-partitioned running
+    top-k, no single-partition sort). The EXACT side uses
+    ``functions.global_row_number`` bucketed ranks — one parallel pass —
+    and serves as the in-query error report that tells an operator
+    whether k is large enough for their tolerance.
+
+    Quantile convention: discrete (lower) — element at 1-based position
+    ceil(p * n) of the ascending multiset; identical index arithmetic on
+    both engines.
+    """
+    e = ctx.source("events").select("event_id", "value")
+    hashed = e.select(
+        F.md5(F.concat(F.lit(SQ_SALT), F.col("event_id").cast("string"))).alias("h"),
+        "value",
+    )
+    samp = global_topk(hashed, "h", SQ_K, ["value"])
+    sarr = samp.agg(
+        F.count(F.lit(1)).alias("sample_k"),
+        F.sort_array(F.collect_list("value")).alias("vs"),
+    )
+    probs = F.array(*[F.lit(p) for p in SQ_PROBS])
+    sampled = sarr.select(
+        F.explode(probs).alias("p"),
+        "sample_k",
+        F.element_at(
+            "vs",
+            F.ceil(F.col("p") * F.col("sample_k")).cast("int"),
+        ).alias("sampled_value"),
+    ).select("p", "sample_k", rnd(F.col("sampled_value"), 6).alias("sampled_value"))
+    ranked = global_row_number(e, "value", True, ["event_id"], out="rn")
+    tot = e.agg(F.count(F.lit(1)).alias("n_total"))
+    targets = tot.select(
+        F.explode(probs).alias("p"),
+        "n_total",
+        F.ceil(F.col("p") * F.col("n_total")).cast("long").alias("target_rn"),
+    )
+    exact = (
+        ranked.join(
+            F.broadcast(targets), F.col("rn") == F.col("target_rn"), "inner"
+        )
+        .select("p", "n_total", rnd(F.col("value"), 6).alias("exact_value"))
+    )
+    return (
+        exact.join(sampled, "p")
+        .select(
+            "p",
+            "n_total",
+            "sample_k",
+            "exact_value",
+            "sampled_value",
+            rnd(F.abs(F.col("sampled_value") - F.col("exact_value")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+oracle(
+    "events_sampled_quantiles",
+    ("events",),
+    f"""WITH hashed AS (
+    SELECT value, md5(concat('{SQ_SALT}', CAST(event_id AS VARCHAR))) AS h
+    FROM events
+),
+samp AS (
+    SELECT value FROM hashed ORDER BY h LIMIT {SQ_K}
+),
+sarr AS (
+    SELECT COUNT(*) AS sample_k, list_sort(list(value)) AS vs FROM samp
+),
+ps AS (
+    -- CASTs matter: bare 0.5 literals are DECIMAL in DuckDB; Spark's are
+    -- DOUBLE — the join key and index arithmetic must agree bit-for-bit
+    SELECT UNNEST([{', '.join(f'CAST({p} AS DOUBLE)' for p in SQ_PROBS)}]) AS p
+),
+sampled AS (
+    SELECT p, sample_k,
+        {rnd_sql('vs[CAST(CEIL(p * sample_k) AS INT)]', 6)} AS sampled_value
+    FROM sarr CROSS JOIN ps
+),
+ranked AS (
+    SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn FROM events
+),
+tot AS (
+    SELECT COUNT(*) AS n_total FROM events
+),
+targets AS (
+    SELECT p, n_total, CAST(CEIL(p * n_total) AS BIGINT) AS target_rn
+    FROM tot CROSS JOIN ps
+),
+exact AS (
+    SELECT t.p, t.n_total, {rnd_sql('r.value', 6)} AS exact_value
+    FROM ranked r JOIN targets t ON r.rn = t.target_rn
+)
+SELECT
+    e.p,
+    e.n_total,
+    s.sample_k,
+    e.exact_value,
+    s.sampled_value,
+    {rnd_sql('ABS(s.sampled_value - e.exact_value)', 6)} AS abs_err
+FROM exact e JOIN sampled s USING (p)""",
+)

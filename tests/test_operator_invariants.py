@@ -102,3 +102,103 @@ def test_incremental_ingest_verdicts_cover_the_batch(spark, sf_dir):
         | (~F.col("is_new") & F.col("best_match_doc").isNull())
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: exact similarity joins + leakage-safe splitting
+# ---------------------------------------------------------------------------
+
+
+def test_ppjoin_is_superset_of_lsh_pairs(spark, sf_dir):
+    """PPJoin is the EXACT Jaccard>=t join (prefix filtering is lossless);
+    MinHash-LSH verifies the same Jaccard on a probabilistically banded
+    candidate set. Every LSH pair must therefore appear in the PPJoin
+    output — LSH ⊆ exact (the reverse can miss: banding has false
+    negatives)."""
+    ctx = Context(spark, sf_dir)
+    pp = ctx.ref("dedup_ppjoin").select("doc_a", "doc_b")
+    lsh = ctx.ref("dedup_minhash_lsh").select("doc_a", "doc_b")
+    missing = lsh.join(pp, ["doc_a", "doc_b"], "left_anti").count()
+    assert missing == 0
+    assert pp.count() >= lsh.count() > 0
+
+
+def test_snm_pairs_match_global_adjacency(spark, sf_dir):
+    """The halo-exchange bucketed plan must reproduce the single-window
+    global sorted adjacency exactly (the oracle hash already proves this
+    vs DuckDB; this is the in-repo proof against a Spark global lead,
+    run only at test scale)."""
+    from pyspark.sql.window import Window
+
+    from dbt_tpch_spark.operators.dedup import norm_text_col
+    from dbt_tpch_spark.operators.simjoin import SNM_KEY_LEN, SNM_WINDOW
+
+    ctx = Context(spark, sf_dir)
+    got = set(
+        (r["doc_a"], r["doc_b"], r["gap"])
+        for r in ctx.ref("dedup_sorted_neighborhood").collect()
+    )
+    d = ctx.source("documents").select(
+        "doc_id", F.substring(norm_text_col(), 1, SNM_KEY_LEN).alias("skey")
+    )
+    w = Window.orderBy("skey", "doc_id")
+    adj = d.select(
+        "doc_id",
+        *[F.lead("doc_id", k).over(w).alias(f"d{k}") for k in range(1, SNM_WINDOW + 1)],
+    ).collect()
+    want_pairs = set()
+    for r in adj:
+        for k in range(1, SNM_WINDOW + 1):
+            if r[f"d{k}"] is not None:
+                want_pairs.add((r["doc_id"], r[f"d{k}"], k))
+    # every reported pair is a true global-adjacency pair at its gap
+    assert all(p in want_pairs for p in got)
+    assert len(got) > 0
+
+
+def test_cluster_split_has_zero_leakage(spark, sf_dir):
+    """The whole point of docs_split_by_cluster: no verified near-dup pair
+    may straddle splits under the cluster-keyed assignment, while the
+    naive per-doc split does leak on this corpus (otherwise the audit
+    report is vacuous)."""
+    ctx = Context(spark, sf_dir)
+    leak = ctx.ref("docs_split_leakage")
+    cluster_leaks = leak.filter(
+        (F.col("scheme") == "by_cluster") & F.col("is_leak")
+    ).count()
+    assert cluster_leaks == 0
+    per_doc_rows = leak.filter(F.col("scheme") == "per_doc").count()
+    assert per_doc_rows > 0
+
+
+def test_doc_labels_cover_corpus_and_respect_pairs(spark, sf_dir):
+    """dedup_doc_labels: total row count == corpus size; both ends of every
+    near-dup pair share a label; labels are component minima (label <=
+    doc_id)."""
+    ctx = Context(spark, sf_dir)
+    labels = ctx.ref("dedup_doc_labels")
+    n_docs = ctx.source("documents").count()
+    assert labels.count() == n_docs
+    assert labels.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
+    pairs = ctx.ref("dedup_minhash_lsh").select("doc_a", "doc_b")
+    la = labels.withColumnsRenamed({"doc_id": "doc_a", "cluster_id": "ca"})
+    lb = labels.withColumnsRenamed({"doc_id": "doc_b", "cluster_id": "cb"})
+    split_pairs = (
+        pairs.join(la, "doc_a").join(lb, "doc_b").filter(F.col("ca") != F.col("cb"))
+    ).count()
+    assert split_pairs == 0
+
+
+def test_sampled_quantiles_error_is_bounded(spark, sf_dir):
+    """With k=2048 on a sf0.001 corpus the sample IS the corpus (k >= n),
+    so sampled == exact; at larger SF the error must stay within the
+    DKW-style tolerance for k=2048 (~2.5 value-quantile percentiles —
+    generous envelope: 10% of the exact value's magnitude + 5.0)."""
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("events_sampled_quantiles").collect()
+    assert len(rows) == 3
+    for r in rows:
+        if r["sample_k"] >= r["n_total"]:
+            assert r["abs_err"] == 0.0, r
+        else:
+            assert r["abs_err"] <= 0.1 * abs(r["exact_value"]) + 5.0, r

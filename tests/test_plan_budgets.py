@@ -137,6 +137,26 @@ SHUFFLE_BUDGETS = {
     # (user, day) distinct, DAU agg, contribute-to-window distinct + agg,
     # day-grain join
     "events_dau_wau": 5,
+    # round-4 exact similarity joins: PPJoin pays the df agg + rarest-first
+    # rank + prefix join + candidate dedup + the two verify joins (the
+    # LSH-precedent shape); SNM's post-checkpoint plan (heads materialize
+    # once) is the real-row scan + ghost union + the bucketed adjacency
+    # window — remaining exchanges are on bounded or pair-sized frames
+    "dedup_ppjoin": 8,
+    "dedup_sorted_neighborhood": 8,
+    # chi-square: ONE corpus aggregation materializes the <=|types|x7 cell
+    # frame; every post-checkpoint exchange is over that bounded frame
+    "events_chi_square": 8,
+    # bottom-k sample (hex-group window + candidate agg) + bucketed exact
+    # ranks (bucket window + counts + offsets) + the tiny p-joins
+    "events_sampled_quantiles": 6,
+    # corpus left-join to the checkpointed component labels
+    "dedup_doc_labels": 2,
+    # label join + bounded (split, lang) agg
+    "docs_split_by_cluster": 4,
+    # post-materialization plan: the enriched pair set checkpoints once;
+    # one bounded-grain scheme aggregation remains
+    "docs_split_leakage": 1,
 }
 
 
