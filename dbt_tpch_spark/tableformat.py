@@ -28,6 +28,12 @@ do, scaled to what a from-scratch repo can carry honestly:
   did training read last week" is a version pin, the reproducibility
   primitive a data pipeline needs.
 * **Vacuum**: deletes data files referenced by NO retained version.
+* **OPTIMIZE**: ``compact`` bin-packs small files (the post-streaming /
+  post-merge hygiene pass); ``optimize_zorder`` rewrites the snapshot
+  sorted by a Morton interleave of chosen key columns so every file
+  covers a tight hyper-box and ``pruned_read`` can skip files on
+  multi-column predicates from the manifest stats alone — Delta's
+  OPTIMIZE [ZORDER BY], with the skipping effect asserted in tests.
 
 Not carried (documented, deliberate): schema evolution/enforcement
 beyond Spark's own parquet behavior, bucketed layouts, and a distributed
@@ -267,6 +273,171 @@ class TxnTable:
             "files_rewritten": len(hit),
             "files_skipped": len(carry),
         }
+
+    # ------------------------------------------------- layout optimization
+
+    def compact(self, target_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Bin-pack small data files into ~``target_bytes`` files (the
+        OPTIMIZE small-file compaction every log-structured table needs:
+        streaming/merge commits leave many small files, and at 100 TB the
+        scheduler cost and row-group overhead of millions of tiny files
+        dominates scans). Files already >= target_bytes/2 carry over
+        untouched; each rewritten group becomes one file. Readers are
+        unaffected mid-flight: the rewrite is one atomic commit that adds
+        the packed files and removes exactly the packed-away inputs."""
+        base_version = self.latest_version()
+        files = self.snapshot_files(base_version)
+        small, carry = [], []
+        for a in files:
+            size = os.path.getsize(os.path.join(self.path, a["file"]))
+            (small if size < target_bytes // 2 else carry).append((a, size))
+        if len(small) <= 1:
+            return {
+                "version": base_version,
+                "files_compacted": 0,
+                "files_carried": len(files),
+                "groups": 0,
+            }
+        # first-fit by cumulative size — files are log-ordered, so packing
+        # preserves rough write locality (and with it key clustering)
+        groups: list[list[dict]] = [[]]
+        acc = 0
+        for a, size in small:
+            if acc + size > target_bytes and groups[-1]:
+                groups.append([])
+                acc = 0
+            groups[-1].append(a)
+            acc += size
+        adds = []
+        for g in groups:
+            packed = self.spark.read.parquet(
+                *[os.path.join(self.path, a["file"]) for a in g]
+            ).coalesce(1)
+            adds += self._write_files(packed)
+        self._commit(
+            base_version + 1,
+            "compact",
+            adds=adds,
+            removes=[a["file"] for a, _ in small],
+        )
+        return {
+            "version": base_version + 1,
+            "files_compacted": len(small),
+            "files_carried": len(carry),
+            "groups": len(groups),
+        }
+
+    #: bits per dimension in the Z-order interleave; 16 bits x <=4 cols
+    #: stays inside a signed 64-bit z-value
+    ZORDER_BITS = 16
+
+    def _zvalue_col(self, df: DataFrame, cols: list[str]):
+        """Morton/Z-order interleave of ``cols`` as ONE generated JVM-side
+        expression: each column is min/max-normalized to a ZORDER_BITS
+        integer (bounds from one tiny agg, inlined as literals), then bit
+        i of column j lands at position i*ncols+j. Nearby z-values are
+        nearby in EVERY dimension — so sorting by z-value gives every
+        file a tight min/max box on all the z-ordered columns at once,
+        which is what makes multi-column predicate skipping work (a
+        linear sort is selective on its leading column only)."""
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
+            ]
+        b = df.agg(*aggs).head()
+        n = len(cols)
+        top = (1 << self.ZORDER_BITS) - 1
+        z = F.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            lo, hi = float(b[f"lo_{c}"]), float(b[f"hi_{c}"])
+            span = (hi - lo) or 1.0
+            q = F.least(
+                F.lit(top),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo))
+                    / F.lit(span)
+                    * F.lit(float(top + 1))
+                ),
+            ).cast("long")
+            for i in range(self.ZORDER_BITS):
+                z = z + F.shiftleft(
+                    F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+        return z
+
+    def optimize_zorder(self, cols: list[str], n_files: int = 16) -> dict:
+        """Rewrite the current snapshot range-partitioned and sorted by
+        the Z-order interleave of ``cols`` (Delta's OPTIMIZE ZORDER BY).
+        After the rewrite, every data file covers a small hyper-box of
+        the z-ordered column space, so the per-file min/max stats the
+        log already carries become selective for predicates on ANY of
+        the columns — ``pruned_read`` then skips non-overlapping files
+        outright. One atomic commit; old files stay readable for time
+        travel until vacuumed."""
+        missing = [c for c in cols if c not in self.key_cols]
+        if missing:
+            raise ValueError(
+                f"z-order columns {missing} carry no file stats — add them "
+                f"to key_cols so pruned_read can skip on them"
+            )
+        base_version = self.latest_version()
+        files = self.snapshot_files(base_version)
+        full = self.read(base_version)
+        z = self._zvalue_col(full, cols)
+        laid = (
+            full.withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        adds = self._write_files(laid)
+        self._commit(
+            base_version + 1,
+            "zorder",
+            adds=adds,
+            removes=[a["file"] for a in files],
+        )
+        return {
+            "version": base_version + 1,
+            "files_written": len(adds),
+            "zorder_by": list(cols),
+        }
+
+    def pruned_read(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ):
+        """Read with file-level stats skipping: ``ranges`` maps key
+        columns to inclusive (lo, hi) bounds; data files whose min/max
+        box is disjoint from the requested box on ANY column are never
+        opened (the manifest-level pruning Delta/Iceberg do before Spark
+        even sees the file list — on top of this, parquet row-group
+        min/max pruning still applies inside the files that are read).
+        Returns (DataFrame-with-filters-applied, files_read,
+        files_total)."""
+        files = self.snapshot_files(version)
+
+        def live(a: dict) -> bool:
+            st = a.get("stats") or {}
+            for c, (lo, hi) in ranges.items():
+                if c not in st or st[c][0] is None:
+                    continue  # no stats on this column — cannot skip
+                fmin, fmax = st[c]
+                if fmax < _norm(lo) or fmin > _norm(hi):
+                    return False
+            return True
+
+        hit = [a for a in files if live(a)]
+        if not hit:
+            df = self.read(version).limit(0)
+        else:
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, a["file"]) for a in hit]
+            )
+        for c, (lo, hi) in ranges.items():
+            df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+        return df, len(hit), len(files)
 
     # ------------------------------------------------------------ vacuum
 

@@ -210,3 +210,94 @@ def test_txn_table_policy_versions_dag_builds(spark, tmp_path, sf_dir):
     t = TxnTable(spark, f"{wh}/fct_orders")
     assert [c["operation"] for c in t.history()] == ["create", "overwrite"]
     assert t.read(version=0).count() == n1  # first build still pinned
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    """Many small append files collapse into few packed files in one
+    atomic commit; content is unchanged and the pre-compaction snapshot
+    stays time-travel-readable."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "t")
+    mk = lambda lo, hi: (
+        spark.range(lo, hi).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    table = TxnTable.create(spark, path, mk(0, 100).coalesce(1), key_cols=["k"])
+    for i in range(1, 6):
+        table.append(mk(i * 100, (i + 1) * 100).coalesce(1))
+    pre_version = table.latest_version()
+    n_pre_files = len(table.snapshot_files())
+    assert n_pre_files == 6
+    rep = table.compact(target_bytes=1024 * 1024)
+    assert rep["files_compacted"] == 6
+    assert rep["groups"] < n_pre_files
+    assert len(table.snapshot_files()) == rep["groups"]
+    got = sorted(r["k"] for r in table.read().collect())
+    assert got == list(range(600))
+    # time travel to the pre-compaction layout still works
+    assert len(table.snapshot_files(pre_version)) == n_pre_files
+    assert table.read(pre_version).count() == 600
+
+
+def test_zorder_skips_files_on_two_dim_predicate(spark, tmp_path):
+    """A linear (x-sorted) layout prunes on its leading column only: a
+    predicate on y alone must open EVERY file. After OPTIMIZE ZORDER BY
+    (x, y) each file covers a tight box in BOTH dimensions, so the same
+    y-only predicate skips most files from manifest stats — with
+    identical query results."""
+    import pyspark.sql.functions as F
+
+    n, files = 40_000, 16
+    base = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 200).alias("x"),
+            (F.floor(F.col("id") / 200)).alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    y_slab = {"y": (10, 19)}
+
+    # linear layout: range-sorted by x only
+    lin_path = str(tmp_path / "linear")
+    lin = TxnTable.create(
+        spark,
+        lin_path,
+        base.repartitionByRange(files, "x").sortWithinPartitions("x"),
+        key_cols=["x", "y"],
+    )
+    _, lin_read, lin_total = lin.pruned_read(y_slab)
+
+    # z-ordered layout
+    z_path = str(tmp_path / "zorder")
+    zt = TxnTable.create(spark, z_path, base.coalesce(4), key_cols=["x", "y"])
+    rep = zt.optimize_zorder(["x", "y"], n_files=files)
+    assert rep["files_written"] == files
+    zdf, z_read, z_total = zt.pruned_read(y_slab)
+
+    assert lin_total == z_total == files
+    # every x-sorted file spans all of y -> zero skipping on the linear
+    # layout; the z-order layout must skip at least half the files for a
+    # 5%-of-range y slab
+    assert lin_read == files
+    assert z_read <= files // 2
+    want = sorted(
+        (r["x"], r["y"], r["payload"])
+        for r in base.filter((F.col("y") >= 10) & (F.col("y") <= 19)).collect()
+    )
+    got = sorted((r["x"], r["y"], r["payload"]) for r in zdf.collect())
+    assert got == want
+    # pruning never drops rows on the linear layout either
+    lin_df, _, _ = lin.pruned_read(y_slab)
+    assert sorted((r["x"], r["y"], r["payload"]) for r in lin_df.collect()) == want
+
+
+def test_zorder_requires_stats_columns(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    path = str(tmp_path / "t2")
+    df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("w"))
+    table = TxnTable.create(spark, path, df, key_cols=["k"])
+    with _pytest.raises(ValueError, match="carry no file stats"):
+        table.optimize_zorder(["k", "w"])
