@@ -193,19 +193,8 @@ def dedup_ngram_jaccard(ctx):
     """Pairwise 5-gram-shingle Jaccard for documents sharing at least one
     shingle. The shared-shingle equi-join keeps this far from quadratic:
     shuffle key is the shingle hash."""
-    d = ctx.source("documents")
-    toks = F.split(norm_text_col(), " ")
-    shingles = F.when(
-        F.size(toks) >= 5,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 4),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = d.select(
-        "doc_id", F.explode(shingles).alias("shingle")
+    sh = tokens_df(ctx).select(
+        "doc_id", F.explode(shingle_col(5)).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.withColumnsRenamed({"doc_id": "doc_a"})
@@ -282,6 +271,38 @@ def _doc_parallelism(ctx) -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def tokens_df(ctx, extra_cols=()):
+    """(doc_id[, extra...], toks): the normalized token array MATERIALIZED
+    behind an Exchange barrier. Building a shingle lambda directly over
+    the ``split(regexp_replace(...))`` expression looks identical but is
+    O(words^2) regex work per document: Catalyst inlines the token
+    expression into the lambda body (the CollapseProject hazard, PLANS.md
+    note) and re-normalizes + re-splits the document at EVERY shingle
+    position — measured 7.2 s vs 1.75 s for the 3-gram explode on the
+    sf0.1 corpus. The repartition doubles as the CPU-spread knob the
+    shingle hashing needs anyway (see _word_set_df)."""
+    d = ctx.source("documents").select(
+        "doc_id", *extra_cols, F.split(norm_text_col(), " ").alias("toks")
+    )
+    return d.repartition(_doc_parallelism(ctx), "doc_id")
+
+
+def shingle_col(n: int, distinct: bool = True) -> F.Column:
+    """Word n-gram shingle array from the materialized ``toks`` column
+    (use over :func:`tokens_df` output only — see the hazard note there).
+    """
+    t = F.col("toks")
+    arr = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    if distinct:
+        arr = F.array_distinct(arr)
+    return F.when(F.size(t) >= n, arr).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def _word_set_df(ctx):
     # documents is a single small parquet file -> one input partition; the
     # downstream per-token hashing is CPU-bound, so spread it across cores
@@ -297,18 +318,7 @@ _WORDS_DUCK = f"list_distinct(string_split({_NORM_TEXT_DUCK}, ' '))"
 
 def _shingle3_set_df(ctx):
     """Distinct 3-gram word shingles per document (MinHash feedstock)."""
-    d = ctx.source("documents").repartition(_doc_parallelism(ctx), "doc_id")
-    toks = F.split(norm_text_col(), " ")
-    shingles = F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return d.select("doc_id", shingles.alias("words"))
+    return tokens_df(ctx).select("doc_id", shingle_col(3).alias("words"))
 
 
 _SHINGLE3_DUCK = (
@@ -852,18 +862,14 @@ INGEST_MOD = 5
 
 
 def _shingle3_cols(df):
-    """(doc_id, text, ...) -> (doc_id, words): distinct 3-gram shingles."""
-    toks = F.split(norm_text_col(), " ")
-    shingles = F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select("doc_id", shingles.alias("words"))
+    """(doc_id, text, ...) -> (doc_id, words): distinct 3-gram shingles.
+    Tokens materialize behind a repartition barrier (same CollapseProject
+    hazard as tokens_df; this variant takes a raw frame so the streaming
+    ingest twin can use it on micro-batches)."""
+    base = df.select(
+        "doc_id", F.split(norm_text_col(), " ").alias("toks")
+    ).repartition(F.col("doc_id"))
+    return base.select("doc_id", shingle_col(3).alias("words"))
 
 
 def banded_signatures(docs):
@@ -1269,18 +1275,9 @@ def dedup_ngram_containment(ctx):
     the contained copy, keep the superset). Same shared-shingle blocking
     as dedup_ngram_jaccard (shuffle key = shingle, never all-pairs); only
     pairs with max-direction containment >= CONTAINMENT_MIN survive."""
-    d = ctx.source("documents")
-    toks = F.split(norm_text_col(), " ")
-    shingles = F.when(
-        F.size(toks) >= 5,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 4),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    sh = tokens_df(ctx).select(
+        "doc_id", F.explode(shingle_col(5)).alias("shingle")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.withColumnsRenamed({"doc_id": "doc_a"})
     b = sh.withColumnsRenamed({"doc_id": "doc_b"})

@@ -569,20 +569,11 @@ DECON_MOD = 20
 
 
 def _gram8_df(ctx):
-    from dbt_tpch_spark.operators.dedup import _doc_parallelism, norm_text_col
+    from dbt_tpch_spark.operators.dedup import shingle_col, tokens_df
 
-    d = ctx.source("documents").repartition(_doc_parallelism(ctx), "doc_id")
-    toks = F.split(norm_text_col(), " ")
-    shingles = F.when(
-        F.size(toks) >= DECON_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (DECON_N - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, DECON_N)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return d.select("doc_id", F.explode(shingles).alias("gram"))
+    return tokens_df(ctx).select(
+        "doc_id", F.explode(shingle_col(DECON_N)).alias("gram")
+    )
 
 
 @model("docs_ngram_decontam", layer="operators", materialization="view")

@@ -100,6 +100,7 @@ def dedup_ppjoin(ctx):
     bucket sizes stay small even with stopword-grade hot shingles; output
     equals the full exact similarity join (superset of the LSH detector's
     verified pairs — asserted in tests)."""
+    t = PPJOIN_THRESHOLD
     sets = _shingle3_set_df(ctx)
     sh = sets.select("doc_id", F.explode("words").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -109,15 +110,40 @@ def dedup_ppjoin(ctx):
         .withColumn("rk", F.row_number().over(w_doc))
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    prefix_len = (
-        F.col("sz") - F.ceil(F.lit(PPJOIN_THRESHOLD) * F.col("sz")) + 1
+    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    # the prefix index is the standing artifact of this operator (~half the
+    # token postings); materialize it once — the candidate self-join
+    # references it twice and would otherwise run the df-join + rank
+    # window pipeline twice
+    pref = (
+        ranked.filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "shingle", "rk", "sz")
+        .localCheckpoint(eager=True)
     )
-    pref = ranked.filter(F.col("rk") <= prefix_len).select("doc_id", "shingle")
-    a = pref.withColumnsRenamed({"doc_id": "doc_a"})
-    b = pref.withColumnsRenamed({"doc_id": "doc_b"})
+    a = pref.withColumnsRenamed({"doc_id": "doc_a", "rk": "rk_a", "sz": "sz_a"})
+    b = pref.withColumnsRenamed({"doc_id": "doc_b", "rk": "rk_b", "sz": "sz_b"})
+    # PPJoin's candidate pruning on top of the prefix filter — both only
+    # discard pairs that PROVABLY cannot reach t, so exactness holds:
+    # * length filter: J(x,y) >= t forces t*|x| <= |y| (and symmetric);
+    # * positional filter: overlap needed is alpha = ceil(t/(1+t)(|x|+|y|));
+    #   a shared prefix token at positions (p, q) bounds the achievable
+    #   overlap by 1 + min(|x|-p, |y|-q).
+    # the -1e-9 slack makes a 1-ulp overestimate of the float bound unable
+    # to discard a pair that meets it exactly (weaker filter = still exact)
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("sz_a") + F.col("sz_b")) - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("rk_a"), F.col("sz_b") - F.col("rk_b")
+    )
     cands = (
         a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("sz_b") >= F.lit(t) * F.col("sz_a") - F.lit(1e-9))
+            & (F.col("sz_a") >= F.lit(t) * F.col("sz_b") - F.lit(1e-9))
+            & (ubound >= alpha)
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -138,6 +164,10 @@ def dedup_ppjoin(ctx):
     )
 
 
+# The oracle is DELIBERATELY the brute-force exact similarity join (full
+# shared-shingle pairing, no prefix/positional/length pruning): the Spark
+# side's entire filter stack is an optimization whose output must equal
+# the unpruned join, so the hash gate IS the no-false-negative proof.
 oracle(
     "dedup_ppjoin",
     ("documents",),
@@ -147,22 +177,9 @@ oracle(
 sh AS (
     SELECT doc_id, UNNEST(words) AS shingle FROM sets
 ),
-dfreq AS (
-    SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
-),
-ranked AS (
-    SELECT s.doc_id, s.shingle,
-        ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rk,
-        COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
-    FROM sh s JOIN dfreq d USING (shingle)
-),
-pref AS (
-    SELECT doc_id, shingle FROM ranked
-    WHERE rk <= sz - CEIL({PPJOIN_THRESHOLD} * sz) + 1
-),
 cands AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ),
 scored AS (
     SELECT c.doc_a, c.doc_b, ta.words AS wa, tb.words AS wb
@@ -220,10 +237,12 @@ def dedup_sorted_neighborhood(ctx):
     bound (only sort-adjacent pairs are found) but costs no token join
     at all — the classic cheap first pass of a multi-pass dedup."""
     sets = _shingle3_set_df(ctx)
+    # the sort/halo machinery moves ONLY (doc_id, skey) — the shingle
+    # arrays join in at the end against the pair list, never riding
+    # through the sort exchange or the lead() frames
     d = (
         ctx.source("documents")
         .select("doc_id", F.substring(norm_text_col(), 1, SNM_KEY_LEN).alias("skey"))
-        .join(sets, "doc_id")
         .withColumn("bucket", F.substring("skey", 1, 1))
     )
     # first W rows of each bucket (in global order) become ghosts in EVERY
@@ -258,21 +277,18 @@ def dedup_sorted_neighborhood(ctx):
         .select(
             "doc_id",
             "skey",
-            "words",
             F.col("to_bucket").alias("bucket"),
             F.lit(1).alias("is_ghost"),
         )
     )
     frame = d.select(
-        "doc_id", "skey", "words", "bucket", F.lit(0).alias("is_ghost")
+        "doc_id", "skey", "bucket", F.lit(0).alias("is_ghost")
     ).unionByName(ghosts)
     w_adj = Window.partitionBy("bucket").orderBy("skey", "doc_id")
     adj = frame.select(
         "doc_id",
-        "words",
         "is_ghost",
         *[F.lead("doc_id", k).over(w_adj).alias(f"d{k}") for k in range(1, SNM_WINDOW + 1)],
-        *[F.lead("words", k).over(w_adj).alias(f"w{k}") for k in range(1, SNM_WINDOW + 1)],
     ).filter(F.col("is_ghost") == 0)
     pairs = None
     for k in range(1, SNM_WINDOW + 1):
@@ -280,18 +296,23 @@ def dedup_sorted_neighborhood(ctx):
             F.col("doc_id").alias("doc_a"),
             F.col(f"d{k}").alias("doc_b"),
             F.lit(k).alias("gap"),
-            F.col("words").alias("words_a"),
-            F.col(f"w{k}").alias("words_b"),
         )
         pairs = p if pairs is None else pairs.unionByName(p)
+    ta = sets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a"))
+    tb = sets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b"))
     inter, union, jac = _pair_jaccard_cols()
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        "gap",
-        inter.alias("intersection_size"),
-        rnd(jac, 6).alias("jaccard"),
-    ).filter(F.col("jaccard") >= PPJOIN_THRESHOLD)
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "gap",
+            inter.alias("intersection_size"),
+            rnd(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= PPJOIN_THRESHOLD)
+    )
 
 
 oracle(

@@ -284,3 +284,87 @@ SELECT
     {rnd_sql('ABS(s.sampled_value - e.exact_value)', 6)} AS abs_err
 FROM exact e JOIN sampled s USING (p)""",
 )
+
+
+# --------------------------------------------------------------------------
+# one-pass correlation matrix
+# --------------------------------------------------------------------------
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@model("lineitem_corr_matrix", layer="operators", materialization="view")
+def lineitem_corr_matrix(ctx):
+    """Pearson correlation matrix of the lineitem measures from ONE
+    corpus pass: every pairwise r comes from sufficient statistics
+    (n, Σx, Σx², Σxy) accumulated in a single whole-table aggregation —
+    the feature-correlation screen a modeling pipeline runs before
+    training, with none of the per-pair re-scans a naive corr() loop
+    costs (4 cols = 6 pairs = ONE scan here, not 6).
+
+    Determinism: native ``corr()`` accumulates doubles in engine order
+    and never hash-matches across engines; here every Σ runs through
+    DECIMAL(27,6) (order-independent), and the final r arithmetic is a
+    fixed double expression — bit-identical on both sides. Scale: one
+    map-side-combinable aggregation to a single row; the pair explode is
+    a 6-row projection."""
+    li = ctx.source("lineitem")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(dsum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(dsum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    stats = li.agg(*aggs)
+
+    def r_expr(a: str, b: str):
+        n = F.col("n").cast("double")
+        cov = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        var_a = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        var_b = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return cov / F.sqrt(var_a * var_b)
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                rnd(r_expr(a, b), 6).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return stats.select(F.col("n").alias("n_rows"), F.explode(cells).alias("c")).select(
+        "c.col_a", "c.col_b", "n_rows", "c.corr"
+    )
+
+
+def _corr_oracle() -> str:
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in CORR_COLS:
+        aggs.append(f"{dsum_sql(c)} AS s_{c}")
+        aggs.append(f"{dsum_sql(f'{c} * {c}')} AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(f"{dsum_sql(f'{a} * {b}')} AS sp_{a}_{b}")
+    arms = []
+    for a, b in pairs:
+        r = (
+            f"(CAST(n AS DOUBLE) * sp_{a}_{b} - s_{a} * s_{b}) / "
+            f"SQRT((CAST(n AS DOUBLE) * ss_{a} - s_{a} * s_{a}) "
+            f"* (CAST(n AS DOUBLE) * ss_{b} - s_{b} * s_{b}))"
+        )
+        arms.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n AS n_rows, "
+            f"{rnd_sql(r, 6)} AS corr FROM stats"
+        )
+    return (
+        "WITH stats AS (\n    SELECT " + ",\n        ".join(aggs)
+        + "\n    FROM lineitem\n)\n" + "\nUNION ALL\n".join(arms)
+    )
+
+
+oracle("lineitem_corr_matrix", ("lineitem",), _corr_oracle())

@@ -204,19 +204,22 @@ oracle("doc_language_id", ("documents",), _lang_id_oracle())
 def doc_fingerprints(ctx):
     """Document fingerprints: md5 of whitespace-normalized text (exact-dup
     key) and a 3-gram min-hash fingerprint (rolling-window content hash)."""
+    from dbt_tpch_spark.operators.dedup import (
+        _doc_parallelism,
+        shingle_col,
+    )
+
     d = ctx.source("documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    toks = F.split(norm, " ")
-    shingles = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return d.select(
+    # tokens materialize behind the repartition barrier (CollapseProject
+    # hazard — see dedup.tokens_df); positional (non-distinct) shingles
+    base = d.select(
+        "doc_id", norm.alias("norm_text"), F.split(norm, " ").alias("toks")
+    ).repartition(_doc_parallelism(ctx), "doc_id")
+    shingles = shingle_col(3, distinct=False)
+    return base.select(
         "doc_id",
-        F.md5(norm).alias("exact_fp"),
+        F.md5(F.col("norm_text")).alias("exact_fp"),
         F.array_min(F.transform(shingles, F.md5)).alias("minhash_fp"),
         F.size(shingles).cast("long").alias("n_shingles"),
     )

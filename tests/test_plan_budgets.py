@@ -41,7 +41,11 @@ SHUFFLE_BUDGETS = {
     # checkpointed edge/adjacency tables (exact-wedge variant measured
     # 103 s at sf0.1 vs ~14 s sampled — the sampling IS the scale design)
     "parts_neighbor_similarity": 7,
-    "dedup_ngram_containment": 3,
+    # +1 in round 4: the tokens_df repartition barrier that stops Catalyst
+    # inlining the split() into the shingle lambda (O(words^2) regex per
+    # doc, PLANS.md CollapseProject hazard) — one bounded exchange bought
+    # back ~4x scan CPU
+    "dedup_ngram_containment": 4,
     # temperature mixing: the checkpointed source-stats frame leaves the
     # per-source rank window as the only corpus shuffle; the classifier is
     # a map-only scan
