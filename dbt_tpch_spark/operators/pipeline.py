@@ -9,7 +9,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dbt_tpch_spark.plans import model
-from dbt_tpch_spark.models.oracle import oracle
+from dbt_tpch_spark.functions import rnd
+from dbt_tpch_spark.models.oracle import oracle, rnd_sql
 
 MIN_TOKENS = 30
 MIN_QUALITY = 0.5
@@ -145,4 +146,107 @@ oracle(
     "docs_training_manifest",
     ("doc_chunks", "docs_clean_corpus", "docs_sample_stratified"),
     _manifest_oracle(),
+)
+
+
+@model("docs_dataset_card", layer="operators", materialization="view")
+def docs_dataset_card(ctx):
+    """The corpus datasheet: ONE row of headline statistics a training
+    run records next to its manifest — volume, language/source spread,
+    exact- and near-duplication burden. Composition, not recomputation:
+    duplication numbers ride the already-materialized detector models
+    (``ctx.ref`` DAG edges), so the card costs three tiny aggregations
+    plus one corpus scan.
+
+    Scale: every input to the final cross-join is a <=1-row aggregate;
+    the only corpus-sized work is the base profile scan and whatever the
+    referenced detectors already did."""
+    d = ctx.source("documents")
+    core = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        rnd(F.sum("n_chars") / F.count(F.lit(1)), 2).alias("avg_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    ex = ctx.ref("dedup_exact").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_dup_groups"),
+        F.coalesce(F.sum(F.col("dup_count") - 1), F.lit(0))
+        .cast("long")
+        .alias("exact_excess_docs"),
+    )
+    lsh = ctx.ref("dedup_minhash_lsh")
+    near_pairs = lsh.agg(
+        F.count(F.lit(1)).cast("long").alias("near_dup_pairs")
+    )
+    near_docs = (
+        lsh.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(lsh.select(F.col("doc_b").alias("doc_id")))
+        .agg(F.countDistinct("doc_id").cast("long").alias("near_dup_docs"))
+    )
+    return (
+        core.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(near_pairs))
+        .crossJoin(F.broadcast(near_docs))
+        .select(
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+            "n_langs",
+            "n_sources",
+            "exact_dup_groups",
+            "exact_excess_docs",
+            "near_dup_pairs",
+            "near_dup_docs",
+            rnd(F.col("exact_excess_docs") / F.col("n_docs"), 6).alias(
+                "exact_dup_rate"
+            ),
+            rnd(F.col("near_dup_docs") / F.col("n_docs"), 6).alias(
+                "near_dup_rate"
+            ),
+        )
+    )
+
+
+oracle(
+    "docs_dataset_card",
+    ("documents", "dedup_exact", "dedup_minhash_lsh"),
+    f"""WITH core AS (
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        {rnd_sql('SUM(n_chars) / COUNT(*)', 2)} AS avg_chars,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+),
+ex AS (
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS exact_dup_groups,
+        CAST(COALESCE(SUM(dup_count - 1), 0) AS BIGINT) AS exact_excess_docs
+    FROM dedup_exact
+),
+np AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS near_dup_pairs FROM dedup_minhash_lsh
+),
+nd AS (
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS near_dup_docs FROM (
+        SELECT doc_a AS doc_id FROM dedup_minhash_lsh
+        UNION ALL
+        SELECT doc_b AS doc_id FROM dedup_minhash_lsh
+    )
+)
+SELECT
+    core.n_docs,
+    core.total_chars,
+    core.avg_chars,
+    core.n_langs,
+    core.n_sources,
+    ex.exact_dup_groups,
+    ex.exact_excess_docs,
+    np.near_dup_pairs,
+    nd.near_dup_docs,
+    {rnd_sql('CAST(ex.exact_excess_docs AS DOUBLE) / core.n_docs', 6)} AS exact_dup_rate,
+    {rnd_sql('CAST(nd.near_dup_docs AS DOUBLE) / core.n_docs', 6)} AS near_dup_rate
+FROM core CROSS JOIN ex CROSS JOIN np CROSS JOIN nd""",
 )

@@ -161,6 +161,9 @@ SHUFFLE_BUDGETS = {
     # post-materialization plan: the enriched pair set checkpoints once;
     # one bounded-grain scheme aggregation remains
     "docs_split_leakage": 1,
+    # ONE whole-table sufficient-statistics aggregation (6 pairwise corrs
+    # share it); the pair explode is a 1-row projection
+    "lineitem_corr_matrix": 1,
 }
 
 
