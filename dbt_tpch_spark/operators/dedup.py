@@ -1350,3 +1350,94 @@ WHERE GREATEST(CAST(i.intersection_size AS DOUBLE) / sa.n_shingles,
                CAST(i.intersection_size AS DOUBLE) / sb.n_shingles)
       >= {CONTAINMENT_MIN}""",
 )
+
+
+# --------------------------------------------------------------------------
+# MinHash sketch-quality gate
+# --------------------------------------------------------------------------
+
+
+@model("minhash_estimate_error", layer="operators", materialization="view")
+def minhash_estimate_error(ctx):
+    """Sketch-quality gate for the MinHash signatures, as a query: for
+    every verified near-dup pair, the K=16 signature-agreement fraction
+    (the unbiased MinHash estimate of Jaccard) next to the EXACT Jaccard
+    the verifier computed, with the absolute error. The companion of
+    ann_recall_report for the dedup index — the number an operator reads
+    before trusting banding parameters at a new scale or corpus.
+
+    Scale: the pair list is tiny; signatures join in by doc id (the
+    standing signature table in production). Only the pair grain flows.
+    """
+    pairs = ctx.ref("dedup_minhash_lsh").select("doc_a", "doc_b", "jaccard")
+    # the signature table is the standing artifact (materialized once, as
+    # a deployment persists it); both pair sides read the checkpoint
+    # instead of re-running the hash pipeline
+    sigs = (
+        _shingle3_set_df(ctx)
+        .selectExpr("doc_id", "transform(words, w -> md5(w)) AS hs")
+        .selectExpr("doc_id", f"{hashpair_spark()} AS hp")
+        .selectExpr("doc_id", *minhash_exprs())
+        .localCheckpoint(eager=True)
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    ).cast("long")
+    est = agree.cast("double") / F.lit(float(MINHASH_K))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            agree.alias("n_agree"),
+            rnd(est, 6).alias("minhash_estimate"),
+            rnd(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
+def _minhash_err_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K)
+    )
+    return f"""WITH toks AS (
+    SELECT doc_id, {_SHINGLE3_DUCK} AS words FROM documents
+),
+hashed AS (
+    SELECT doc_id, list_transform(words, w -> md5(w)) AS hs FROM toks
+),
+paired AS (
+    SELECT doc_id, {hashpair_duck()} AS hp FROM hashed
+),
+sigs AS (
+    SELECT doc_id, {', '.join(minhash_exprs_duck())} FROM paired
+)
+SELECT
+    p.doc_a,
+    p.doc_b,
+    p.jaccard,
+    CAST({agree} AS BIGINT) AS n_agree,
+    {rnd_sql(f'CAST({agree} AS DOUBLE) / {MINHASH_K}', 6)} AS minhash_estimate,
+    {rnd_sql(f'ABS(CAST({agree} AS DOUBLE) / {MINHASH_K} - p.jaccard)', 6)} AS abs_err
+FROM dedup_minhash_lsh p
+JOIN sigs a ON p.doc_a = a.doc_id
+JOIN sigs b ON p.doc_b = b.doc_id"""
+
+
+oracle(
+    "minhash_estimate_error",
+    ("dedup_minhash_lsh", "documents"),
+    _minhash_err_oracle(),
+)

@@ -175,19 +175,22 @@ def docs_dataset_card(ctx):
         .cast("long")
         .alias("exact_excess_docs"),
     )
-    lsh = ctx.ref("dedup_minhash_lsh")
-    near_pairs = lsh.agg(
-        F.count(F.lit(1)).cast("long").alias("near_dup_pairs")
-    )
-    near_docs = (
-        lsh.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(lsh.select(F.col("doc_b").alias("doc_id")))
-        .agg(F.countDistinct("doc_id").cast("long").alias("near_dup_docs"))
+    # ONE consumption of the pair model: explode both endpoints, count
+    # rows/2 for pairs and distinct ids for touched docs — referencing the
+    # LSH model twice would run its whole pipeline twice
+    near = (
+        ctx.ref("dedup_minhash_lsh")
+        .select(
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
+        )
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("near_dup_pairs"),
+            F.countDistinct("doc_id").cast("long").alias("near_dup_docs"),
+        )
     )
     return (
         core.crossJoin(F.broadcast(ex))
-        .crossJoin(F.broadcast(near_pairs))
-        .crossJoin(F.broadcast(near_docs))
+        .crossJoin(F.broadcast(near))
         .select(
             "n_docs",
             "total_chars",

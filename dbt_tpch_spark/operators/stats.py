@@ -368,3 +368,123 @@ def _corr_oracle() -> str:
 
 
 oracle("lineitem_corr_matrix", ("lineitem",), _corr_oracle())
+
+
+# --------------------------------------------------------------------------
+# mutual information: event_type x day-of-week
+# --------------------------------------------------------------------------
+
+
+@model("events_mutual_information", layer="operators", materialization="view")
+def events_mutual_information(ctx):
+    """Mutual information between event_type and day-of-week, with the
+    margin entropies and the normalized coefficient — the
+    feature-dependence screen that, unlike chi-square, is directly
+    comparable across tables (bits-of-shared-information). Same bounded
+    contingency machinery as events_chi_square: one corpus aggregation
+    to the checkpointed cell frame, broadcast margins, everything after
+    is arithmetic on <= |types| x 7 rows.
+
+    Determinism: per-cell terms (p * ln ratio) are 9-dp-quantized before
+    the exact-decimal total (the PSI convention for libm-sourced
+    values); margin entropies likewise. NMI = MI / sqrt(H_a * H_b)."""
+    e = ctx.source("events").select("event_type", _dow_col().alias("dow"))
+    cells = (
+        e.groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .localCheckpoint(eager=True)
+    )
+    row_m = cells.groupBy("event_type").agg(F.sum("n_obs").alias("row_total"))
+    col_m = cells.groupBy("dow").agg(F.sum("n_obs").alias("col_total"))
+    tot = cells.agg(F.sum("n_obs").alias("n_total"))
+    scored = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("p_ab", F.col("n_obs") / F.col("n_total"))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("n_obs").cast("double") * F.col("n_total"))
+                / (F.col("row_total").cast("double") * F.col("col_total"))
+            ),
+        )
+        .withColumn("term", rnd(F.col("p_ab") * F.col("pmi"), 9))
+    )
+    h_a = row_m.crossJoin(F.broadcast(tot)).agg(
+        dsum(
+            rnd(
+                -(F.col("row_total") / F.col("n_total"))
+                * F.log(F.col("row_total") / F.col("n_total")),
+                9,
+            )
+        ).alias("h_types")
+    )
+    h_b = col_m.crossJoin(F.broadcast(tot)).agg(
+        dsum(
+            rnd(
+                -(F.col("col_total") / F.col("n_total"))
+                * F.log(F.col("col_total") / F.col("n_total")),
+                9,
+            )
+        ).alias("h_dow")
+    )
+    mi = scored.agg(dsum(F.col("term")).alias("mi_raw"))
+    return (
+        mi.crossJoin(F.broadcast(h_a))
+        .crossJoin(F.broadcast(h_b))
+        .select(
+            rnd(F.col("mi_raw"), 6).alias("mutual_information"),
+            rnd(F.col("h_types"), 6).alias("entropy_types"),
+            rnd(F.col("h_dow"), 6).alias("entropy_dow"),
+            rnd(
+                F.col("mi_raw") / F.sqrt(F.col("h_types") * F.col("h_dow")), 6
+            ).alias("normalized_mi"),
+        )
+    )
+
+
+oracle(
+    "events_mutual_information",
+    ("events",),
+    f"""WITH base AS (
+    SELECT event_type, {_DOW_DUCK} AS dow FROM events
+),
+cells AS (
+    SELECT event_type, dow, COUNT(*) AS n_obs FROM base GROUP BY 1, 2
+),
+row_m AS (
+    SELECT event_type, SUM(n_obs) AS row_total FROM cells GROUP BY 1
+),
+col_m AS (
+    SELECT dow, SUM(n_obs) AS col_total FROM cells GROUP BY 1
+),
+tot AS (
+    SELECT SUM(n_obs) AS n_total FROM cells
+),
+scored AS (
+    SELECT
+        {rnd_sql('(c.n_obs / t.n_total) * LN((CAST(c.n_obs AS DOUBLE) * t.n_total) / (CAST(r.row_total AS DOUBLE) * m.col_total))', 9)} AS term
+    FROM cells c
+    JOIN row_m r USING (event_type)
+    JOIN col_m m USING (dow)
+    CROSS JOIN tot t
+),
+ha AS (
+    SELECT {dsum_sql(rnd_sql('-(r.row_total / t.n_total) * LN(r.row_total / t.n_total)', 9))} AS h_types
+    FROM row_m r CROSS JOIN tot t
+),
+hb AS (
+    SELECT {dsum_sql(rnd_sql('-(m.col_total / t.n_total) * LN(m.col_total / t.n_total)', 9))} AS h_dow
+    FROM col_m m CROSS JOIN tot t
+),
+mi AS (
+    SELECT {dsum_sql('term')} AS mi_raw FROM scored
+)
+SELECT
+    {rnd_sql('mi.mi_raw', 6)} AS mutual_information,
+    {rnd_sql('ha.h_types', 6)} AS entropy_types,
+    {rnd_sql('hb.h_dow', 6)} AS entropy_dow,
+    {rnd_sql('mi.mi_raw / SQRT(ha.h_types * hb.h_dow)', 6)} AS normalized_mi
+FROM mi CROSS JOIN ha CROSS JOIN hb""",
+)

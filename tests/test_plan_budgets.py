@@ -164,6 +164,15 @@ SHUFFLE_BUDGETS = {
     # ONE whole-table sufficient-statistics aggregation (6 pairwise corrs
     # share it); the pair explode is a 1-row projection
     "lineitem_corr_matrix": 1,
+    # post-checkpoint (signature table materializes once): the LSH pair
+    # pipeline + two sig hash-joins on the pair grain
+    "minhash_estimate_error": 7,
+    # one LSH pipeline consumption (explode-both-endpoints agg), exact-dup
+    # agg, corpus profile scan — every post-join frame is <=1 row
+    "docs_dataset_card": 13,
+    # bounded contingency frames only: cells checkpoint once; margins,
+    # entropies and the MI total are all <= |types| x 7-row exchanges
+    "events_mutual_information": 10,
 }
 
 
