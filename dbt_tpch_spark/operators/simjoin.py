@@ -343,3 +343,121 @@ SELECT
 FROM pairs
 WHERE {rnd_sql(_PAIR_JACCARD_DUCK['jac'], 6)} >= {PPJOIN_THRESHOLD}""",
 )
+
+
+# --------------------------------------------------------------------------
+# edit-distance record linkage over the SNM neighborhood
+# --------------------------------------------------------------------------
+
+#: prefix length scored by edit distance (longer than the sort key so the
+#: score sees text the collation key truncated away)
+EDIT_PREFIX_LEN = 80
+
+#: normalized-similarity threshold: 1 - dist/max(len) >= this keeps a pair
+EDIT_SIM_MIN = 0.8
+
+
+@model("dedup_editdist_pairs", layer="operators", materialization="view")
+def dedup_editdist_pairs(ctx):
+    """Edit-distance record linkage: the classic fuzzy-matching verifier
+    (Levenshtein over normalized text prefixes) run ONLY on the sorted-
+    neighborhood candidate pairs — the sort supplies locality, the DP
+    distance supplies the score, and the quadratic explosion never
+    happens because candidates are the W-adjacency, not all pairs.
+    Token-set Jaccard (the other verifiers) is order-blind; edit
+    distance catches in-place edits/transpositions it misses.
+
+    Both engines compute byte-identical Levenshtein (standard DP), so
+    the scores — not just the pair set — pass the hash gate."""
+    d = ctx.source("documents").select(
+        "doc_id",
+        F.substring(norm_text_col(), 1, SNM_KEY_LEN).alias("skey"),
+        F.substring(norm_text_col(), 1, EDIT_PREFIX_LEN).alias("etext"),
+    ).withColumn("bucket", F.substring("skey", 1, 1))
+    w_b = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    heads = (
+        d.withColumn("_rn", F.row_number().over(w_b))
+        .filter(F.col("_rn") <= SNM_WINDOW)
+        .drop("_rn")
+    )
+    buckets = heads.select("bucket").distinct()
+    pred_map = buckets.withColumnRenamed("bucket", "from_bucket").join(
+        buckets.withColumnRenamed("bucket", "to_bucket"),
+        F.col("from_bucket") > F.col("to_bucket"),
+    )
+    ghosts = heads.join(
+        F.broadcast(pred_map), heads["bucket"] == F.col("from_bucket")
+    ).select(
+        "doc_id",
+        "skey",
+        "etext",
+        F.col("to_bucket").alias("bucket"),
+        F.lit(1).alias("is_ghost"),
+    )
+    frame = d.select(
+        "doc_id", "skey", "etext", "bucket", F.lit(0).alias("is_ghost")
+    ).unionByName(ghosts)
+    w_adj = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    adj = frame.select(
+        "doc_id",
+        "etext",
+        "is_ghost",
+        *[
+            F.lead("doc_id", k).over(w_adj).alias(f"d{k}")
+            for k in range(1, SNM_WINDOW + 1)
+        ],
+        *[
+            F.lead("etext", k).over(w_adj).alias(f"e{k}")
+            for k in range(1, SNM_WINDOW + 1)
+        ],
+    ).filter(F.col("is_ghost") == 0)
+    pairs = None
+    for k in range(1, SNM_WINDOW + 1):
+        p = adj.filter(F.col(f"d{k}").isNotNull()).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(f"d{k}").alias("doc_b"),
+            F.col("etext").alias("text_a"),
+            F.col(f"e{k}").alias("text_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    dist = F.levenshtein("text_a", "text_b")
+    maxlen = F.greatest(F.length("text_a"), F.length("text_b"))
+    sim = F.lit(1.0) - dist.cast("double") / F.nullif(maxlen, F.lit(0))
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_distance"),
+            rnd(sim, 6).alias("edit_similarity"),
+        )
+        .filter(F.col("edit_similarity") >= EDIT_SIM_MIN)
+    )
+
+
+oracle(
+    "dedup_editdist_pairs",
+    ("documents",),
+    f"""WITH keyed AS (
+    SELECT doc_id,
+        substr({_NORM_TEXT_DUCK}, 1, {SNM_KEY_LEN}) AS skey,
+        substr({_NORM_TEXT_DUCK}, 1, {EDIT_PREFIX_LEN}) AS etext
+    FROM documents
+),
+ord AS (
+    SELECT doc_id, etext,
+        {', '.join(f'lead(doc_id, {k}) OVER w AS d{k}, lead(etext, {k}) OVER w AS e{k}' for k in range(1, SNM_WINDOW + 1))}
+    FROM keyed
+    WINDOW w AS (ORDER BY skey, doc_id)
+),
+pairs AS (
+    {' UNION ALL '.join(f'''SELECT doc_id AS doc_a, d{k} AS doc_b,
+        etext AS text_a, e{k} AS text_b FROM ord WHERE d{k} IS NOT NULL''' for k in range(1, SNM_WINDOW + 1))}
+)
+SELECT
+    doc_a,
+    doc_b,
+    CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_distance,
+    {rnd_sql('1.0 - CAST(levenshtein(text_a, text_b) AS DOUBLE) / NULLIF(GREATEST(length(text_a), length(text_b)), 0)', 6)} AS edit_similarity
+FROM pairs
+WHERE {rnd_sql('1.0 - CAST(levenshtein(text_a, text_b) AS DOUBLE) / NULLIF(GREATEST(length(text_a), length(text_b)), 0)', 6)} >= {EDIT_SIM_MIN}""",
+)

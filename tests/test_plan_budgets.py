@@ -173,6 +173,9 @@ SHUFFLE_BUDGETS = {
     # bounded contingency frames only: cells checkpoint once; margins,
     # entropies and the MI total are all <= |types| x 7-row exchanges
     "events_mutual_information": 10,
+    # SNM halo machinery on (doc_id, skey, 80-char prefix) — no arrays in
+    # the sort; Levenshtein runs on the W-adjacency pair grain only
+    "dedup_editdist_pairs": 8,
 }
 
 
