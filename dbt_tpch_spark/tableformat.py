@@ -35,9 +35,15 @@ do, scaled to what a from-scratch repo can carry honestly:
   multi-column predicates from the manifest stats alone — Delta's
   OPTIMIZE [ZORDER BY], with the skipping effect asserted in tests.
 
-Not carried (documented, deliberate): schema evolution/enforcement
-beyond Spark's own parquet behavior, bucketed layouts, and a distributed
-commit service — none change the read/merge plans above.
+* **Schema evolution**: additive-only — appends/merges may ADD columns
+  (older files backfill NULL via parquet schema merging); dropping or
+  re-typing a column raises ``SchemaMismatch``. The per-commit schema
+  is recorded in the log, so "what columns existed at version V" is a
+  log read.
+
+Not carried (documented, deliberate): bucketed layouts and a
+distributed commit service — neither changes the read/merge plans
+above.
 """
 
 from __future__ import annotations
@@ -52,6 +58,11 @@ from pyspark.sql import functions as F
 
 class CommitConflict(Exception):
     """Another writer committed this version first — re-read and retry."""
+
+
+class SchemaMismatch(Exception):
+    """Write schema is incompatible with the table schema (dropped or
+    re-typed column). Additive evolution (new columns) is allowed."""
 
 
 def _norm(v):
@@ -85,7 +96,8 @@ class TxnTable:
         os.makedirs(_log_dir(path), exist_ok=True)
         os.makedirs(_data_dir(path), exist_ok=True)
         t = cls(spark, path, key_cols)
-        t._commit(0, "create", adds=t._write_files(df), removes=[])
+        schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+        t._commit(0, "create", adds=t._write_files(df), removes=[], schema=schema)
         return t
 
     def versions(self) -> list[int]:
@@ -127,12 +139,44 @@ class TxnTable:
                 live.pop(r, None)
         return list(live.values())
 
-    def _commit(self, version: int, operation: str, adds, removes) -> None:
+    def table_schema(self, version: int | None = None) -> list[list[str]]:
+        """[name, dataType] pairs recorded at the newest commit <= version
+        (empty for pre-evolution logs written without schemas)."""
+        version = self.latest_version() if version is None else version
+        schema: list[list[str]] = []
+        for v in self.versions():
+            if v > version:
+                break
+            schema = self._read_commit(v).get("schema") or schema
+        return schema
+
+    def _check_schema(self, df: DataFrame) -> list[list[str]]:
+        """Enforce additive-only evolution: every existing column must
+        survive with its type; new columns may appear (older files
+        backfill them as NULL on read via parquet schema merging)."""
+        new = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+        have = {n: t for n, t in new}
+        problems = [
+            f"{n}: {t} -> {have.get(n, 'DROPPED')}"
+            for n, t in self.table_schema()
+            if have.get(n) != t
+        ]
+        if problems:
+            raise SchemaMismatch(
+                "incompatible write schema (only ADDing columns is "
+                f"supported): {', '.join(problems)}"
+            )
+        return new
+
+    def _commit(
+        self, version: int, operation: str, adds, removes, schema=None
+    ) -> None:
         record = {
             "version": version,
             "operation": operation,
             "adds": adds,
             "removes": removes,
+            "schema": schema,
         }
         final = os.path.join(_log_dir(self.path), f"{version:08d}.json")
         try:
@@ -182,21 +226,31 @@ class TxnTable:
         files = self.snapshot_files(version)
         if not files:
             raise FileNotFoundError(f"empty snapshot at {self.path}")
-        return self.spark.read.parquet(
+        # mergeSchema backfills columns added by schema evolution as NULL
+        # in files written before the column existed
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, a["file"]) for a in files]
         )
 
     # --------------------------------------------------------- mutations
 
     def append(self, df: DataFrame) -> int:
+        schema = self._check_schema(df)
         v = self.latest_version() + 1
-        self._commit(v, "append", adds=self._write_files(df), removes=[])
+        self._commit(
+            v, "append", adds=self._write_files(df), removes=[], schema=schema
+        )
         return v
 
     def overwrite(self, df: DataFrame) -> int:
+        # overwrite replaces ALL data, so any schema is acceptable — the
+        # new schema simply becomes the table schema
+        schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
         v = self.latest_version() + 1
         old = [a["file"] for a in self.snapshot_files()]
-        self._commit(v, "overwrite", adds=self._write_files(df), removes=old)
+        self._commit(
+            v, "overwrite", adds=self._write_files(df), removes=old, schema=schema
+        )
         return v
 
     def merge(
@@ -213,6 +267,7 @@ class TxnTable:
         keys = key_cols or self.key_cols
         if not keys:
             raise ValueError("merge requires key columns")
+        merged_schema = self._check_schema(updates)
         base_version = self.latest_version()
         files = self.snapshot_files(base_version)
 
@@ -245,7 +300,8 @@ class TxnTable:
                 from pyspark.sql.window import Window
 
                 tagged = target.withColumn("_src", F.lit(0)).unionByName(
-                    updates.withColumn("_src", F.lit(1))
+                    updates.withColumn("_src", F.lit(1)),
+                    allowMissingColumns=True,
                 )
                 w = Window.partitionBy(*keys).orderBy(
                     F.col(version_col).desc(), F.col("_src").desc()
@@ -260,13 +316,17 @@ class TxnTable:
                     F.broadcast(updates.select(*keys).distinct()),
                     keys,
                     "left_anti",
-                ).unionByName(updates)
+                ).unionByName(updates, allowMissingColumns=True)
         else:
             merged = updates
         adds = self._write_files(merged)
         v = base_version + 1
         self._commit(
-            v, "merge", adds=adds, removes=[a["file"] for a in hit]
+            v,
+            "merge",
+            adds=adds,
+            removes=[a["file"] for a in hit],
+            schema=[[f.name, f.dataType.simpleString()] for f in merged.schema.fields],
         )
         return {
             "version": v,

@@ -301,3 +301,51 @@ def test_zorder_requires_stats_columns(spark, tmp_path):
     table = TxnTable.create(spark, path, df, key_cols=["k"])
     with _pytest.raises(ValueError, match="carry no file stats"):
         table.optimize_zorder(["k", "w"])
+
+
+def test_schema_evolution_add_column_and_reject_retype(spark, tmp_path):
+    """Additive evolution: an append may introduce a new column (old rows
+    read back as NULL via parquet schema merging); dropping or re-typing
+    an existing column is refused with SchemaMismatch."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from dbt_tpch_spark.tableformat import SchemaMismatch
+
+    path = str(tmp_path / "evo")
+    base = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    table = TxnTable.create(spark, path, base, key_cols=["k"])
+    assert [n for n, _ in table.table_schema()] == ["k", "v"]
+
+    widened = spark.range(5, 10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("fresh").alias("note"),
+    )
+    table.append(widened)
+    got = table.read().orderBy("k").collect()
+    assert [r["note"] for r in got] == [None] * 5 + ["fresh"] * 5
+    assert [n for n, _ in table.table_schema()] == ["k", "v", "note"]
+    # time travel: version 0's schema is the original
+    assert [n for n, _ in table.table_schema(0)] == ["k", "v"]
+
+    with _pytest.raises(SchemaMismatch, match="DROPPED"):
+        table.append(spark.range(3).select(F.col("id").alias("k")))
+    with _pytest.raises(SchemaMismatch, match="v: "):
+        table.append(
+            spark.range(3).select(
+                F.col("id").alias("k"), F.lit("oops").alias("v")
+            )
+        )
+
+    # merge may also widen: new column rides the rewrite, old rows NULL
+    upd = spark.range(2).select(
+        F.col("id").alias("k"),
+        F.lit(999).cast("long").alias("v"),
+        F.lit("upd").alias("note"),
+        F.lit(1).cast("long").alias("batch"),
+    )
+    table.merge(upd)
+    rows = {r["k"]: (r["v"], r["note"], r["batch"]) for r in table.read().collect()}
+    assert rows[0] == (999, "upd", 1) and rows[1] == (999, "upd", 1)
+    assert rows[7][2] is None
