@@ -376,3 +376,99 @@ FROM pairs"""
 
 
 oracle("embeddings_rp_distortion", ("embeddings",), _rp_distortion_oracle())
+
+
+# --------------------------------------------------------------------------
+# label-centroid similarity (confusion-risk screen)
+# --------------------------------------------------------------------------
+
+
+@model("embeddings_centroid_similarity", layer="operators", materialization="view")
+def embeddings_centroid_similarity(ctx):
+    """Pairwise cosine similarity between per-label centroid vectors —
+    the label-confusion screen run before trusting a labeled embedding
+    corpus (two labels whose centroids sit at cosine ~1 will not
+    separate under any downstream classifier; also the cluster-merge
+    heuristic for taxonomy cleanup).
+
+    Scale: one posexplode pass to (label, dim) grain — |labels| x DIMS
+    rows regardless of SF, map-side combinable — then all pair math runs
+    on that tiny frame. Determinism: per-dim means and all dot/norm
+    accumulations through DECIMAL(38,18) (the PCA moment convention),
+    final cosine rounded at 6 dp."""
+    e = ctx.source("embeddings")
+    dims = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cents = dims.groupBy("label", "pos").agg(
+        (_msum(F.col("val").cast("double")) / F.count(F.lit(1))).alias("c")
+    )
+    norms = cents.groupBy("label").agg(
+        _msum(F.col("c") * F.col("c")).alias("nn")
+    )
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = cents.withColumnsRenamed({"label": "label_a", "c": "ca"})
+    b = cents.withColumnsRenamed({"label": "label_b", "c": "cb"})
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(_msum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.withColumnsRenamed({"label": "label_a", "nn": "nna"})
+    nb = norms.withColumnsRenamed({"label": "label_b", "nn": "nnb"})
+    ca_ = counts.withColumnsRenamed({"label": "label_a", "n": "n_a"})
+    cb_ = counts.withColumnsRenamed({"label": "label_b", "n": "n_b"})
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .join(F.broadcast(ca_), "label_a")
+        .join(F.broadcast(cb_), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            rnd(
+                F.col("dot") / (F.sqrt(F.col("nna")) * F.sqrt(F.col("nnb"))),
+                6,
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
+oracle(
+    "embeddings_centroid_similarity",
+    ("embeddings",),
+    f"""WITH dims AS (
+    SELECT UNNEST(range(1, {DIMS + 1})) AS i
+),
+cents AS (
+    SELECT label, d.i AS pos,
+           {_msum_sql('CAST(embedding[d.i] AS DOUBLE)')} / COUNT(*) AS c
+    FROM embeddings CROSS JOIN dims d
+    GROUP BY label, d.i
+),
+norms AS (
+    SELECT label, {_msum_sql('c * c')} AS nn FROM cents GROUP BY label
+),
+counts AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+),
+dots AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           {_msum_sql('a.c * b.c')} AS dot
+    FROM cents a
+    JOIN cents b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+)
+SELECT
+    d.label_a,
+    d.label_b,
+    ca.n AS n_a,
+    cb.n AS n_b,
+    {rnd_sql('d.dot / (SQRT(na.nn) * SQRT(nb.nn))', 6)} AS centroid_cosine
+FROM dots d
+JOIN norms na ON d.label_a = na.label
+JOIN norms nb ON d.label_b = nb.label
+JOIN counts ca ON d.label_a = ca.label
+JOIN counts cb ON d.label_b = cb.label""",
+)

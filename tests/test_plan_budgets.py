@@ -176,6 +176,9 @@ SHUFFLE_BUDGETS = {
     # SNM halo machinery on (doc_id, skey, 80-char prefix) — no arrays in
     # the sort; Levenshtein runs on the W-adjacency pair grain only
     "dedup_editdist_pairs": 8,
+    # one corpus posexplode -> (label, dim) agg; every later exchange is
+    # on the |labels| x DIMS (or smaller) frame
+    "embeddings_centroid_similarity": 9,
 }
 
 
