@@ -920,3 +920,51 @@ JOIN schemes sa ON sa.scheme = s.scheme AND sa.doc_id = p.doc_a
 JOIN schemes sb ON sb.scheme = s.scheme AND sb.doc_id = p.doc_b
 GROUP BY 1, 2, 3""",
 )
+
+
+@model("docs_shard_by_cluster", layer="operators", materialization="view")
+def docs_shard_by_cluster(ctx):
+    """Group-aware hash sharding: the shard key is the md5 of the
+    DEDUP-CLUSTER id (dedup_doc_labels), so every member of a
+    near-duplicate component lands in the SAME shard — the property that
+    lets shard-local dedup passes (the only affordable kind at 100 TB)
+    still catch every known near-dup pair. Same 16-way nibble scheme and
+    balance census as docs_shard_assignment, plus the cluster count per
+    shard so the balance cost of moving whole groups is visible.
+    Zero-straddle is asserted in tests."""
+    labels = ctx.ref("dedup_doc_labels")
+    d = ctx.source("documents").select("doc_id", "lang", "n_chars")
+    nibble = F.substring(
+        F.md5(F.concat(F.lit(SHARD_SALT), F.col("cluster_id").cast("string"))),
+        1,
+        1,
+    )
+    shard = (F.instr(F.lit("0123456789abcdef"), nibble) - 1).cast("long")
+    return (
+        d.join(labels, "doc_id")
+        .select(shard.alias("shard_id"), "doc_id", "lang", "n_chars", "cluster_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+
+
+oracle(
+    "docs_shard_by_cluster",
+    ("dedup_doc_labels", "documents"),
+    f"""SELECT
+    CAST(strpos('0123456789abcdef',
+                substring(md5('{SHARD_SALT}' || CAST(l.cluster_id AS VARCHAR)), 1, 1))
+         - 1 AS BIGINT) AS shard_id,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT l.cluster_id) AS BIGINT) AS n_clusters,
+    CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+    CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs
+FROM documents d
+JOIN dedup_doc_labels l ON d.doc_id = l.doc_id
+GROUP BY 1""",
+)

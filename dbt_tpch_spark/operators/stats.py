@@ -488,3 +488,108 @@ SELECT
     {rnd_sql('mi.mi_raw / SQRT(ha.h_types * hb.h_dow)', 6)} AS normalized_mi
 FROM mi CROSS JOIN ha CROSS JOIN hb""",
 )
+
+
+# --------------------------------------------------------------------------
+# bottom-k sampler mergeability proof
+# --------------------------------------------------------------------------
+
+BK_SALT = "bk|"
+BK_K = 256
+
+
+@model("events_bottomk_merge_check", layer="operators", materialization="view")
+def events_bottomk_merge_check(ctx):
+    """Mergeability proof for the bottom-k-by-md5 sampler (the machinery
+    behind events_sampled_quantiles), as a hash-checked query: the
+    bottom-k of the UNION of two shards' bottom-k samples must be
+    bit-identical to the bottom-k of the whole stream. This is what
+    makes the sampler a distributed SKETCH — shards sample locally,
+    a coordinator merges k-sized states — completing the merge-proof
+    family (HLL registers, CMS cells, incremental rollups).
+
+    The certificate compares md5 fingerprints of the two sorted key
+    lists, so the equality is over exact content, not counts."""
+    e = ctx.source("events").select(
+        "event_id",
+        F.md5(F.concat(F.lit(BK_SALT), F.col("event_id").cast("string"))).alias(
+            "h"
+        ),
+    ).withColumn("hv", F.col("h"))
+
+    def bottomk(df):
+        # payload carries the key under a second name — global_topk's
+        # winner struct cannot hold the same field twice
+        return global_topk(df, "h", BK_K, ["hv"]).select(
+            F.col("hv").alias("h")
+        )
+
+    def fingerprint(df, fp_name, n_name):
+        return df.agg(
+            F.md5(
+                F.concat_ws("|", F.slice(F.sort_array(F.collect_list("h")), 1, BK_K))
+            ).alias(fp_name),
+            F.count(F.lit(1)).cast("long").alias(n_name),
+        )
+
+    direct = fingerprint(bottomk(e), "direct_fp", "n_direct")
+    shard0 = bottomk(e.filter(F.col("event_id") % 2 == 0))
+    shard1 = bottomk(e.filter(F.col("event_id") % 2 == 1))
+    merged_rows = shard0.unionByName(shard1).agg(
+        F.md5(
+            F.concat_ws("|", F.slice(F.sort_array(F.collect_list("h")), 1, BK_K))
+        ).alias("merged_fp"),
+        F.least(F.count(F.lit(1)), F.lit(BK_K).cast("long")).alias("n_merged"),
+    )
+    return (
+        direct.crossJoin(F.broadcast(merged_rows))
+        .select(
+            F.lit(BK_K).cast("long").alias("sample_k"),
+            "n_direct",
+            "n_merged",
+            "direct_fp",
+            "merged_fp",
+            (F.col("direct_fp") == F.col("merged_fp")).alias("merge_exact"),
+        )
+    )
+
+
+oracle(
+    "events_bottomk_merge_check",
+    ("events",),
+    f"""WITH hashed AS (
+    SELECT event_id, md5(concat('{BK_SALT}', CAST(event_id AS VARCHAR))) AS h
+    FROM events
+),
+d AS (
+    SELECT h FROM hashed ORDER BY h LIMIT {BK_K}
+),
+direct AS (
+    SELECT md5(string_agg(h, '|' ORDER BY h)) AS direct_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_direct
+    FROM d
+),
+s0 AS (
+    SELECT h FROM hashed WHERE event_id % 2 = 0 ORDER BY h LIMIT {BK_K}
+),
+s1 AS (
+    SELECT h FROM hashed WHERE event_id % 2 = 1 ORDER BY h LIMIT {BK_K}
+),
+m AS (
+    SELECT h FROM (SELECT h FROM s0 UNION ALL SELECT h FROM s1)
+    ORDER BY h LIMIT {BK_K}
+),
+merged AS (
+    SELECT md5(string_agg(h, '|' ORDER BY h)) AS merged_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM m
+)
+SELECT
+    CAST({BK_K} AS BIGINT) AS sample_k,
+    direct.n_direct,
+    merged.n_merged,
+    direct.direct_fp,
+    merged.merged_fp,
+    direct.direct_fp = merged.merged_fp AS merge_exact
+FROM direct CROSS JOIN merged""",
+)

@@ -202,3 +202,29 @@ def test_sampled_quantiles_error_is_bounded(spark, sf_dir):
             assert r["abs_err"] == 0.0, r
         else:
             assert r["abs_err"] <= 0.1 * abs(r["exact_value"]) + 5.0, r
+
+
+def test_cluster_sharding_never_straddles_pairs(spark, sf_dir):
+    """docs_shard_by_cluster's guarantee: both ends of every verified
+    near-dup pair hash to the same shard (shard key = cluster id), so a
+    shard-local dedup pass still sees every known pair; and the census
+    conserves the corpus."""
+    from dbt_tpch_spark.operators.sampling import SHARD_SALT
+
+    ctx = Context(spark, sf_dir)
+    labels = ctx.ref("dedup_doc_labels")
+    nibble = F.substring(
+        F.md5(F.concat(F.lit(SHARD_SALT), F.col("cluster_id").cast("string"))), 1, 1
+    )
+    shard = (F.instr(F.lit("0123456789abcdef"), nibble) - 1).cast("long")
+    assign = labels.select("doc_id", shard.alias("shard_id"))
+    pairs = ctx.ref("dedup_minhash_lsh").select("doc_a", "doc_b")
+    sa = assign.withColumnsRenamed({"doc_id": "doc_a", "shard_id": "sh_a"})
+    sb = assign.withColumnsRenamed({"doc_id": "doc_b", "shard_id": "sh_b"})
+    straddling = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b").filter(F.col("sh_a") != F.col("sh_b"))
+    ).count()
+    assert straddling == 0
+    census = ctx.ref("docs_shard_by_cluster")
+    total = census.agg(F.sum("n_docs")).head()[0]
+    assert total == ctx.source("documents").count()

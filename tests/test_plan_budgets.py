@@ -179,6 +179,11 @@ SHUFFLE_BUDGETS = {
     # one corpus posexplode -> (label, dim) agg; every later exchange is
     # on the |labels| x DIMS (or smaller) frame
     "embeddings_centroid_similarity": 9,
+    # labels join + bounded 16-shard census
+    "docs_shard_by_cluster": 4,
+    # three bottom-k passes (hex-group windows + candidate merges) on the
+    # hashed key column only
+    "events_bottomk_merge_check": 6,
 }
 
 
