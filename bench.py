@@ -90,6 +90,9 @@ HEADLINE = [
     # round-4 exact-similarity-join representative (prefix-filtered
     # PPJoin — the no-false-negative dedup path)
     "dedup_ppjoin",
+    # round-4 statistics-family representative (bounded contingency
+    # cells + broadcast margins — zero windows)
+    "events_chi_square",
 ]
 
 #: the round-2 headline set (first 20 entries) — reported as a separate
