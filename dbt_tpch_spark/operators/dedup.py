@@ -687,6 +687,9 @@ def _component_labels(ctx):
         labels = new_labels
         if changed == 0:
             break
+    # labels are checkpointed; release the pinned edge table (without this
+    # every consumer of the fixpoint leaked one SF-linear cached frame)
+    edges.unpersist()
     return labels
 
 
@@ -702,12 +705,21 @@ def dedup_clusters(ctx):
     the logical plan nests exponentially and analysis alone stalls).
     Converges in O(component diameter) rounds; early-stops when labels are
     stable. The oracle reaches the same fixpoint with a recursive CTE
-    (transitive closure + MIN per node)."""
-    labels = _component_labels(ctx)
-    return labels.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size"),
-        F.min("doc_id").alias("canonical_doc_id"),
-        F.max("doc_id").alias("max_doc_id"),
+    (transitive closure + MIN per node).
+
+    Derives from the ``dedup_doc_labels`` model (memoized per Context) so
+    a build touching both models runs the fixpoint ONCE; a component from
+    the pair graph always has >= 2 members, so the size filter exactly
+    separates components from the per-doc model's singletons."""
+    labels = ctx.ref("dedup_doc_labels")
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("cluster_size") >= 2)
     )
 
 

@@ -325,7 +325,9 @@ def lineitem_corr_matrix(ctx):
         cov = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
         var_a = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
         var_b = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
-        return cov / F.sqrt(var_a * var_b)
+        # NULL (not inf/NaN) for a zero-variance column — and identically
+        # on both engines (DuckDB would produce inf for x/0.0)
+        return cov / F.nullif(F.sqrt(var_a * var_b), F.lit(0.0))
 
     cells = F.array(
         *[
@@ -354,8 +356,8 @@ def _corr_oracle() -> str:
     for a, b in pairs:
         r = (
             f"(CAST(n AS DOUBLE) * sp_{a}_{b} - s_{a} * s_{b}) / "
-            f"SQRT((CAST(n AS DOUBLE) * ss_{a} - s_{a} * s_{a}) "
-            f"* (CAST(n AS DOUBLE) * ss_{b} - s_{b} * s_{b}))"
+            f"NULLIF(SQRT((CAST(n AS DOUBLE) * ss_{a} - s_{a} * s_{a}) "
+            f"* (CAST(n AS DOUBLE) * ss_{b} - s_{b} * s_{b})), 0.0)"
         )
         arms.append(
             f"SELECT '{a}' AS col_a, '{b}' AS col_b, n AS n_rows, "
@@ -438,7 +440,9 @@ def events_mutual_information(ctx):
             rnd(F.col("h_types"), 6).alias("entropy_types"),
             rnd(F.col("h_dow"), 6).alias("entropy_dow"),
             rnd(
-                F.col("mi_raw") / F.sqrt(F.col("h_types") * F.col("h_dow")), 6
+                F.col("mi_raw")
+                / F.nullif(F.sqrt(F.col("h_types") * F.col("h_dow")), F.lit(0.0)),
+                6,
             ).alias("normalized_mi"),
         )
     )
@@ -485,7 +489,7 @@ SELECT
     {rnd_sql('mi.mi_raw', 6)} AS mutual_information,
     {rnd_sql('ha.h_types', 6)} AS entropy_types,
     {rnd_sql('hb.h_dow', 6)} AS entropy_dow,
-    {rnd_sql('mi.mi_raw / SQRT(ha.h_types * hb.h_dow)', 6)} AS normalized_mi
+    {rnd_sql('mi.mi_raw / NULLIF(SQRT(ha.h_types * hb.h_dow), 0.0)', 6)} AS normalized_mi
 FROM mi CROSS JOIN ha CROSS JOIN hb""",
 )
 

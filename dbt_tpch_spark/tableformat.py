@@ -267,7 +267,7 @@ class TxnTable:
         keys = key_cols or self.key_cols
         if not keys:
             raise ValueError("merge requires key columns")
-        merged_schema = self._check_schema(updates)
+        self._check_schema(updates)  # validation only; commit logs merged.schema
         base_version = self.latest_version()
         files = self.snapshot_files(base_version)
 
@@ -293,7 +293,10 @@ class TxnTable:
         carry = [a for a in files if not overlaps(a)]
 
         if hit:
-            target = self.spark.read.parquet(
+            # mergeSchema: the hit set may span a schema-evolution
+            # boundary; a footer-inferred schema would null evolved
+            # columns for every non-updated row in the rewrite
+            target = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, a["file"]) for a in hit]
             )
             if version_col is not None:
@@ -370,9 +373,14 @@ class TxnTable:
             acc += size
         adds = []
         for g in groups:
-            packed = self.spark.read.parquet(
-                *[os.path.join(self.path, a["file"]) for a in g]
-            ).coalesce(1)
+            # mergeSchema: a pack group may span a schema-evolution
+            # boundary; without it the rewrite would silently drop
+            # columns the inferred footer lacks
+            packed = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.path, a["file"]) for a in g])
+                .coalesce(1)
+            )
             adds += self._write_files(packed)
         self._commit(
             base_version + 1,
@@ -387,8 +395,10 @@ class TxnTable:
             "groups": len(groups),
         }
 
-    #: bits per dimension in the Z-order interleave; 16 bits x <=4 cols
-    #: stays inside a signed 64-bit z-value
+    #: max bits per dimension in the Z-order interleave; the effective
+    #: per-dimension width is min(ZORDER_BITS, 63 // n_cols) so every bit
+    #: position stays strictly below the sign bit of the 64-bit z-value
+    #: (16 bits x 4 cols would put the last column's MSB on bit 63)
     ZORDER_BITS = 16
 
     def _zvalue_col(self, df: DataFrame, cols: list[str]):
@@ -408,7 +418,10 @@ class TxnTable:
             ]
         b = df.agg(*aggs).head()
         n = len(cols)
-        top = (1 << self.ZORDER_BITS) - 1
+        if not n:
+            raise ValueError("z-order needs at least one column")
+        bits = min(self.ZORDER_BITS, 63 // n)
+        top = (1 << bits) - 1
         z = F.lit(0).cast("long")
         for j, c in enumerate(cols):
             lo, hi = float(b[f"lo_{c}"]), float(b[f"hi_{c}"])
@@ -421,7 +434,7 @@ class TxnTable:
                     * F.lit(float(top + 1))
                 ),
             ).cast("long")
-            for i in range(self.ZORDER_BITS):
+            for i in range(bits):
                 z = z + F.shiftleft(
                     F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j
                 )
@@ -492,7 +505,9 @@ class TxnTable:
         if not hit:
             df = self.read(version).limit(0)
         else:
-            df = self.spark.read.parquet(
+            # mergeSchema keeps pruned reads schema-consistent with
+            # read() when the hit set spans a schema-evolution boundary
+            df = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, a["file"]) for a in hit]
             )
         for c, (lo, hi) in ranges.items():
