@@ -349,3 +349,60 @@ def test_schema_evolution_add_column_and_reject_retype(spark, tmp_path):
     rows = {r["k"]: (r["v"], r["note"], r["batch"]) for r in table.read().collect()}
     assert rows[0] == (999, "upd", 1) and rows[1] == (999, "upd", 1)
     assert rows[7][2] is None
+
+
+def test_compact_and_merge_preserve_evolved_columns(spark, tmp_path):
+    """Regression (review finding): compact() and merge() must read their
+    input files with schema merging — a rewrite spanning a schema-
+    evolution boundary used to silently drop the evolved column."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evo2")
+    base = spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    table = TxnTable.create(spark, path, base.coalesce(1), key_cols=["k"])
+    widened = spark.range(3, 6).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("fresh").alias("note"),
+    )
+    table.append(widened.coalesce(1))
+
+    # compact packs the pre- and post-evolution files into one group
+    rep = table.compact(target_bytes=1024 * 1024)
+    assert rep["files_compacted"] == 2 and rep["groups"] == 1
+    got = {r["k"]: r["note"] for r in table.read().collect()}
+    assert got == {0: None, 1: None, 2: None, 3: "fresh", 4: "fresh", 5: "fresh"}
+
+    # merge whose hit set spans the (now single, mixed-origin) file must
+    # keep 'note' for non-updated rows
+    upd = spark.range(1).select(
+        F.col("id").alias("k"),
+        F.lit(111).cast("long").alias("v"),
+        F.lit("upd").alias("note"),
+    )
+    table.merge(upd.coalesce(1))
+    got = {r["k"]: (r["v"], r["note"]) for r in table.read().collect()}
+    assert got[0] == (111, "upd")
+    assert got[4] == (40, "fresh")  # evolved value survived the rewrite
+
+
+def test_zorder_bit_budget_caps_at_sign_bit(spark, tmp_path):
+    """Four z-order columns must still produce non-negative z-values
+    (16 bits x 4 would have put the last column's MSB on bit 63)."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "z4")
+    base = spark.range(2000).select(
+        (F.col("id") % 10).alias("a"),
+        (F.col("id") % 7).alias("b"),
+        (F.col("id") % 5).alias("c"),
+        (F.col("id") % 3).alias("d"),
+        F.col("id").alias("payload"),
+    )
+    t = TxnTable.create(spark, path, base.coalesce(2), key_cols=["a", "b", "c", "d"])
+    z = t._zvalue_col(t.read(), ["a", "b", "c", "d"])
+    neg = t.read().select(z.alias("z")).filter(F.col("z") < 0).count()
+    assert neg == 0
+    rep = t.optimize_zorder(["a", "b", "c", "d"], n_files=4)
+    assert rep["files_written"] == 4
+    assert t.read().count() == 2000
