@@ -610,3 +610,206 @@ FROM mz m JOIN dz d ON m.event_type = d.event_type"""
 
 
 oracle("events_hll_merge_check", (), _hll_merge_oracle())
+
+
+# --------------------------------------------------------------------------
+# HLL set algebra: audience overlap via register-max union +
+# inclusion-exclusion
+# --------------------------------------------------------------------------
+
+
+def _hll_estimate_col(z_present, n_present):
+    """The HLL estimate (with small-range correction) from the two sketch
+    summary columns — the SAME arithmetic as events_hll_users, factored
+    for reuse by the set-algebra model."""
+    m = float(HLL_M)
+    z = z_present + (F.lit(m) - n_present)
+    e_raw = F.lit(HLL_ALPHA * m * m) / z
+    v = F.lit(m) - n_present
+    small = (e_raw <= 2.5 * m) & (v > 0)
+    return F.when(small, rnd(F.lit(m) * F.log(F.lit(m) / v), 4)).otherwise(
+        rnd(e_raw, 4)
+    )
+
+
+def _hll_estimate_sql(z: str, n: str) -> str:
+    return (
+        f"CASE WHEN {HLL_ALPHA * HLL_M * HLL_M} / ({z} + ({HLL_M} - {n}))"
+        f" <= {2.5 * HLL_M} AND ({HLL_M} - {n}) > 0"
+        f" THEN {rnd_sql(f'{HLL_M} * ln({HLL_M} / ({HLL_M} - {n}))', 4)}"
+        f" ELSE {rnd_sql(f'{HLL_ALPHA * HLL_M * HLL_M} / ({z} + ({HLL_M} - {n}))', 4)}"
+        f" END"
+    )
+
+
+@model("events_hll_type_overlap", layer="operators", materialization="view")
+def events_hll_type_overlap(ctx):
+    """Sketch SET ALGEBRA: pairwise distinct-user overlap between event
+    types estimated from HLL sketches alone — |A∩B| ≈ E(A) + E(B) −
+    E(A∪B), where the union sketch is the per-bucket register MAX (the
+    lossless HLL union) — next to the exact overlap and absolute error.
+    This is the audience-overlap / segment-intersection query at 100 TB:
+    per-segment sketches are m=256 longs kept from a single corpus pass;
+    every pairwise intersection afterwards costs register math only, no
+    re-scan and no pairwise distinct join.
+
+    Scale: per-type registers come from one (type, bucket) aggregation;
+    the pair expansion and union-max run on the ≤ |types|·m register
+    frame. The exact side (for the error column) is the expensive
+    pairwise distinct join the sketch replaces."""
+    e = ctx.source("events")
+    hashed = e.select(
+        "event_type",
+        F.md5(F.concat(F.lit(HLL_SALT), F.col("user_id").cast("string"))).alias("h"),
+        "user_id",
+    )
+    regs = hashed.select("event_type", "user_id", *_spark_register_cols())
+    per_bucket = regs.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("m_j")
+    ).localCheckpoint(eager=True)
+
+    def summarize(df, keys):
+        z_present = (
+            F.sum(
+                F.pow(F.lit(2.0), -F.col("m_j").cast("double")).cast(
+                    "decimal(38,18)"
+                )
+            ).cast("double")
+        )
+        return df.groupBy(*keys).agg(
+            z_present.alias("z_present"),
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+        )
+
+    types = per_bucket.select("event_type").distinct()
+    pairs = (
+        types.withColumnRenamed("event_type", "type_a")
+        .join(
+            types.withColumnRenamed("event_type", "type_b"),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    u_regs = (
+        pairs.join(
+            per_bucket,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    est_u = summarize(u_regs, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        _hll_estimate_col(F.col("z_present"), F.col("n_present")).alias("est_union"),
+    )
+    est_t = summarize(per_bucket, ["event_type"]).select(
+        "event_type",
+        _hll_estimate_col(F.col("z_present"), F.col("n_present")).alias("est"),
+    )
+    ea = est_t.withColumnsRenamed({"event_type": "type_a", "est": "est_a"})
+    eb = est_t.withColumnsRenamed({"event_type": "type_b", "est": "est_b"})
+    tu = e.select("event_type", "user_id").distinct()
+    ua = tu.withColumnsRenamed({"event_type": "type_a"})
+    ub = tu.withColumnsRenamed({"event_type": "type_b"})
+    exact = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_overlap"))
+    )
+    est_overlap = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+    )
+    return (
+        est_u.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce(F.col("exact_overlap"), F.lit(0).cast("long")).alias(
+                "exact_overlap"
+            ),
+            rnd(est_overlap, 4).alias("hll_overlap_estimate"),
+            rnd(
+                F.abs(
+                    est_overlap
+                    - F.coalesce(F.col("exact_overlap"), F.lit(0)).cast("double")
+                ),
+                4,
+            ).alias("abs_err"),
+        )
+    )
+
+
+oracle(
+    "events_hll_type_overlap",
+    ("events",),
+    f"""WITH hashed AS (
+    SELECT event_type, user_id,
+           md5('{HLL_SALT}' || CAST(user_id AS VARCHAR)) AS h
+    FROM events
+),
+regs AS (
+    SELECT event_type, user_id, {_register_sql()}
+    FROM hashed
+),
+per_bucket AS (
+    SELECT event_type, bucket, max(rho) AS m_j
+    FROM regs GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM per_bucket),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM types a JOIN types b ON a.event_type < b.event_type
+),
+u_regs AS (
+    SELECT p.type_a, p.type_b, r.bucket, max(r.m_j) AS m_j
+    FROM pairs p
+    JOIN per_bucket r
+      ON r.event_type = p.type_a OR r.event_type = p.type_b
+    GROUP BY 1, 2, 3
+),
+sk_u AS (
+    SELECT type_a, type_b,
+        CAST(SUM(CAST(pow(2.0, -CAST(m_j AS DOUBLE)) AS DECIMAL(38,18)))
+             AS DOUBLE) AS z_present,
+        CAST(COUNT(*) AS BIGINT) AS n_present
+    FROM u_regs GROUP BY 1, 2
+),
+sk_t AS (
+    SELECT event_type,
+        CAST(SUM(CAST(pow(2.0, -CAST(m_j AS DOUBLE)) AS DECIMAL(38,18)))
+             AS DOUBLE) AS z_present,
+        CAST(COUNT(*) AS BIGINT) AS n_present
+    FROM per_bucket GROUP BY 1
+),
+est_u AS (
+    SELECT type_a, type_b,
+           {_hll_estimate_sql('z_present', 'n_present')} AS est_union
+    FROM sk_u
+),
+est_t AS (
+    SELECT event_type,
+           {_hll_estimate_sql('z_present', 'n_present')} AS est
+    FROM sk_t
+),
+tu AS (SELECT DISTINCT event_type, user_id FROM events),
+exact AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS exact_overlap
+    FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT
+    u.type_a,
+    u.type_b,
+    COALESCE(x.exact_overlap, 0) AS exact_overlap,
+    {rnd_sql('GREATEST(ea.est + eb.est - u.est_union, 0.0)', 4)} AS hll_overlap_estimate,
+    {rnd_sql('ABS(GREATEST(ea.est + eb.est - u.est_union, 0.0) - CAST(COALESCE(x.exact_overlap, 0) AS DOUBLE))', 4)} AS abs_err
+FROM est_u u
+JOIN est_t ea ON u.type_a = ea.event_type
+JOIN est_t eb ON u.type_b = eb.event_type
+LEFT JOIN exact x ON u.type_a = x.type_a AND u.type_b = x.type_b""",
+)

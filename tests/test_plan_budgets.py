@@ -184,6 +184,10 @@ SHUFFLE_BUDGETS = {
     # three bottom-k passes (hex-group windows + candidate merges) on the
     # hashed key column only
     "events_bottomk_merge_check": 6,
+    # one (type, bucket) register aggregation (checkpointed); union-max,
+    # estimates and the pair expansion run on the <= |types|*m register
+    # frame; the exact-overlap error column pays the distinct self-join
+    "events_hll_type_overlap": 8,
 }
 
 
