@@ -33,6 +33,29 @@ _ACC_DECIMAL = "decimal(27,6)"
 
 SURROGATE_KEY_NULL = "_dbt_utils_surrogate_key_null_"
 
+#: above this measured row count an explicit ``F.broadcast`` hint is
+#: refused and the frame ships with a ``shuffle_hash`` hint instead: the
+#: broadcast hint is *hard* (AQE never demotes it), so hinting an
+#: SF-linear frame is a guaranteed executor/driver OOM at some scale
+#: factor.  Shared by every gated-broadcast site (graph state rounds,
+#: market-basket part totals, bloom candidate tagging); CI zeroes it to
+#: pin the large-scale plan shape (tests/test_plan_budgets.py).
+BROADCAST_STATE_MAX_ROWS = 1_000_000
+
+
+def gated_broadcast(df, n_rows: int):
+    """``F.broadcast(df)`` when ``n_rows`` (a measured or metadata-derived
+    upper bound on df's cardinality) fits under BROADCAST_STATE_MAX_ROWS,
+    else ``df.hint("shuffle_hash")`` — the join still avoids a sort, and
+    only the state-sized side builds hash tables.  Import the module and
+    read the gate at call time so tests can force the co-partitioned
+    path."""
+    import dbt_tpch_spark.functions as _self
+
+    if n_rows <= _self.BROADCAST_STATE_MAX_ROWS:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
 
 def money(col: Column) -> Column:
     """Reference ``money()`` macro: round to 4 decimals (decimal(16,4)).

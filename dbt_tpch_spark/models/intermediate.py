@@ -8,7 +8,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dbt_tpch_spark.functions import davg, days_between, dsum, isum, rnd
+from dbt_tpch_spark.functions import (
+    davg,
+    days_between,
+    dsum,
+    gated_broadcast,
+    isum,
+    rnd,
+)
 from dbt_tpch_spark.plans import model
 from dbt_tpch_spark.models.oracle import (
     davg_sql,
@@ -358,11 +365,13 @@ def int_market_basket(ctx):
     )
     pa = totals.withColumnsRenamed({"part_key": "part_a", "order_count": "part_a_orders"})
     pb = totals.withColumnsRenamed({"part_key": "part_b", "order_count": "part_b_orders"})
+    # per-part totals are part-grain — SF-linear, so the enrichment joins
+    # broadcast only under the shared row gate (part count is a parquet
+    # metadata read); above it the pair table shuffle-hash-joins instead
+    n_parts = ctx.source("part").count()
     return (
-        # per-part totals are part-cardinality (dimension-sized): broadcast
-        # both enrichment joins instead of shuffling the pair table twice
-        pairs.join(F.broadcast(pa), "part_a")
-        .join(F.broadcast(pb), "part_b")
+        pairs.join(gated_broadcast(pa, n_parts), "part_a")
+        .join(gated_broadcast(pb, n_parts), "part_b")
         .filter(F.col("co_occurrence_count") >= 5)
         .select(
             "part_a",

@@ -501,7 +501,10 @@ def tpch_q17_small_quantity_revenue(ctx):
         (F.lit(0.2) * davg(F.col("l_quantity"))).alias("qty_cutoff")
     )
     return (
-        brand_lines.join(F.broadcast(avg_qty), "l_partkey")
+        # avg_qty is part-grain (brand-filtered but still SF-linear): no
+        # hard broadcast hint — AQE converts the join at runtime when the
+        # filtered side is small, and demotes it when it isn't
+        brand_lines.join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cutoff"))
         .agg(
             rnd(dsum(F.col("l_extendedprice")) / F.lit(7.0), 4).alias("avg_yearly"),

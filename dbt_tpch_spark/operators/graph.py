@@ -97,6 +97,22 @@ def _edges(ctx):
 BROADCAST_STATE_MAX_NODES = 1_000_000
 
 
+def _node_state(n_nodes: int):
+    """State-join strategy for node-cardinality frames, gated on the
+    measured node count: broadcast below BROADCAST_STATE_MAX_NODES,
+    shuffle-hash above it (the node-sized side builds hash tables; the
+    edge side is never sorted).  Every node-grain join in this module
+    routes through this gate — an ungated ``F.broadcast`` of a node-grain
+    frame is the class of scale bug the CI broadcast invariant flags
+    (plans/audit.py:broadcast_hint_offenders)."""
+    broadcast_state = n_nodes <= BROADCAST_STATE_MAX_NODES
+
+    def _state(df):
+        return F.broadcast(df) if broadcast_state else df.hint("shuffle_hash")
+
+    return _state
+
+
 @model("parts_pagerank", layer="operators", materialization="view")
 def parts_pagerank(ctx):
     """PageRank (d=0.85, ITERS fixed rounds, uniform init) over the
@@ -118,10 +134,7 @@ def parts_pagerank(ctx):
     edges = _edges(ctx).repartition(n_part, "src").cache()
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
     n_nodes = deg.count()
-    broadcast_state = n_nodes <= BROADCAST_STATE_MAX_NODES
-
-    def _state(df):
-        return F.broadcast(df) if broadcast_state else df.hint("shuffle_hash")
+    _state = _node_state(n_nodes)
 
     pr = (
         deg.withColumn("n", F.lit(float(n_nodes)))
@@ -237,35 +250,60 @@ def parts_triangle_count(ctx):
     co-purchase graph — the standard cohesion/community signal next to
     PageRank's centrality.
 
-    Node-iterator form on canonical (src < dst) pairs: triangles a<b<c
-    enumerate as ab ⋈ bc on the shared middle node, closed by a LEFT SEMI
-    probe for ac — every triangle found exactly once, no direction dedup.
-    Scale: two shuffle joins on node keys; the wedge fan-out (deg²) is the
-    known hot spot at scale, where the standard mitigation — iterate from
-    the lower-degree endpoint — drops in without changing semantics.
-    Clustering coefficient = 2T / (deg * (deg - 1)), 0 when deg < 2."""
+    Degree-oriented node-iterator (the "node-iterator++" / forward
+    algorithm): rank nodes by (degree, id), orient every edge from the
+    lower- to the higher-ranked endpoint, enumerate wedges only from each
+    node's OUT-neighbors, and close them with a LEFT SEMI probe on the
+    oriented edge set.  Every triangle is found exactly once (its
+    rank-minimal vertex is the wedge center), and the wedge fan-out is
+    Σ outdeg² ≤ O(m^1.5) for ANY degree distribution — a hub of degree d
+    has out-degree O(√m) after orientation, so the deg² blowup the naive
+    value-ordered wedge join suffers on skewed graphs cannot happen.
+    Node-grain side frames (degrees, per-node counts) route through the
+    _node_state gate.  Clustering coefficient = 2T / (deg * (deg - 1)),
+    0 when deg < 2."""
     p = _pairs(ctx).localCheckpoint(eager=True)
-    ab = p.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = p.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = p.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = (
-        ab.join(bc, "b")
-        .join(ac, ["a", "c"], "left_semi")
-        .select("a", "b", "c")
+    edges = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    deg = (
+        edges.groupBy(F.col("src").alias("part_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()
+    _state = _node_state(n_nodes)
+    d1 = deg.select(F.col("part_key").alias("src"), F.col("degree").alias("ds"))
+    d2 = deg.select(F.col("part_key").alias("dst"), F.col("degree").alias("dd"))
+    src_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = (
+        p.join(_state(d1), "src")
+        .join(_state(d2), "dst")
+        .select(
+            F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+            # carry the head's rank key for the wedge ordering below
+            F.when(src_first, F.col("dd")).otherwise(F.col("ds")).alias("dv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    o2 = oriented.withColumnsRenamed({"v": "w", "dv": "dw"})
+    wedge = oriented.join(o2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    close = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedge.join(close, ["v", "w"], "left_semi").select("u", "v", "w")
     per_node = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("part_key"))
+        tri.select(F.explode(F.array("u", "v", "w")).alias("part_key"))
         .groupBy("part_key")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    deg = (
-        _edges(ctx)
-        .groupBy(F.col("src").alias("part_key"))
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
     d = F.col("degree").cast("double")
     return (
-        deg.join(F.broadcast(per_node), "part_key", "left")
+        deg.join(_state(per_node), "part_key", "left")
         .withColumn("n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0)))
         .withColumn(
             "clustering_coeff",
@@ -369,10 +407,7 @@ def parts_kcore(ctx):
         .localCheckpoint(eager=True)
     )
     n_nodes = all_nodes.count()
-    broadcast_state = n_nodes <= BROADCAST_STATE_MAX_NODES
-
-    def _state(df):
-        return F.broadcast(df) if broadcast_state else df.hint("shuffle_hash")
+    _state = _node_state(n_nodes)
 
     alive = all_nodes.localCheckpoint(eager=True)
     for _ in range(KCORE_ROUNDS):
@@ -504,7 +539,10 @@ def parts_neighbor_similarity(ctx):
     in density). ``jaccard_est`` = |S(a) ∩ S(b)| / |S(a) ∪ S(b)| over the
     sampled lists; full degrees are reported exactly alongside. The
     hot-node valve drops ultra-hubs from serving as the shared neighbor.
-    Per-source top-k is a partitioned rank window (WindowGroupLimit)."""
+    Per-source top-k is a partitioned rank window (WindowGroupLimit).
+    Every node-grain side frame (degree tables, sampled degrees, the hub
+    valve) joins through the _node_state gate — broadcast only below
+    BROADCAST_STATE_MAX_NODES, shuffle-hash above."""
     from pyspark.sql.window import Window
 
     edges = _edges(ctx).localCheckpoint(eager=True)
@@ -525,6 +563,8 @@ def parts_neighbor_similarity(ctx):
         ),
         "dst",
     )
+    n_nodes = deg.count()
+    _state = _node_state(n_nodes)
     adj = (
         edges.withColumn("_srk", F.row_number().over(w_s))
         .filter(F.col("_srk") <= NEIGHBOR_SAMPLE_H)
@@ -543,7 +583,7 @@ def parts_neighbor_similarity(ctx):
     common = (
         an.join(bn, "n")
         .filter(F.col("a") < F.col("b"))
-        .join(F.broadcast(hub_ok), "n", "left_semi")
+        .join(_state(hub_ok), "n", "left_semi")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
@@ -552,10 +592,10 @@ def parts_neighbor_similarity(ctx):
     sa = sdeg.withColumnsRenamed({"node": "a", "sdeg": "sdeg_a"})
     sb = sdeg.withColumnsRenamed({"node": "b", "sdeg": "sdeg_b"})
     sim = (
-        common.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
-        .join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        common.join(_state(da), "a")
+        .join(_state(db), "b")
+        .join(_state(sa), "a")
+        .join(_state(sb), "b")
         .withColumn(
             "jaccard_est",
             rnd(

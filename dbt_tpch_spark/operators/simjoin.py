@@ -119,7 +119,11 @@ def dedup_ppjoin(ctx):
         .withColumn("rk", F.row_number().over(w_doc))
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    # 1e-9 slack mirrors the alpha/length filters: a 1-ulp float
+    # OVERestimate of t*sz would raise the ceil and silently shorten the
+    # prefix — reintroducing false negatives into an exact operator; the
+    # slack can only lengthen it (a strictly safe superset of candidates)
+    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
     # the prefix index is the standing artifact of this operator (~half the
     # token postings); materialize it once — the candidate self-join
     # references it twice and would otherwise run the df-join + rank
@@ -237,6 +241,78 @@ SNM_WINDOW = 2
 SNM_KEY_LEN = 24
 
 
+def _snm_adjacency(d, carry_cols=()):
+    """Shared halo-exchange machinery for sorted-neighborhood models:
+    given ``d`` with columns (doc_id, skey) plus ``carry_cols``, return
+    the W-adjacency pair frame (doc_a, doc_b, gap, <c>_a, <c>_b …) that
+    exactly reproduces a global ``lead()`` over (skey, doc_id) order —
+    the construction both dedup_sorted_neighborhood and
+    dedup_editdist_pairs verify against their oracles' plain global
+    windows.
+
+    Rows range-bucket by the key's first character (bounded domain, a
+    pure function of the key so ties never straddle buckets); each
+    bucket's first W rows are also copied into every *preceding* bucket
+    as ghost rows (their keys sort strictly after every native key
+    there, and ghost groups from successive buckets collate in bucket
+    order), so a per-bucket ``lead()`` sees past the boundary exactly
+    the first W rows of the global suffix — even when intervening
+    buckets hold fewer than W rows. Ghosts serve only as lead targets —
+    they emit no pairs. Halo volume is <= W x n_buckets^2 rows —
+    constant, independent of SF. The heads frame is checkpointed so the
+    corpus window that extracts it runs once (it feeds the ghosts AND
+    the bucket map)."""
+    d = d.withColumn("bucket", F.substring("skey", 1, 1))
+    w_b = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    heads = (
+        d.withColumn("_rn", F.row_number().over(w_b))
+        .filter(F.col("_rn") <= SNM_WINDOW)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    buckets = heads.select("bucket").distinct()
+    pred_map = buckets.withColumnRenamed("bucket", "from_bucket").join(
+        buckets.withColumnRenamed("bucket", "to_bucket"),
+        F.col("from_bucket") > F.col("to_bucket"),
+    )
+    ghosts = heads.join(
+        F.broadcast(pred_map), heads["bucket"] == F.col("from_bucket")
+    ).select(
+        "doc_id",
+        "skey",
+        *carry_cols,
+        F.col("to_bucket").alias("bucket"),
+        F.lit(1).alias("is_ghost"),
+    )
+    frame = d.select(
+        "doc_id", "skey", *carry_cols, "bucket", F.lit(0).alias("is_ghost")
+    ).unionByName(ghosts)
+    w_adj = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    leads = [
+        F.lead("doc_id", k).over(w_adj).alias(f"_d{k}")
+        for k in range(1, SNM_WINDOW + 1)
+    ]
+    for c in carry_cols:
+        leads += [
+            F.lead(c, k).over(w_adj).alias(f"_{c}{k}")
+            for k in range(1, SNM_WINDOW + 1)
+        ]
+    adj = frame.select(
+        "doc_id", *carry_cols, "is_ghost", *leads
+    ).filter(F.col("is_ghost") == 0)
+    pairs = None
+    for k in range(1, SNM_WINDOW + 1):
+        p = adj.filter(F.col(f"_d{k}").isNotNull()).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(f"_d{k}").alias("doc_b"),
+            F.lit(k).alias("gap"),
+            *[F.col(c).alias(f"{c}_a") for c in carry_cols],
+            *[F.col(f"_{c}{k}").alias(f"{c}_b") for c in carry_cols],
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs
+
+
 @model("dedup_sorted_neighborhood", layer="operators", materialization="view")
 def dedup_sorted_neighborhood(ctx):
     """Sorted-neighborhood dedup: global sort by a 24-char normalized-text
@@ -266,64 +342,10 @@ def dedup_sorted_neighborhood(ctx):
     # the sort/halo machinery moves ONLY (doc_id, skey) — the shingle
     # arrays join in at the end against the pair list, never riding
     # through the sort exchange or the lead() frames
-    d = (
-        ctx.source("documents")
-        .select("doc_id", F.substring(norm_text_col(), 1, SNM_KEY_LEN).alias("skey"))
-        .withColumn("bucket", F.substring("skey", 1, 1))
+    d = ctx.source("documents").select(
+        "doc_id", F.substring(norm_text_col(), 1, SNM_KEY_LEN).alias("skey")
     )
-    # first W rows of each bucket (in global order) become ghosts in EVERY
-    # preceding bucket — so a lead() near a boundary still finds W global
-    # successors when the next bucket(s) hold fewer than W rows. The
-    # heads frame is <= W x |buckets| rows — checkpoint it so the corpus
-    # window that extracts it runs ONCE (it feeds the ghost rows AND the
-    # bucket map); the real-row branch then costs one plain scan. The
-    # bucket-pair map is a tiny (<= alphabet-size^2) broadcast frame
-    # (every non-empty bucket has a rank-1 row, so heads covers the
-    # bucket domain).
-    w_b = Window.partitionBy("bucket").orderBy("skey", "doc_id")
-    heads = (
-        d.withColumn("_rn", F.row_number().over(w_b))
-        .filter(F.col("_rn") <= SNM_WINDOW)
-        .drop("_rn")
-        .localCheckpoint(eager=True)
-    )
-    buckets = heads.select("bucket").distinct()
-    pred_map = (
-        buckets.withColumnRenamed("bucket", "from_bucket")
-        .join(
-            buckets.withColumnRenamed("bucket", "to_bucket"),
-            F.col("from_bucket") > F.col("to_bucket"),
-        )
-    )
-    ghosts = (
-        heads.join(
-            F.broadcast(pred_map),
-            heads["bucket"] == F.col("from_bucket"),
-        )
-        .select(
-            "doc_id",
-            "skey",
-            F.col("to_bucket").alias("bucket"),
-            F.lit(1).alias("is_ghost"),
-        )
-    )
-    frame = d.select(
-        "doc_id", "skey", "bucket", F.lit(0).alias("is_ghost")
-    ).unionByName(ghosts)
-    w_adj = Window.partitionBy("bucket").orderBy("skey", "doc_id")
-    adj = frame.select(
-        "doc_id",
-        "is_ghost",
-        *[F.lead("doc_id", k).over(w_adj).alias(f"d{k}") for k in range(1, SNM_WINDOW + 1)],
-    ).filter(F.col("is_ghost") == 0)
-    pairs = None
-    for k in range(1, SNM_WINDOW + 1):
-        p = adj.filter(F.col(f"d{k}").isNotNull()).select(
-            F.col("doc_id").alias("doc_a"),
-            F.col(f"d{k}").alias("doc_b"),
-            F.lit(k).alias("gap"),
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = _snm_adjacency(d)
     ta = sets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a"))
     tb = sets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b"))
     inter, union, jac = _pair_jaccard_cols()
@@ -399,53 +421,10 @@ def dedup_editdist_pairs(ctx):
         "doc_id",
         F.substring(norm_text_col(), 1, SNM_KEY_LEN).alias("skey"),
         F.substring(norm_text_col(), 1, EDIT_PREFIX_LEN).alias("etext"),
-    ).withColumn("bucket", F.substring("skey", 1, 1))
-    w_b = Window.partitionBy("bucket").orderBy("skey", "doc_id")
-    heads = (
-        d.withColumn("_rn", F.row_number().over(w_b))
-        .filter(F.col("_rn") <= SNM_WINDOW)
-        .drop("_rn")
     )
-    buckets = heads.select("bucket").distinct()
-    pred_map = buckets.withColumnRenamed("bucket", "from_bucket").join(
-        buckets.withColumnRenamed("bucket", "to_bucket"),
-        F.col("from_bucket") > F.col("to_bucket"),
+    pairs = _snm_adjacency(d, ("etext",)).withColumnsRenamed(
+        {"etext_a": "text_a", "etext_b": "text_b"}
     )
-    ghosts = heads.join(
-        F.broadcast(pred_map), heads["bucket"] == F.col("from_bucket")
-    ).select(
-        "doc_id",
-        "skey",
-        "etext",
-        F.col("to_bucket").alias("bucket"),
-        F.lit(1).alias("is_ghost"),
-    )
-    frame = d.select(
-        "doc_id", "skey", "etext", "bucket", F.lit(0).alias("is_ghost")
-    ).unionByName(ghosts)
-    w_adj = Window.partitionBy("bucket").orderBy("skey", "doc_id")
-    adj = frame.select(
-        "doc_id",
-        "etext",
-        "is_ghost",
-        *[
-            F.lead("doc_id", k).over(w_adj).alias(f"d{k}")
-            for k in range(1, SNM_WINDOW + 1)
-        ],
-        *[
-            F.lead("etext", k).over(w_adj).alias(f"e{k}")
-            for k in range(1, SNM_WINDOW + 1)
-        ],
-    ).filter(F.col("is_ghost") == 0)
-    pairs = None
-    for k in range(1, SNM_WINDOW + 1):
-        p = adj.filter(F.col(f"d{k}").isNotNull()).select(
-            F.col("doc_id").alias("doc_a"),
-            F.col(f"d{k}").alias("doc_b"),
-            F.col("etext").alias("text_a"),
-            F.col(f"e{k}").alias("text_b"),
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
     dist = F.levenshtein("text_a", "text_b")
     maxlen = F.greatest(F.length("text_a"), F.length("text_b"))
     sim = F.lit(1.0) - dist.cast("double") / F.nullif(maxlen, F.lit(0))

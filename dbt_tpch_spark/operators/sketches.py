@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dbt_tpch_spark.functions import rnd
+from dbt_tpch_spark.functions import gated_broadcast, rnd
 from dbt_tpch_spark.models.oracle import oracle, rnd_sql
 from dbt_tpch_spark.plans import model
 
@@ -393,11 +393,15 @@ def customers_bloom_prune(ctx):
         .select("customer_key", "customer_market_segment_name")
     )
     is_member = F.col("customer_account_balance") > BLOOM_BALANCE_CUTOFF
-    # the candidate set is bounded by members + false positives (small by
-    # design) — broadcast it so tagging never shuffles the customer side
+    # the candidate set is bounded by members + false positives — a
+    # balance-cut FRACTION of customers, i.e. still SF-linear, so the
+    # tagging broadcast is gated on the corpus size (parquet metadata
+    # count); above the gate the join shuffle-hashes instead
+    n_cust = ctx.source("customer").count()
     tagged = c.join(
-        F.broadcast(
-            hits.select("customer_key").withColumn("is_candidate", F.lit(1))
+        gated_broadcast(
+            hits.select("customer_key").withColumn("is_candidate", F.lit(1)),
+            n_cust,
         ),
         "customer_key",
         "left",

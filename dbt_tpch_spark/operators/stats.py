@@ -29,6 +29,18 @@ from dbt_tpch_spark.functions import dsum, global_row_number, global_topk, rnd
 from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
 from dbt_tpch_spark.plans import model
 
+#: scale-9 exact accumulator for 9-dp-quantized libm terms (MI/entropy):
+#: the shared dsum's DECIMAL(27,6) would silently re-truncate them to 6 dp
+_ACC9 = "decimal(30,9)"
+
+
+def _dsum9(col):
+    return F.sum(col.cast(_ACC9)).cast("double")
+
+
+def _dsum9_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,9))) AS DOUBLE)"
+
 # --------------------------------------------------------------------------
 # chi-square independence: event_type x day-of-week
 # --------------------------------------------------------------------------
@@ -389,7 +401,11 @@ def events_mutual_information(ctx):
 
     Determinism: per-cell terms (p * ln ratio) are 9-dp-quantized before
     the exact-decimal total (the PSI convention for libm-sourced
-    values); margin entropies likewise. NMI = MI / sqrt(H_a * H_b)."""
+    values); margin entropies likewise. The accumulator is DECIMAL(30,9)
+    — scale 9, honoring the quantization (the shared dsum's scale-6
+    accumulator would silently re-truncate the terms); both engines use
+    the same scale so totals stay bit-identical.
+    NMI = MI / sqrt(H_a * H_b)."""
     e = ctx.source("events").select("event_type", _dow_col().alias("dow"))
     cells = (
         e.groupBy("event_type", "dow")
@@ -414,7 +430,7 @@ def events_mutual_information(ctx):
         .withColumn("term", rnd(F.col("p_ab") * F.col("pmi"), 9))
     )
     h_a = row_m.crossJoin(F.broadcast(tot)).agg(
-        dsum(
+        _dsum9(
             rnd(
                 -(F.col("row_total") / F.col("n_total"))
                 * F.log(F.col("row_total") / F.col("n_total")),
@@ -423,7 +439,7 @@ def events_mutual_information(ctx):
         ).alias("h_types")
     )
     h_b = col_m.crossJoin(F.broadcast(tot)).agg(
-        dsum(
+        _dsum9(
             rnd(
                 -(F.col("col_total") / F.col("n_total"))
                 * F.log(F.col("col_total") / F.col("n_total")),
@@ -431,7 +447,7 @@ def events_mutual_information(ctx):
             )
         ).alias("h_dow")
     )
-    mi = scored.agg(dsum(F.col("term")).alias("mi_raw"))
+    mi = scored.agg(_dsum9(F.col("term")).alias("mi_raw"))
     return (
         mi.crossJoin(F.broadcast(h_a))
         .crossJoin(F.broadcast(h_b))
@@ -475,15 +491,15 @@ scored AS (
     CROSS JOIN tot t
 ),
 ha AS (
-    SELECT {dsum_sql(rnd_sql('-(r.row_total / t.n_total) * LN(r.row_total / t.n_total)', 9))} AS h_types
+    SELECT {_dsum9_sql(rnd_sql('-(r.row_total / t.n_total) * LN(r.row_total / t.n_total)', 9))} AS h_types
     FROM row_m r CROSS JOIN tot t
 ),
 hb AS (
-    SELECT {dsum_sql(rnd_sql('-(m.col_total / t.n_total) * LN(m.col_total / t.n_total)', 9))} AS h_dow
+    SELECT {_dsum9_sql(rnd_sql('-(m.col_total / t.n_total) * LN(m.col_total / t.n_total)', 9))} AS h_dow
     FROM col_m m CROSS JOIN tot t
 ),
 mi AS (
-    SELECT {dsum_sql('term')} AS mi_raw FROM scored
+    SELECT {_dsum9_sql('term')} AS mi_raw FROM scored
 )
 SELECT
     {rnd_sql('mi.mi_raw', 6)} AS mutual_information,

@@ -27,9 +27,20 @@ def _walk(node):
 _UNBOUNDED_KEY = re.compile(
     r"(^|_)("
     r"key|id|"  # customer_key, part_key, doc_id, user_id, event_id, …
-    r"custkey|partkey|suppkey|orderkey|nationkey|regionkey"  # raw tpch
+    r"custkey|partkey|suppkey|orderkey|nationkey|regionkey|"  # raw tpch
+    r"node|src|dst"  # graph node grains (one row per part/vertex)
     r")$"
 )
+
+#: vocabulary grains (shingles, terms, tokens, n-grams) also grow with the
+#: corpus — sub-linearly (Heaps' law), but unboundedly: a window over a
+#: term-grain aggregate still funnels a corpus-growing frame through one
+#: task, so the WINDOW invariant treats them as unbounded.  Broadcasts of
+#: vocab-grain aggregates are the documented exception (a df/vocab lookup
+#: table is tens of MB at web scale — the canonical broadcast-dimension
+#: shape for TF-IDF/BM25/PMI), so broadcast_hint_offenders uses
+#: _UNBOUNDED_KEY alone.
+_VOCAB_KEY = re.compile(r"(^|_)(shingle|term|token|ngram|gram|bigram)s?$")
 
 
 def _nearest_aggregate_grain(node):
@@ -46,6 +57,15 @@ def _nearest_aggregate_grain(node):
                 # bounded regardless of the grain below
                 return []
             if n.nodeName() == "Aggregate":
+                # an aggregate over a capped input is itself capped (e.g. a
+                # distinct over per-query top-k hits) — bounded regardless
+                # of the grouping grain
+                for m in _walk(n):
+                    if m is not n and m.nodeName() in (
+                        "GlobalLimit",
+                        "WindowGroupLimit",
+                    ):
+                        return []
                 exprs = n.groupingExpressions()
                 names = []
                 for i in range(exprs.size()):
@@ -75,9 +95,55 @@ def unpartitioned_window_offenders(df: DataFrame) -> list:
                 sub = [m.nodeName() for m in _walk(n.children().apply(0))]
                 bad.append(["no-aggregate"] + sub[:6])
             else:
-                hot = [g for g in grain if _UNBOUNDED_KEY.search(g.lower())]
+                hot = [
+                    g
+                    for g in grain
+                    if _UNBOUNDED_KEY.search(g.lower())
+                    or _VOCAB_KEY.search(g.lower())
+                ]
                 if hot:
                     bad.append(["sf-linear-grain"] + hot)
+    return bad
+
+
+def _hinted_sides(join_node):
+    """(side_index, child) pairs of ``join_node`` carrying an explicit
+    broadcast strategy hint (EliminateResolvedHint folds ``F.broadcast``
+    wrappers into the Join's JoinHint during optimization)."""
+    h = join_node.hint()
+    out = []
+    for idx, opt in ((0, h.leftHint()), (1, h.rightHint())):
+        if opt.isDefined() and "broadcast" in opt.get().toString().lower():
+            out.append((idx, join_node.children().apply(idx)))
+    return out
+
+
+def broadcast_hint_offenders(df: DataFrame) -> list:
+    """Explicit ``F.broadcast`` hints whose hinted frame grows with SF —
+    the hint is *hard* (AQE never demotes it), so a key-grain frame under
+    one is a guaranteed OOM at some scale factor, unlike a planner-chosen
+    broadcast that the size threshold retires automatically.
+
+    A hinted side flags when its nearest Aggregate below groups by an
+    SF-linear grain (``*_key``/``*_id``/graph-node columns — the same
+    _UNBOUNDED_KEY the window invariant uses, round-4 verdict).  Exempt:
+    scalar aggregates (empty grain), bounded-domain grains
+    (month/nation/status/bucket…), GlobalLimit/WindowGroupLimit-capped
+    subtrees, vocab grains (see _VOCAB_KEY), and hint-free subtrees (raw
+    dimension broadcasts are selectivity-reviewed case by case; only the
+    aggregate shape is mechanically decidable)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad = []
+    for n in _walk(plan):
+        if n.nodeName() != "Join":
+            continue
+        for idx, child in _hinted_sides(n):
+            grain = _nearest_aggregate_grain(child)
+            if grain is None:
+                continue
+            hot = [g for g in grain if _UNBOUNDED_KEY.search(g.lower())]
+            if hot:
+                bad.append(["sf-linear-broadcast", "LR"[idx]] + hot)
     return bad
 
 
@@ -108,6 +174,7 @@ def audit_plan(df: DataFrame) -> dict:
         "n_broadcasts": len(broadcasts),
         "scans": scans,
         "unpartitioned_window_offenders": unpartitioned_window_offenders(df),
+        "broadcast_hint_offenders": broadcast_hint_offenders(df),
         "plan": plan,
     }
 

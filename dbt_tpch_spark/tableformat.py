@@ -424,6 +424,11 @@ class TxnTable:
         top = (1 << bits) - 1
         z = F.lit(0).cast("long")
         for j, c in enumerate(cols):
+            if b is None or b[f"lo_{c}"] is None or b[f"hi_{c}"] is None:
+                raise ValueError(
+                    f"z-order column {c!r} has no numeric values to range "
+                    "over (all-NULL, non-numeric, or empty snapshot)"
+                )
             lo, hi = float(b[f"lo_{c}"]), float(b[f"hi_{c}"])
             span = (hi - lo) or 1.0
             q = F.least(

@@ -154,6 +154,37 @@ def test_snm_pairs_match_global_adjacency(spark, sf_dir):
     # every reported pair is a true global-adjacency pair at its gap
     assert all(p in want_pairs for p in got)
     assert len(got) > 0
+    # COMPLETENESS (the direction a halo bug that silently drops boundary
+    # pairs would break): every global-adjacency pair whose shingle
+    # Jaccard meets the threshold must be reported — computed here with
+    # the same rounded jaccard the model emits
+    from dbt_tpch_spark.operators.simjoin import (
+        PPJOIN_THRESHOLD,
+        _pair_jaccard_cols,
+        _shingle3_set_df,
+    )
+    from dbt_tpch_spark.functions import rnd
+
+    sets = _shingle3_set_df(ctx)
+    want_df = spark.createDataFrame(
+        [(a, b, g) for (a, b, g) in want_pairs], "doc_a long, doc_b long, gap int"
+    )
+    _, _, jac = _pair_jaccard_cols()
+    expected = (
+        want_df.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b")),
+            "doc_b",
+        )
+        .filter(rnd(jac, 6) >= PPJOIN_THRESHOLD)
+        .select("doc_a", "doc_b", "gap")
+        .collect()
+    )
+    missing = {(r["doc_a"], r["doc_b"], r["gap"]) for r in expected} - got
+    assert not missing, f"halo dropped true adjacency pairs: {sorted(missing)[:5]}"
 
 
 def test_cluster_split_has_zero_leakage(spark, sf_dir):

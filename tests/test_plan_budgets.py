@@ -41,6 +41,10 @@ SHUFFLE_BUDGETS = {
     # checkpointed edge/adjacency tables (exact-wedge variant measured
     # 103 s at sf0.1 vs ~14 s sampled — the sampling IS the scale design)
     "parts_neighbor_similarity": 7,
+    # degree-oriented wedges (round 5): post-checkpoint plan — wedge
+    # self-join on u + close semi-join + per-node explode agg + the gated
+    # verdict join; orientation bounds wedge fan-out at Σ outdeg² ≤ m^1.5
+    "parts_triangle_count": 5,
     # +1 in round 4: the tokens_df repartition barrier that stops Catalyst
     # inlining the split() into the shingle lambda (O(words^2) regex per
     # doc, PLANS.md CollapseProject hazard) — one bounded exchange bought
@@ -248,22 +252,87 @@ def test_topk_rank_filter_avoids_global_sort(spark, sf_dir, name):
     assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, plan
 
 
-# the offender walk lives in the engine's audit API (plans/audit.py) so
-# users get the same check the CI invariant runs
+# the offender walks live in the engine's audit API (plans/audit.py) so
+# users get the same checks the CI invariant runs
 from dbt_tpch_spark.plans.audit import (  # noqa: E402
+    broadcast_hint_offenders as _broadcast_hint_offenders,
     unpartitioned_window_offenders as _unpartitioned_window_offenders,
 )
 
 
-def test_no_unpartitioned_window_over_raw_data(spark, sf_dir):
-    import __spark_entry__ as entrymod
+def test_no_scale_killer_plan_shapes(spark, sf_dir):
+    """One sweep over every registered query, with ALL broadcast gates
+    forced shut (the 100-TB-shaped plans), asserting both CI invariants:
 
+    - no unpartitioned Window over an SF-linear or vocabulary-grain frame
+      (the single-task window scale killer, round-3 verdict class);
+    - no explicit ``F.broadcast`` hint on a key-grain frame (the hard-hint
+      OOM class the round-4 verdict found in operators/graph.py — gated
+      sites must route through _node_state/gated_broadcast, which this
+      sweep closes, so any hint that survives is ungated by construction).
+    """
+    import __spark_entry__ as entrymod
+    import dbt_tpch_spark.functions as fx
+    import dbt_tpch_spark.operators.graph as g
+
+    saved = (fx.BROADCAST_STATE_MAX_ROWS, g.BROADCAST_STATE_MAX_NODES)
+    fx.BROADCAST_STATE_MAX_ROWS = 0
+    g.BROADCAST_STATE_MAX_NODES = 0
     offenders = {}
-    for name, fn in entrymod.queries().items():
-        bad = _unpartitioned_window_offenders(fn(spark, sf_dir))
-        if bad:
-            offenders[name] = bad
+    try:
+        for name, fn in entrymod.queries().items():
+            df = fn(spark, sf_dir)
+            bad = _unpartitioned_window_offenders(df)
+            if bad:
+                offenders[name] = ["window"] + bad
+            hinted = _broadcast_hint_offenders(df)
+            if hinted:
+                offenders.setdefault(name, []).append(["broadcast"] + hinted)
+    finally:
+        fx.BROADCAST_STATE_MAX_ROWS, g.BROADCAST_STATE_MAX_NODES = saved
     assert not offenders, offenders
+
+
+def test_broadcast_invariant_catches_hinted_key_grain_frame(spark, sf_dir):
+    """The exact pre-fix shape from round 4 (graph.py:268): an explicit
+    F.broadcast around a ``*_key``-grain aggregate must flag."""
+    from pyspark.sql import functions as F
+
+    c = Context(spark, sf_dir).source("customer")
+    per_key = c.groupBy("c_custkey").agg(F.count("*").alias("n"))
+    bad = c.join(
+        F.broadcast(per_key.withColumnRenamed("n", "cnt")), "c_custkey"
+    )
+    assert _broadcast_hint_offenders(bad), "hinted key-grain frame not caught"
+    # same join without the hint: planner/AQE-chosen broadcasts may demote
+    # at scale, so only the hard hint flags
+    ok = c.join(per_key.withColumnRenamed("n", "cnt"), "c_custkey")
+    assert not _broadcast_hint_offenders(ok)
+    # a hinted aggregate over a top-k-capped input is bounded: exempt
+    capped = per_key.orderBy(F.col("n").desc()).limit(10)
+    ok2 = c.join(F.broadcast(capped.withColumnRenamed("n", "cnt")), "c_custkey")
+    assert not _broadcast_hint_offenders(ok2)
+
+
+def test_window_invariant_flags_vocab_grain(spark, sf_dir):
+    """Round-4 verdict watch item: a window over a TERM-grain aggregate
+    (vocabulary cardinality — corpus-growing under Heaps' law) must flag
+    as unbounded, same as entity-key grains."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    d = Context(spark, sf_dir).source("documents")
+    terms = (
+        d.select(F.explode(F.split("text", r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    ranked = terms.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("tf").desc()))
+    )
+    assert _unpartitioned_window_offenders(ranked), (
+        "term-grain unpartitioned window not caught"
+    )
 
 
 def test_pagerank_copartition_mode_has_no_state_broadcast(spark, sf_dir):
