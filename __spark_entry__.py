@@ -39,15 +39,17 @@ NO_ORACLE: tuple[str, ...] = ()
 #: or more representatives of each LLM-pipeline/streaming/sketch family.
 #: Everything else follows in registry order (and stays oracle-checked by
 #: the repo's own parity sweep, tests/test_parity.py).
-#: Round-4 rotation (VERDICT r3 #2/#3): 122 of 172 queries had no driver
-#: row after r3, so the window now carries a ~17-query stable anchor core
-#: (one per operator family, comparable across rounds), the models whose
-#: window stack was rewritten to bucketed ranks this round, and 30 queries
-#: with NO prior driver row in CORRECTNESS_r01-r03 (all the families the
-#: verdict listed: simhash/semantic dedup, boilerplate n-grams,
-#: triangles/k-core, funnel/retention/DAU-WAU/attribution, decontamination,
-#: PCA, forecast, bot-score, k-anon, EWMA, surprisal, adapted TPC-H
-#: Q9/Q11/Q16/Q19/Q20 plus the Q3/Q10/Q18 top-k classics).
+#: Round-5 rotation (VERDICT r4 #1): 83 of 194 queries still had no
+#: driver row after r4 (cumulative union 111). This window keeps a
+#: 15-query stable anchor core (one per operator family, comparable
+#: across rounds), re-verifies the two graph queries whose broadcast
+#: plans were gated/rewritten this round, and fills the remaining 33
+#: slots with queries that have NEVER had a driver row, in the r4
+#: verdict's priority order: the r4 additions that shipped without a
+#: driver row (ppjoin/SNM/editdist, chi-square/corr/MI/quantiles,
+#: hll_type_overlap/bottomk, neighbor_similarity, cluster-aware splits,
+#: dataset card, centroid similarity, minhash error gate), then the
+#: streaming-batch family, ANN variants, and TPC-H Q6/Q7/Q8/Q14/Q15/Q17.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # stable anchor core (P/F/J/A/W + one head per pipeline family)
     "ods_orders",
@@ -65,46 +67,44 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_session_30m",
     "docs_bm25_topk",
     "parts_pagerank",
-    # (int_customer_orders_summary / multimodal_metadata anchors rest on
-    # their r1-r3 green rows this round; phash_dedup covers multimodal)
-    # window-stack rewrites this round (bucketed exact rank/cumsum/ntile —
-    # driver-verify the new plans; rfm/abc are anchors of this group)
-    "customer_rfm_segments",
-    "part_abc_classification",
-    "customer_concentration_risk",
-    "supplier_revenue_ranking",
-    "part_sales_velocity",
-    # never-driver-verified rotation (30)
-    "dedup_simhash_pairs",
-    "dedup_semantic_pairs",
-    "docs_boilerplate_ngrams",
-    "parts_kcore",
+    # plan-rewritten this round (gated broadcasts, oriented wedges):
+    # re-witness under the new plans
     "parts_triangle_count",
-    "events_conversion_funnel",
-    "events_retention_cohorts",
-    "events_dau_wau",
-    "events_attribution_multitouch",
-    "docs_decontaminated",
-    "docs_ngram_decontam",
-    "embeddings_pca_variance",
-    "monthly_revenue_forecast",
-    "user_bot_score",
-    "customer_kanon_report",
-    "events_value_ewma",
-    "doc_bigram_surprisal",
-    "tpch_q09_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q03_shipping_priority",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume_customer",
-    "customers_semi_anti",
-    "ann_ivf_kmeans_topk",
-    "multimodal_phash_dedup",
-    "docs_mixture_sample",
-    "events_transition_matrix",
+    "parts_neighbor_similarity",
+    # never-driver-verified rotation (33)
+    "dedup_ppjoin",
+    "dedup_sorted_neighborhood",
+    "dedup_editdist_pairs",
+    "events_chi_square",
+    "lineitem_corr_matrix",
+    "events_mutual_information",
+    "events_sampled_quantiles",
+    "events_hll_type_overlap",
+    "events_bottomk_merge_check",
+    "docs_split_by_cluster",
+    "docs_split_leakage",
+    "docs_shard_by_cluster",
+    "docs_dataset_card",
+    "embeddings_centroid_similarity",
+    "minhash_estimate_error",
+    "events_tumbling_10m",
+    "events_sliding_10m_5m",
+    "events_json_props",
+    "events_props_schema",
+    "events_value_histogram",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe_topk",
+    "tpch_q06_forecast_revenue",
+    "tpch_q07_volume_shipping",
+    "tpch_q08_market_share",
+    "tpch_q14_promotion_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "docs_dedup_survivors",
+    "dedup_method_agreement",
+    "doc_text_stats",
+    "docs_clean_corpus",
 )
 
 

@@ -20,6 +20,28 @@ import traceback
 from pyspark.sql import functions as F
 
 
+def _cpu_total_ns(spark):
+    """Total executor CPU nanoseconds across all retained stages (app
+    status store). Per-query deltas of this sum make a contended record
+    self-diagnosing: host contention inflates WALL uniformly while CPU
+    stays flat, whereas a real plan regression inflates both. Returns
+    None when the internal API is unavailable (bench still runs)."""
+    try:
+        sc = spark.sparkContext
+        sc._jsc.sc().listenerBus().waitUntilEmpty()
+        store = sc._jsc.sc().statusStore()
+        empty = sc._jvm.java.util.ArrayList()
+        defaults = [
+            getattr(store, f"stageList$default${i}")() for i in range(2, 6)
+        ]
+        stages = store.stageList(empty, *defaults)
+        return sum(
+            stages.apply(i).executorCpuTime() for i in range(stages.size())
+        )
+    except Exception:
+        return None
+
+
 #: corpus tables worth re-laying-out before timing (see _presplit_corpus)
 SPLIT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer", "part")
 
@@ -137,7 +159,9 @@ def main() -> None:
         Context(spark, data_dir).ref("ods_orders").count()
 
         timings: dict[str, float] = {}
+        cpu_secs: dict[str, float] = {}
         total = 0.0
+        cpu_before = _cpu_total_ns(spark)
         for name in names:
             start = time.perf_counter()
             try:
@@ -151,10 +175,15 @@ def main() -> None:
             except Exception:
                 # one broken query must not zero the whole bench record
                 errors[name] = traceback.format_exc()[-500:]
+                cpu_before = _cpu_total_ns(spark)
                 continue
             elapsed = time.perf_counter() - start
             timings[name] = round(elapsed, 3)
             total += elapsed
+            cpu_after = _cpu_total_ns(spark)
+            if cpu_before is not None and cpu_after is not None:
+                cpu_secs[name] = round((cpu_after - cpu_before) / 1e9, 3)
+            cpu_before = cpu_after
 
         # full-DAG warehouse build: the engine analogue of the reference's
         # headline number (`dbt build`, all models, threads=4 —
@@ -186,6 +215,9 @@ def main() -> None:
         "value": None if n_failed else round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # executor CPU seconds per query (stage-sum deltas): flat CPU with
+        # inflated wall = host contention; both inflated = plan regression
+        "queries_cpu_sec": cpu_secs,
         "sf": sf,
         "n_queries": len(names),
         "n_failed": n_failed,

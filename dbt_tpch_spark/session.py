@@ -35,6 +35,11 @@ def get_spark(app_name: str = "dbt-tpch-spark", shuffle_partitions: int | None =
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # keep every stage's metrics in the app status store for the whole
+        # run: bench.py reads per-query executor CPU as a stage-sum delta,
+        # and the default 1000-stage retention would evict early stages
+        # mid-bench, corrupting the deltas
+        .config("spark.ui.retainedStages", "50000")
     )
     spark = builder.getOrCreate()
     _quiet_benign_window_warnings(spark)
