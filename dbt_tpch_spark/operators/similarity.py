@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from dbt_tpch_spark.functions import rnd
 from dbt_tpch_spark.plans import model
-from dbt_tpch_spark.models.oracle import oracle, rnd_sql
+from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
 from dbt_tpch_spark.operators.dedup import DOT_SPARK, dot_duck
 
 TOP_K = 10
@@ -861,4 +861,153 @@ ranked AS (
 )
 SELECT query_id, neg_id, neg_label, sample_rank, cosine
 FROM ranked WHERE sample_rank <= {NEG_K}""",
+)
+
+
+# --------------------------------------------------------------------------
+# cross-label margin-based pair mining (bitext-mining primitive)
+# --------------------------------------------------------------------------
+
+#: source / target "language" labels for the mining pass
+XL_SRC_LABEL = 0
+XL_DST_LABEL = 1
+#: neighborhood size for the margin denominator
+XL_K = 4
+
+
+@model("embeddings_xlabel_margin", layer="operators", materialization="view")
+def embeddings_xlabel_margin(ctx):
+    """Margin-based cross-label pair mining (the bitext-mining scoring of
+    Artetxe & Schwenk, ACL'19): for every source-label vector, its best
+    target-label match scored by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((fwd_mean(x) + bwd_mean(y)) / 2)
+
+    where fwd_mean(x) is the mean cosine of x to its XL_K nearest
+    target-label neighbors and bwd_mean(y) the symmetric quantity — the
+    normalization that suppresses "hub" vectors which are close to
+    everything and would dominate a raw-cosine mining pass. One row per
+    source vector: its argmax-margin match, the raw cosine, both
+    neighborhood means, and the margin.
+
+    This is the exactness baseline (full A x B scoring, like
+    ann_cosine_topk): at 100 TB the candidate set comes from the
+    IVF/LSH bucketing alongside and only candidates are margin-scored;
+    the scoring math is unchanged. Neighborhood means are exact decimal
+    sums of 6-dp cosines divided by the true neighborhood size, so both
+    engines accumulate identically."""
+    from dbt_tpch_spark.functions import dsum
+
+    e = ctx.source("embeddings")
+    n = _norms(e)
+    a = n.filter(F.col("label") == XL_SRC_LABEL).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = n.filter(F.col("label") == XL_DST_LABEL).select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    cos = F.expr(DOT_SPARK.format(a="a_emb", b="b_emb")) / (
+        F.col("a_norm") * F.col("b_norm")
+    )
+    scored = (
+        a.crossJoin(b)
+        .withColumn("cosine", rnd(cos, 6))
+        .select("src_id", "dst_id", "cosine")
+        .localCheckpoint(eager=True)
+    )
+    w_f = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(), "dst_id")
+    w_b = Window.partitionBy("dst_id").orderBy(F.col("cosine").desc(), "src_id")
+    r = scored.withColumn("fr", F.row_number().over(w_f)).withColumn(
+        "br", F.row_number().over(w_b)
+    )
+    fm = (
+        r.filter(F.col("fr") <= XL_K)
+        .groupBy("src_id")
+        .agg((dsum(F.col("cosine")) / F.count(F.lit(1))).alias("fwd_mean"))
+    )
+    bm = (
+        r.filter(F.col("br") <= XL_K)
+        .groupBy("dst_id")
+        .agg((dsum(F.col("cosine")) / F.count(F.lit(1))).alias("bwd_mean"))
+    )
+    m = (
+        scored.join(fm, "src_id")
+        .join(bm, "dst_id")
+        .withColumn(
+            "margin",
+            rnd(
+                F.col("cosine")
+                / ((F.col("fwd_mean") + F.col("bwd_mean")) / F.lit(2.0)),
+                6,
+            ),
+        )
+    )
+    w_m = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("dst_id")
+    )
+    return (
+        m.withColumn("mr", F.row_number().over(w_m))
+        .filter(F.col("mr") == 1)
+        .select(
+            "src_id",
+            F.col("dst_id").alias("matched_id"),
+            "cosine",
+            rnd(F.col("fwd_mean"), 6).alias("fwd_mean"),
+            rnd(F.col("bwd_mean"), 6).alias("bwd_mean"),
+            "margin",
+        )
+    )
+
+
+oracle(
+    "embeddings_xlabel_margin",
+    ("embeddings",),
+    f"""WITH norms AS (
+    SELECT vec_id, label, embedding,
+           sqrt({dot_duck('embedding', 'embedding')}) AS norm
+    FROM embeddings
+),
+scored AS (
+    SELECT
+        a.vec_id AS src_id,
+        b.vec_id AS dst_id,
+        {rnd_sql(f"{dot_duck('a.embedding', 'b.embedding')} / (a.norm * b.norm)", 6)} AS cosine
+    FROM norms a
+    JOIN norms b ON a.label = {XL_SRC_LABEL} AND b.label = {XL_DST_LABEL}
+),
+r AS (
+    SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cosine DESC, dst_id) AS fr,
+        ROW_NUMBER() OVER (PARTITION BY dst_id ORDER BY cosine DESC, src_id) AS br
+    FROM scored
+),
+fm AS (
+    SELECT src_id, {dsum_sql('cosine')} / COUNT(*) AS fwd_mean
+    FROM r WHERE fr <= {XL_K} GROUP BY 1
+),
+bm AS (
+    SELECT dst_id, {dsum_sql('cosine')} / COUNT(*) AS bwd_mean
+    FROM r WHERE br <= {XL_K} GROUP BY 1
+),
+m AS (
+    SELECT s.src_id, s.dst_id, s.cosine, f.fwd_mean, b.bwd_mean,
+        {rnd_sql('s.cosine / ((f.fwd_mean + b.bwd_mean) / 2.0)', 6)} AS margin
+    FROM scored s
+    JOIN fm f ON s.src_id = f.src_id
+    JOIN bm b ON s.dst_id = b.dst_id
+)
+SELECT src_id, dst_id AS matched_id, cosine,
+    {rnd_sql('fwd_mean', 6)} AS fwd_mean,
+    {rnd_sql('bwd_mean', 6)} AS bwd_mean,
+    margin
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY src_id ORDER BY margin DESC, dst_id
+    ) AS mr FROM m
+)
+WHERE mr = 1""",
 )

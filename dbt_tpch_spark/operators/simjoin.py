@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dbt_tpch_spark.functions import rnd
-from dbt_tpch_spark.models.oracle import oracle, rnd_sql
+from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
 from dbt_tpch_spark.operators.dedup import (
     _NORM_TEXT_DUCK,
     _SHINGLE3_DUCK,
@@ -465,4 +465,168 @@ SELECT
     {rnd_sql('1.0 - CAST(levenshtein(text_a, text_b) AS DOUBLE) / NULLIF(GREATEST(length(text_a), length(text_b)), 0)', 6)} AS edit_similarity
 FROM pairs
 WHERE {rnd_sql('1.0 - CAST(levenshtein(text_a, text_b) AS DOUBLE) / NULLIF(GREATEST(length(text_a), length(text_b)), 0)', 6)} >= {EDIT_SIM_MIN}""",
+)
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record-linkage scoring
+# --------------------------------------------------------------------------
+
+#: assumed per-field agreement probability among TRUE matches (the
+#: Fellegi-Sunter m-probability; fixed priors — the EM-fitted variant
+#: would estimate these, but fixed m with data-derived u is the standard
+#: deterministic deployment and keeps both engines bit-identical)
+FS_M = {"nation": 0.95, "segment": 0.90, "band": 0.85}
+
+#: acctbal band width for the balance-agreement field
+FS_BAND_WIDTH = 1000.0
+
+
+@model("customers_linkage_scores", layer="operators", materialization="view")
+def customers_linkage_scores(ctx):
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter,
+    JASA 1969) over sorted-neighborhood candidate pairs of customers:
+    each candidate pair gets a log-likelihood-ratio match score summed
+    over field comparisons (nation, market segment, balance band), where
+    each field contributes ln(m/u) on agreement and ln((1-m)/(1-u)) on
+    disagreement.
+
+    The u-probabilities (chance agreement between two RANDOM records) are
+    estimated exactly from the data as sum(p_v^2) over each field's value
+    frequencies — the textbook frequency-based u — so rare-value
+    agreement earns a larger weight without any training data. The
+    m-probabilities are fixed priors (FS_M).
+
+    Candidates come from the shared sorted-neighborhood halo machinery
+    (_snm_adjacency) over the composite key nation||balance-cents, so the
+    pair count is W x n_customers (never quadratic) and the global sorted
+    adjacency is exact at any scale. Every per-field u is a bounded
+    aggregation (<= |values| rows) that rides 1-row broadcasts into the
+    pair frame."""
+    from dbt_tpch_spark.functions import dsum
+
+    c = ctx.source("customer")
+    # order-preserving fixed-width sort key: nation then balance cents
+    # (offset keeps it non-negative; floor(x+0.5) is the engine-portable
+    # half-up used by money())
+    balcents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    d = c.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.lpad(F.col("c_nationkey").cast("string"), 2, "0"),
+            F.lpad((balcents + F.lit(100000)).cast("string"), 7, "0"),
+        ).alias("skey"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(FS_BAND_WIDTH)).cast("long").alias("band"),
+    )
+    pairs = _snm_adjacency(d, ("nation", "segment", "band"))
+
+    def _u(field):
+        per_v = d.groupBy(field).agg(F.count(F.lit(1)).alias("n"))
+        n_tot = d.count()  # single count over the customer scan
+        p = F.col("n") / F.lit(float(n_tot))
+        return per_v.agg(
+            dsum(rnd(p * p, 12)).alias(f"u_{field}")
+        )
+    u = (
+        _u("nation")
+        .crossJoin(_u("segment"))
+        .crossJoin(_u("band"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _w(field):
+        m = F.lit(FS_M[field])
+        uf = F.col(f"u_{field}")
+        agree = F.col(f"{field}_a") == F.col(f"{field}_b")
+        return F.when(agree, F.log(m / uf)).otherwise(
+            F.log((F.lit(1.0) - m) / (F.lit(1.0) - uf))
+        )
+    score = rnd(
+        rnd(_w("nation"), 9) + rnd(_w("segment"), 9) + rnd(_w("band"), 9), 6
+    )
+    return pairs.crossJoin(F.broadcast(u)).select(
+        F.col("doc_a").alias("customer_a"),
+        F.col("doc_b").alias("customer_b"),
+        "gap",
+        (F.col("nation_a") == F.col("nation_b")).alias("nation_agree"),
+        (F.col("segment_a") == F.col("segment_b")).alias("segment_agree"),
+        (F.col("band_a") == F.col("band_b")).alias("band_agree"),
+        score.alias("fs_score"),
+        (score >= 0).alias("is_candidate_match"),
+    )
+
+
+def _fs_u_sql(field: str, col: str) -> str:
+    return f"""u_{field} AS (
+    SELECT {dsum_sql(rnd_sql(f'(CAST(n AS DOUBLE) / t.total) * (CAST(n AS DOUBLE) / t.total)', 12))} AS u_{field}
+    FROM (SELECT {col} AS v, COUNT(*) AS n FROM keyed GROUP BY 1)
+    CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM keyed) t
+)"""
+
+
+def _fs_w_sql(field: str) -> str:
+    m = FS_M[field]
+    return (
+        f"CASE WHEN {field}_a = {field}_b THEN LN({m} / u_{field}) "
+        f"ELSE LN({1.0 - m} / (1.0 - u_{field})) END"
+    )
+
+
+_FS_SCORE_SQL = rnd_sql(
+    " + ".join(rnd_sql(_fs_w_sql(f), 9) for f in ("nation", "segment", "band")),
+    6,
+)
+
+oracle(
+    "customers_linkage_scores",
+    ("customer",),
+    f"""WITH keyed AS (
+    SELECT
+        c_custkey AS doc_id,
+        lpad(CAST(c_nationkey AS VARCHAR), 2, '0')
+            || lpad(CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000 AS VARCHAR), 7, '0')
+            AS skey,
+        c_nationkey AS nation,
+        c_mktsegment AS segment,
+        CAST(floor(c_acctbal / {FS_BAND_WIDTH}) AS BIGINT) AS band
+    FROM customer
+),
+{_fs_u_sql('nation', 'nation')},
+{_fs_u_sql('segment', 'segment')},
+{_fs_u_sql('band', 'band')},
+ord AS (
+    SELECT doc_id, nation, segment, band,
+        {', '.join(
+            f'lead(doc_id, {k}) OVER w AS d{k}, '
+            f'lead(nation, {k}) OVER w AS n{k}, '
+            f'lead(segment, {k}) OVER w AS s{k}, '
+            f'lead(band, {k}) OVER w AS b{k}'
+            for k in range(1, SNM_WINDOW + 1)
+        )}
+    FROM keyed
+    WINDOW w AS (ORDER BY skey, doc_id)
+),
+pairs AS (
+    {' UNION ALL '.join(
+        f'''SELECT doc_id AS doc_a, d{k} AS doc_b, {k} AS gap,
+        nation AS nation_a, n{k} AS nation_b,
+        segment AS segment_a, s{k} AS segment_b,
+        band AS band_a, b{k} AS band_b
+    FROM ord WHERE d{k} IS NOT NULL'''
+        for k in range(1, SNM_WINDOW + 1)
+    )}
+)
+SELECT
+    doc_a AS customer_a,
+    doc_b AS customer_b,
+    gap,
+    nation_a = nation_b AS nation_agree,
+    segment_a = segment_b AS segment_agree,
+    band_a = band_b AS band_agree,
+    {_FS_SCORE_SQL} AS fs_score,
+    {_FS_SCORE_SQL} >= 0 AS is_candidate_match
+FROM pairs
+CROSS JOIN u_nation CROSS JOIN u_segment CROSS JOIN u_band""",
 )

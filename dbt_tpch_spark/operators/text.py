@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from dbt_tpch_spark.functions import rnd
 from dbt_tpch_spark.plans import model
-from dbt_tpch_spark.models.oracle import oracle, rnd_sql
+from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
 
 #: small English-ish stopword inventory (shared with the oracle SQL).
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
@@ -968,3 +968,126 @@ FROM base"""
 
 
 oracle("doc_quality_classifier", ("documents",), _qc_oracle())
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights: target-domain vs corpus likelihood ratio
+# --------------------------------------------------------------------------
+
+#: the "target domain" whose distribution the resampling should match
+DSIR_TARGET_LANG = "en"
+
+
+@model("docs_dsir_weights", layer="operators", materialization="view")
+def docs_dsir_weights(ctx):
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS'23)
+    reduced to its unigram-LM core: every document's importance weight is
+    its average per-token log-likelihood ratio between a TARGET-domain
+    unigram LM (here: the ``DSIR_TARGET_LANG`` slice, standing in for
+    "high-quality domain") and the full-corpus unigram LM, both add-one
+    smoothed over the shared corpus vocabulary:
+
+        avg_lr(d) = (1/|d|) * sum_w tf(w,d) * ln(p_target(w) / p_corpus(w))
+
+    Positive means "more target-like than the corpus average" — the
+    upweight set a domain-matching resampler would prefer. This composes
+    with docs_sample_weighted / docs_mixture_temperature for the actual
+    resampling pass.
+
+    Scale shape: one token explode -> (doc, term) aggregate; both LMs are
+    vocabulary-grain aggregates that broadcast (Heaps-law bounded — the
+    documented vocab-broadcast exception); totals ride 1-row broadcasts.
+    Per-token ratios are 6-dp-quantized then decimal-summed so the
+    per-doc average is accumulation-order-free."""
+    from dbt_tpch_spark.functions import dsum
+
+    d = ctx.source("documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    )
+    # the (doc, term) tf table feeds THREE consumers (corpus LM, target LM,
+    # scoring); materialize it once — same post-materialization convention
+    # as the bigram-LM feedstock (doc_bigram_surprisal)
+    dtf = (
+        toks.groupBy("doc_id", "lang", "source", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    ug_c = dtf.groupBy("term").agg(F.sum("tf").cast("long").alias("c_c"))
+    ug_t = (
+        dtf.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("c_t"))
+    )
+    totals = ug_c.agg(
+        F.sum("c_c").cast("double").alias("n_c"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    ).crossJoin(ug_t.agg(F.sum("c_t").cast("double").alias("n_t")))
+    p_t = (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("n_t") + F.col("vocab")
+    )
+    p_c = (F.col("c_c") + F.lit(1.0)) / (F.col("n_c") + F.col("vocab"))
+    scored = (
+        dtf.join(F.broadcast(ug_c), "term")
+        .join(F.broadcast(ug_t), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("tok_lr", rnd(F.log(p_t / p_c), 6))
+    )
+    avg_lr = rnd(
+        dsum(F.col("tok_lr") * F.col("tf")) / F.sum("tf").cast("double"), 6
+    )
+    return scored.groupBy("doc_id", "lang", "source").agg(
+        F.sum("tf").cast("long").alias("n_tokens_doc"),
+        avg_lr.alias("avg_log_ratio"),
+        (avg_lr > 0).alias("is_upweighted"),
+    )
+
+
+oracle(
+    "docs_dsir_weights",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT doc_id, lang, source,
+           unnest(string_split(lower(trim(text)), ' ')) AS term
+    FROM documents
+),
+dtf AS (
+    SELECT doc_id, lang, source, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY 1, 2, 3, 4
+),
+ug_c AS (
+    SELECT term, CAST(SUM(tf) AS BIGINT) AS c_c FROM dtf GROUP BY 1
+),
+ug_t AS (
+    SELECT term, CAST(SUM(tf) AS BIGINT) AS c_t
+    FROM dtf WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+),
+totals AS (
+    SELECT
+        (SELECT CAST(SUM(c_c) AS DOUBLE) FROM ug_c) AS n_c,
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM ug_c) AS vocab,
+        (SELECT CAST(SUM(c_t) AS DOUBLE) FROM ug_t) AS n_t
+),
+scored AS (
+    SELECT
+        d.doc_id, d.lang, d.source, d.tf,
+        {rnd_sql(
+            'LN((( COALESCE(t.c_t, 0) + 1.0) / (x.n_t + x.vocab)) '
+            '/ ((c.c_c + 1.0) / (x.n_c + x.vocab)))', 6
+        )} AS tok_lr
+    FROM dtf d
+    JOIN ug_c c USING (term)
+    LEFT JOIN ug_t t USING (term)
+    CROSS JOIN totals x
+)
+SELECT
+    doc_id, lang, source,
+    CAST(SUM(tf) AS BIGINT) AS n_tokens_doc,
+    {rnd_sql(f"{dsum_sql('tok_lr * tf')} / CAST(SUM(tf) AS DOUBLE)", 6)} AS avg_log_ratio,
+    {rnd_sql(f"{dsum_sql('tok_lr * tf')} / CAST(SUM(tf) AS DOUBLE)", 6)} > 0 AS is_upweighted
+FROM scored
+GROUP BY 1, 2, 3""",
+)

@@ -192,6 +192,15 @@ SHUFFLE_BUDGETS = {
     # estimates and the pair expansion run on the <= |types|*m register
     # frame; the exact-overlap error column pays the distinct self-join
     "events_hll_type_overlap": 8,
+    # round-5 additions: Fellegi-Sunter rides the SNM halo (bounded pair
+    # grain) + three bounded u-probability aggregations; margin mining is
+    # the exactness baseline (checkpointed pair scores + two K-capped
+    # neighborhood means + the final argmax window); DSIR's post-
+    # materialization plan (the (doc,term) tf table checkpoints once)
+    # pays the two vocab-grain LM aggregations + scoring joins
+    "customers_linkage_scores": 6,
+    "embeddings_xlabel_margin": 5,
+    "docs_dsir_weights": 7,
 }
 
 
