@@ -630,3 +630,147 @@ SELECT
 FROM pairs
 CROSS JOIN u_nation CROSS JOIN u_segment CROSS JOIN u_band""",
 )
+
+
+# --------------------------------------------------------------------------
+# entity resolution: connected components over linkage matches
+# --------------------------------------------------------------------------
+
+#: propagation-round ceiling (>> any realistic match-component diameter;
+#: the loop exits early at the fixpoint)
+ER_MAX_ROUNDS = 16
+
+
+@model("customers_entity_clusters", layer="operators", materialization="view")
+def customers_entity_clusters(ctx):
+    """Entity resolution on top of the Fellegi-Sunter scores: customers
+    joined by any positive-score candidate pair collapse into one entity
+    (connected components via min-label propagation, the
+    dedup_doc_labels machinery applied to the customer graph). One row
+    per customer with its canonical entity id (component-min customer
+    key), the entity's size, and a singleton flag — the duplicate-party
+    ledger a master-data pipeline materializes.
+
+    Scale: propagation runs only over customers that appear in a match
+    pair (the W x N sorted-neighborhood candidates filtered to positive
+    scores — far smaller than the corpus); the per-round join is edge
+    co-partitioned with node-grain state, and the corpus-wide frame is
+    one left join + coalesce at the end. Unlike the dense near-dup
+    components of dedup_doc_labels, SNM match graphs are CHAINS (sorted
+    adjacency), so plain min-label propagation would need diameter
+    rounds — every round here therefore also POINTER-JUMPS
+    (l(v) := l(l(v)), the path-halving of parallel connected-components
+    algorithms), making convergence O(log diameter): 16 rounds cover a
+    diameter of 2^16. The oracle computes the true transitive closure
+    with WITH RECURSIVE; the early-exit fixpoint must match it exactly —
+    the hash gate proves convergence."""
+    matches = (
+        ctx.ref("customers_linkage_scores")
+        .filter(F.col("is_candidate_match"))
+        .select(F.col("customer_a").alias("a"), F.col("customer_b").alias("b"))
+    )
+    n_part = int(ctx.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = (
+        matches.union(
+            matches.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .repartition(n_part, "b")
+        .cache()
+    )
+    edges.count()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("entity_id", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(ER_MAX_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("entity_id").alias("nbr_min"))
+        )
+        prop = labels.join(nbr_min, labels.node == nbr_min.a, "left").select(
+            "node",
+            F.least(
+                F.col("entity_id"),
+                F.coalesce(F.col("nbr_min"), F.col("entity_id")),
+            ).alias("entity_id"),
+        )
+        # pointer-jump (path-halving): follow the label one hop — labels
+        # are themselves node ids, so l(l(v)) is defined for every node
+        parent = prop.select(
+            F.col("node").alias("p_node"), F.col("entity_id").alias("p_ent")
+        )
+        new_labels = (
+            prop.join(parent, prop.entity_id == parent.p_node, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("p_ent"), F.col("entity_id")).alias(
+                    "entity_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.entity_id") != F.col("o.entity_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    c = ctx.source("customer").select(F.col("c_custkey").alias("customer_key"))
+    full = c.join(labels, c.customer_key == labels.node, "left").select(
+        "customer_key",
+        F.coalesce(F.col("entity_id"), F.col("customer_key")).alias("entity_id"),
+    )
+    sizes = full.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("entity_size")
+    )
+    return full.join(sizes, "entity_id").select(
+        "customer_key",
+        "entity_id",
+        "entity_size",
+        (F.col("entity_size") == 1).alias("is_singleton"),
+    )
+
+
+oracle(
+    "customers_entity_clusters",
+    ("customers_linkage_scores", "customer"),
+    """WITH RECURSIVE matches AS (
+    SELECT customer_a AS a, customer_b AS b
+    FROM customers_linkage_scores WHERE is_candidate_match
+),
+edges AS (
+    SELECT a, b FROM matches
+    UNION
+    SELECT b, a FROM matches
+),
+nodes AS (
+    SELECT DISTINCT a AS node FROM edges
+),
+reach(src, dst) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+labels AS (
+    SELECT src AS node, MIN(dst) AS entity_id FROM reach GROUP BY 1
+),
+full_frame AS (
+    SELECT c.c_custkey AS customer_key,
+           COALESCE(l.entity_id, c.c_custkey) AS entity_id
+    FROM customer c LEFT JOIN labels l ON c.c_custkey = l.node
+),
+sizes AS (
+    SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS entity_size
+    FROM full_frame GROUP BY 1
+)
+SELECT f.customer_key, f.entity_id, s.entity_size,
+       s.entity_size = 1 AS is_singleton
+FROM full_frame f JOIN sizes s USING (entity_id)""",
+)

@@ -817,3 +817,164 @@ JOIN est_t ea ON u.type_a = ea.event_type
 JOIN est_t eb ON u.type_b = eb.event_type
 LEFT JOIN exact x ON u.type_a = x.type_a AND u.type_b = x.type_b""",
 )
+
+
+# --------------------------------------------------------------------------
+# CMS inner-product join-size estimation (AMS-style, min over rows)
+# --------------------------------------------------------------------------
+
+#: salt prefix for the join-size sketches (distinct from the heavy-hitter
+#: CMS so the two sketch families never share buckets)
+CJ_SALT = "cj"
+
+
+def _cj_cells(df, key_col: str, side: str):
+    """CMS_D x CMS_W multiplicity-weighted cell counts for one join side:
+    cell (salt, bucket) holds the number of ROWS whose key hashes there —
+    the frequency-vector projection whose per-row inner product estimates
+    the join size."""
+    salted = df.select(F.col(key_col).alias("k")).select(
+        "k",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("salt"),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.lit(CJ_SALT),
+                F.col("salt").cast("string"),
+                F.lit("|"),
+                F.col("k").cast("string"),
+            )
+        ),
+    )
+    return (
+        salted.withColumn("bucket", _cms_bucket_spark("h"))
+        .groupBy("salt", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias(f"n_{side}"))
+    )
+
+
+def _cj_cells_sql(table: str, key: str, side: str) -> str:
+    return f"""cells_{side} AS (
+    SELECT s.salt,
+           {_cms_bucket_sql(f"md5('{CJ_SALT}' || CAST(s.salt AS VARCHAR) || '|' || CAST(t.{key} AS VARCHAR))")} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_{side}
+    FROM {table} t
+    CROSS JOIN (SELECT unnest(range({CMS_D})) AS salt) s
+    GROUP BY 1, 2
+)"""
+
+
+@model("lineitem_joinsize_cms", layer="operators", materialization="view")
+def lineitem_joinsize_cms(ctx):
+    """Sketch-based join-cardinality estimation (the AMS/Count-Min inner
+    product, Alon-Matias-Szegedy STOC'96 / Cormode-Muthukrishnan '05):
+    |A join_k B| = sum_k f_A(k) * f_B(k) is estimated per CMS row as the
+    dot product of the two sides' bucket-count vectors, taking the MIN
+    over the CMS_D rows (each row's estimate is truth plus non-negative
+    collision mass, so min is the tightest). Two estimates, each beside
+    its EXACT value and realized relative error:
+
+    * ``orders_joinsize``  — lineitem join orders on the order key (the
+      fact-fact FK shape every optimizer must size before picking a
+      strategy);
+    * ``partkey_selfjoin`` — lineitem's self-join size on part key, i.e.
+      the second frequency moment F2 — the AMS classic that prices a
+      skewed key's blowup BEFORE running the join.
+
+    Scale: each side collapses to a CMS_D x CMS_W cell table in one
+    aggregation pass; the inner products and the exact sizes are
+    arithmetic over bounded (<= 1024-cell) or key-grain aggregate frames
+    — the join itself is never materialized."""
+    l = ctx.source("lineitem")
+    o = ctx.source("orders")
+    cl = _cj_cells(l, "l_orderkey", "a").localCheckpoint(eager=True)
+    co = _cj_cells(o, "o_orderkey", "b")
+    cp = _cj_cells(l, "l_partkey", "p").localCheckpoint(eager=True)
+    est_fk = (
+        cl.join(co, ["salt", "bucket"])
+        .groupBy("salt")
+        .agg(F.sum(F.col("n_a") * F.col("n_b")).cast("long").alias("ip"))
+        .agg(F.min("ip").alias("cms_estimate"))
+    )
+    cp2 = cp.withColumnsRenamed({"n_p": "n_q"})
+    est_f2 = (
+        cp.join(cp2, ["salt", "bucket"])
+        .groupBy("salt")
+        .agg(F.sum(F.col("n_p") * F.col("n_q")).cast("long").alias("ip"))
+        .agg(F.min("ip").alias("cms_estimate"))
+    )
+    # exact sizes from aggregates — never the quadratic join itself
+    exact_fk = (
+        l.select(F.col("l_orderkey").alias("k"))
+        .join(o.select(F.col("o_orderkey").alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_size"))
+    )
+    exact_f2 = (
+        l.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("exact_size"))
+    )
+    rel = rnd(
+        (F.col("cms_estimate") - F.col("exact_size")).cast("double")
+        / F.col("exact_size"),
+        6,
+    )
+    fk = (
+        est_fk.crossJoin(exact_fk)
+        .select(
+            F.lit("orders_joinsize").alias("join_name"),
+            "cms_estimate",
+            "exact_size",
+            rel.alias("rel_error"),
+        )
+    )
+    f2 = (
+        est_f2.crossJoin(exact_f2)
+        .select(
+            F.lit("partkey_selfjoin").alias("join_name"),
+            "cms_estimate",
+            "exact_size",
+            rel.alias("rel_error"),
+        )
+    )
+    return fk.unionByName(f2)
+
+
+oracle(
+    "lineitem_joinsize_cms",
+    ("lineitem", "orders"),
+    f"""WITH {_cj_cells_sql('lineitem', 'l_orderkey', 'a')},
+{_cj_cells_sql('orders', 'o_orderkey', 'b')},
+{_cj_cells_sql('lineitem', 'l_partkey', 'p')},
+est_fk AS (
+    SELECT MIN(ip) AS cms_estimate FROM (
+        SELECT a.salt, CAST(SUM(a.n_a * b.n_b) AS BIGINT) AS ip
+        FROM cells_a a JOIN cells_b b USING (salt, bucket)
+        GROUP BY 1
+    )
+),
+est_f2 AS (
+    SELECT MIN(ip) AS cms_estimate FROM (
+        SELECT p.salt, CAST(SUM(p.n_p * q.n_p) AS BIGINT) AS ip
+        FROM cells_p p JOIN cells_p q USING (salt, bucket)
+        GROUP BY 1
+    )
+),
+exact_fk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_size
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+exact_f2 AS (
+    SELECT CAST(SUM(n * n) AS BIGINT) AS exact_size FROM (
+        SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+    )
+)
+SELECT 'orders_joinsize' AS join_name, e.cms_estimate, x.exact_size,
+    {rnd_sql('CAST(e.cms_estimate - x.exact_size AS DOUBLE) / x.exact_size', 6)} AS rel_error
+FROM est_fk e CROSS JOIN exact_fk x
+UNION ALL
+SELECT 'partkey_selfjoin', e.cms_estimate, x.exact_size,
+    {rnd_sql('CAST(e.cms_estimate - x.exact_size AS DOUBLE) / x.exact_size', 6)} AS rel_error
+FROM est_f2 e CROSS JOIN exact_f2 x""",
+)

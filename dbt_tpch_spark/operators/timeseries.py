@@ -1861,3 +1861,112 @@ SELECT
     {rnd_sql('shift_mag', 6)} AS mean_shift
 FROM best WHERE rk = 1""",
 )
+
+
+# --------------------------------------------------------------------------
+# autocorrelation function of the daily revenue series
+# --------------------------------------------------------------------------
+
+#: lags (in days) reported by the ACF
+ACF_MAX_LAG = 7
+
+
+@model("daily_revenue_acf", layer="operators", materialization="view")
+def daily_revenue_acf(ctx):
+    """Autocorrelation of daily order revenue at lags 1..ACF_MAX_LAG days —
+    the seasonality detector that tells a forecaster which lag features
+    matter (a weekly cycle shows as a lag-7 peak) and a data pipeline
+    whether its daily volumes are i.i.d. or trending.
+
+    Lag pairing is a DATE-ARITHMETIC self-join (day = day + lag), not a
+    row-lag window, so missing days pair with nothing instead of silently
+    pairing with the wrong predecessor — correct on gappy series with no
+    gap-fill pass. The Pearson correlation per lag uses one-pass exact-
+    decimal moment sums over the paired frame (the lineitem_corr_matrix
+    convention), so both engines accumulate identically.
+
+    Scale: the series frame is day-grain (bounded by the calendar — a
+    few thousand rows per century); everything after the one fact
+    aggregation is arithmetic on that bounded frame."""
+    o = ctx.source("orders")
+    series = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    lags = ctx.spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    lagged = series.select(
+        F.col("day").alias("lday"), F.col("rev").alias("lrev")
+    )
+    pairs = (
+        series.crossJoin(F.broadcast(lags))
+        .join(
+            lagged,
+            F.col("lday") == F.date_add(F.col("day"), F.col("lag")),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = dsum(F.col("rev")), dsum(F.col("lrev"))
+    sxx = dsum(F.col("rev") * F.col("rev"))
+    syy = dsum(F.col("lrev") * F.col("lrev"))
+    sxy = dsum(F.col("rev") * F.col("lrev"))
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        sxx.alias("sxx"),
+        syy.alias("syy"),
+        sxy.alias("sxy"),
+    )
+    nn = F.col("n_pairs").cast("double")
+    num = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (nn * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nn * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "lag",
+        "n_pairs",
+        rnd(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"),
+    )
+
+
+oracle(
+    "daily_revenue_acf",
+    ("orders",),
+    f"""WITH series AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, {dsum_sql('o_totalprice')} AS rev
+    FROM orders GROUP BY 1
+),
+lags AS (
+    SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag
+),
+pairs AS (
+    SELECT l.lag, s.rev, t.rev AS lrev
+    FROM series s
+    CROSS JOIN lags l
+    JOIN series t ON t.day = s.day + CAST(l.lag AS INT)
+),
+agg AS (
+    SELECT
+        lag,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        {dsum_sql('rev')} AS sx,
+        {dsum_sql('lrev')} AS sy,
+        {dsum_sql('rev * rev')} AS sxx,
+        {dsum_sql('lrev * lrev')} AS syy,
+        {dsum_sql('rev * lrev')} AS sxy
+    FROM pairs GROUP BY 1
+)
+SELECT
+    CAST(lag AS INT) AS lag,
+    n_pairs,
+    {rnd_sql(
+        '(CAST(n_pairs AS DOUBLE) * sxy - sx * sy)'
+        ' / NULLIF(sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)'
+        ' * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 0.0)', 6
+    )} AS acf
+FROM agg""",
+)

@@ -201,6 +201,15 @@ SHUFFLE_BUDGETS = {
     "customers_linkage_scores": 6,
     "embeddings_xlabel_margin": 5,
     "docs_dsir_weights": 7,
+    # CMS join-size: three sketch-cell aggregations (two checkpoint once)
+    # + the bounded (<=1024-cell) inner-product joins + the exact FK-join
+    # count and F2 aggregate; ACF's series frame is day-grain (bounded) so
+    # the one fact aggregation is the only corpus shuffle; entity clusters
+    # ride the linkage pair set (post-checkpoint: edges cache + the final
+    # corpus left-join + size rollup)
+    "lineitem_joinsize_cms": 8,
+    "daily_revenue_acf": 1,
+    "customers_entity_clusters": 6,
 }
 
 
