@@ -472,3 +472,115 @@ JOIN norms nb ON d.label_b = nb.label
 JOIN counts ca ON d.label_a = ca.label
 JOIN counts cb ON d.label_b = cb.label""",
 )
+
+
+# --------------------------------------------------------------------------
+# per-label embedding outliers (diagonal Mahalanobis distance)
+# --------------------------------------------------------------------------
+
+#: outliers reported per label
+OUTLIER_K = 5
+
+
+@model("embeddings_label_outliers", layer="operators", materialization="view")
+def embeddings_label_outliers(ctx):
+    """Label-noise screening: the OUTLIER_K vectors farthest from their
+    label's centroid under the diagonal Mahalanobis distance
+    sum_d ((x_d - mu_d) / sigma_d)^2 — per-dimension standardization so a
+    high-variance dimension cannot dominate the way raw euclidean
+    distance lets it. The standard embedding-QA pass that surfaces
+    mislabeled / garbage vectors before centroid or classifier training.
+
+    Scale: per-(label, dim) sufficient statistics are ONE aggregation to
+    a bounded |labels| x DIMS frame that broadcasts back; scoring is a
+    map-side join + per-vector exact-decimal sum; the per-label rank
+    filter plans as WindowGroupLimit (running top-k per label, no full
+    sort materialization)."""
+    from pyspark.sql.window import Window
+
+    e = ctx.source("embeddings")
+    xi = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i0", "x0")
+    ).select("vec_id", "label", "i0", F.col("x0").cast("double").alias("x"))
+    stats = (
+        xi.groupBy("label", "i0")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _msum(F.col("x")).alias("m1"),
+            _msum(F.col("x") * F.col("x")).alias("m2"),
+        )
+        .withColumn("mu", F.col("m1") / F.col("n"))
+        .withColumn(
+            "var",
+            (F.col("m2") - F.col("n") * F.col("mu") * F.col("mu"))
+            / (F.col("n") - F.lit(1)),
+        )
+    )
+    term = rnd(
+        F.coalesce(
+            (F.col("x") - F.col("mu"))
+            * (F.col("x") - F.col("mu"))
+            / F.nullif(F.col("var"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        9,
+    )
+    z2 = (
+        xi.join(F.broadcast(stats.select("label", "i0", "mu", "var")), ["label", "i0"])
+        .withColumn("term", term)
+        .groupBy("vec_id", "label")
+        .agg(rnd(_msum(F.col("term")), 6).alias("mahal2_diag"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("mahal2_diag").desc(), F.col("vec_id")
+    )
+    return (
+        z2.withColumn("outlier_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("outlier_rank") <= OUTLIER_K)
+        .select("label", "vec_id", "mahal2_diag", "outlier_rank")
+    )
+
+
+oracle(
+    "embeddings_label_outliers",
+    ("embeddings",),
+    f"""WITH dims AS (
+    SELECT UNNEST(range(1, {DIMS + 1})) AS i
+),
+xi AS (
+    SELECT e.vec_id, e.label, d.i,
+           CAST(e.embedding[d.i] AS DOUBLE) AS x
+    FROM embeddings e CROSS JOIN dims d
+),
+stats AS (
+    SELECT label, i,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        {_msum_sql('x')} AS m1,
+        {_msum_sql('x * x')} AS m2
+    FROM xi GROUP BY 1, 2
+),
+mv AS (
+    SELECT label, i,
+        m1 / n AS mu,
+        (m2 - n * (m1 / n) * (m1 / n)) / (n - 1) AS var
+    FROM stats
+),
+scored AS (
+    SELECT x.vec_id, x.label,
+        {rnd_sql(
+            "COALESCE((x.x - s.mu) * (x.x - s.mu) / NULLIF(s.var, 0.0), 0.0)",
+            9,
+        )} AS term
+    FROM xi x JOIN mv s ON x.label = s.label AND x.i = s.i
+),
+z2 AS (
+    SELECT vec_id, label, {rnd_sql(_msum_sql('term'), 6)} AS mahal2_diag
+    FROM scored GROUP BY 1, 2
+)
+SELECT label, vec_id, mahal2_diag,
+    CAST(ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY mahal2_diag DESC, vec_id
+    ) AS BIGINT) AS outlier_rank
+FROM z2
+QUALIFY outlier_rank <= {OUTLIER_K}""",
+)

@@ -1011,3 +1011,132 @@ FROM (
 )
 WHERE mr = 1""",
 )
+
+
+# --------------------------------------------------------------------------
+# k-center greedy (Gonzalez) diverse sample
+# --------------------------------------------------------------------------
+
+#: number of centers picked by the greedy farthest-point pass
+KCENTER_K = 8
+
+
+def _d2_spark(a: str, b: str):
+    return (
+        F.expr(DOT_SPARK.format(a=a, b=a))
+        + F.expr(DOT_SPARK.format(a=b, b=b))
+        - F.lit(2.0) * F.expr(DOT_SPARK.format(a=a, b=b))
+    )
+
+
+@model("embeddings_kcenter_sample", layer="operators", materialization="view")
+def embeddings_kcenter_sample(ctx):
+    """Greedy k-center (farthest-point) sampling — Gonzalez's 2-approx
+    algorithm for the k-center objective: seed with the lowest vec_id,
+    then repeatedly add the vector FARTHEST from the chosen set (max of
+    min squared euclidean distance, ties to the lower vec_id). The
+    coreset / diverse-sample primitive of data curation: K points that
+    cover the embedding space, unlike a uniform sample that lands K
+    points in the densest mode. Each center reports its selection radius
+    (its distance to the set when picked — a monotone non-increasing
+    coverage profile of the corpus).
+
+    Scale: each of the K rounds is one narrow map (update the running
+    min-distance column against the single new center — a 1-row
+    broadcast) plus one TakeOrdered(1) argmax; nothing quadratic, no
+    KxN literal matrix. Distances quantize to 6 dp BEFORE the argmax so
+    both engines pick identical centers."""
+    v = ctx.source("embeddings").select("vec_id", "label", "embedding")
+    seed = v.orderBy("vec_id").limit(1).localCheckpoint(eager=True)
+    mind = (
+        v.crossJoin(F.broadcast(seed.select(F.col("embedding").alias("c_emb"))))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            rnd(_d2_spark("embedding", "c_emb"), 6).alias("mind"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picked = [
+        seed.select(
+            F.lit(1).cast("long").alias("center_rank"),
+            "vec_id",
+            "label",
+            F.lit(0.0).alias("radius"),
+        )
+    ]
+    for r in range(2, KCENTER_K + 1):
+        nxt = (
+            mind.orderBy(F.col("mind").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picked.append(
+            nxt.select(
+                F.lit(r).cast("long").alias("center_rank"),
+                "vec_id",
+                "label",
+                F.col("mind").alias("radius"),
+            )
+        )
+        if r < KCENTER_K:
+            mind = (
+                mind.crossJoin(
+                    F.broadcast(nxt.select(F.col("embedding").alias("c_emb")))
+                )
+                .select(
+                    "vec_id",
+                    "label",
+                    "embedding",
+                    F.least(
+                        F.col("mind"),
+                        rnd(_d2_spark("embedding", "c_emb"), 6),
+                    ).alias("mind"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _kcenter_oracle() -> str:
+    d2 = (
+        lambda a, b: f"({dot_duck(a, a)} + {dot_duck(b, b)}"
+        f" - 2 * {dot_duck(a, b)})"
+    )
+    parts = [
+        "c1 AS (SELECT vec_id, label, embedding FROM embeddings"
+        " ORDER BY vec_id LIMIT 1)",
+        f"""m1 AS (
+    SELECT e.vec_id, e.label, e.embedding,
+           {rnd_sql(d2('e.embedding', 'c.embedding'), 6)} AS mind
+    FROM embeddings e CROSS JOIN c1 c
+)""",
+    ]
+    sels = [
+        "SELECT CAST(1 AS BIGINT) AS center_rank, vec_id, label,"
+        " 0.0 AS radius FROM c1"
+    ]
+    for r in range(2, KCENTER_K + 1):
+        parts.append(
+            f"c{r} AS (SELECT vec_id, label, embedding, mind FROM m{r - 1}"
+            " ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        sels.append(
+            f"SELECT CAST({r} AS BIGINT), vec_id, label, mind FROM c{r}"
+        )
+        if r < KCENTER_K:
+            parts.append(
+                f"""m{r} AS (
+    SELECT e.vec_id, e.label, e.embedding,
+           LEAST(e.mind, {rnd_sql(d2('e.embedding', 'c.embedding'), 6)}) AS mind
+    FROM m{r - 1} e CROSS JOIN c{r} c
+)"""
+            )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+oracle("embeddings_kcenter_sample", ("embeddings",), _kcenter_oracle())

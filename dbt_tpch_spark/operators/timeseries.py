@@ -1970,3 +1970,112 @@ SELECT
     )} AS acf
 FROM agg""",
 )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend of the daily revenue series
+# --------------------------------------------------------------------------
+
+#: epoch for day numbering (TPC-H order dates start 1992)
+TS_EPOCH = "1992-01-01"
+
+
+@model("daily_revenue_theilsen", layer="operators", materialization="view")
+def daily_revenue_theilsen(ctx):
+    """Theil-Sen robust trend estimate of daily revenue: the slope is the
+    MEDIAN of all pairwise slopes (rev_j - rev_i) / (day_j - day_i), the
+    intercept the median residual at the chosen slope — the estimator
+    with a 29% breakdown point that one promo-day spike cannot bend the
+    way OLS (monthly_revenue_forecast) can. One output row: slope/day,
+    annualized trend, intercept, and the pair/day counts.
+
+    Medians are the deterministic LOWER median (rank (n+1)/2 under a
+    total tie-broken order) — no averaging, so the chosen value is an
+    actual data point and both engines pick the identical row.
+
+    Scale: the series is day-grain — bounded by the CALENDAR, not by SF
+    (a century is ~36.5K days) — so the pairwise O(days^2) frame and its
+    rank are bounded regardless of corpus size; the one corpus-sized
+    operation is the initial day aggregation."""
+    o = ctx.source("orders")
+    series = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+        .select(
+            F.datediff(F.col("day"), F.lit(TS_EPOCH).cast("date")).alias("dn"),
+            "rev",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = series.withColumnsRenamed({"dn": "dn_i", "rev": "rev_i"})
+    b = series.withColumnsRenamed({"dn": "dn_j", "rev": "rev_j"})
+    pairs = a.join(b, F.col("dn_i") < F.col("dn_j")).withColumn(
+        "slope",
+        (F.col("rev_j") - F.col("rev_i"))
+        / (F.col("dn_j") - F.col("dn_i")).cast("double"),
+    )
+    w_s = Window.orderBy("slope", "dn_i", "dn_j")
+    np_ = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    med_slope = (
+        pairs.crossJoin(F.broadcast(np_))
+        .withColumn("rk", F.row_number().over(w_s).cast("long"))
+        .filter(F.col("rk") == F.floor((F.col("n_pairs") + 1) / F.lit(2)).cast("long"))
+        .select("slope", "n_pairs")
+    )
+    nd = series.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    resid = (
+        series.crossJoin(F.broadcast(med_slope))
+        .crossJoin(F.broadcast(nd))
+        .withColumn("resid", F.col("rev") - F.col("slope") * F.col("dn"))
+    )
+    w_r = Window.orderBy("resid", "dn")
+    return (
+        resid.withColumn("rk", F.row_number().over(w_r).cast("long"))
+        .filter(F.col("rk") == F.floor((F.col("n_days") + 1) / F.lit(2)).cast("long"))
+        .select(
+            "n_days",
+            "n_pairs",
+            rnd(F.col("slope"), 6).alias("slope_per_day"),
+            rnd(F.col("slope") * F.lit(365.0), 4).alias("trend_per_year"),
+            rnd(F.col("resid"), 4).alias("intercept"),
+        )
+    )
+
+
+oracle(
+    "daily_revenue_theilsen",
+    ("orders",),
+    f"""WITH series AS (
+    SELECT
+        DATEDIFF('day', DATE '{TS_EPOCH}', CAST(o_orderdate AS DATE)) AS dn,
+        {dsum_sql('o_totalprice')} AS rev
+    FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+pairs AS (
+    SELECT a.dn AS dn_i, b.dn AS dn_j,
+        (b.rev - a.rev) / CAST(b.dn - a.dn AS DOUBLE) AS slope
+    FROM series a JOIN series b ON a.dn < b.dn
+),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+med_slope AS (
+    SELECT slope, n_pairs FROM (
+        SELECT p.slope, np.n_pairs,
+            CAST(ROW_NUMBER() OVER (ORDER BY p.slope, p.dn_i, p.dn_j) AS BIGINT) AS rk
+        FROM pairs p CROSS JOIN np
+    ) WHERE rk = CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM series),
+resid AS (
+    SELECT s.dn, m.slope, m.n_pairs, nd.n_days,
+        s.rev - m.slope * s.dn AS resid
+    FROM series s CROSS JOIN med_slope m CROSS JOIN nd
+)
+SELECT n_days, n_pairs,
+    {rnd_sql('slope', 6)} AS slope_per_day,
+    {rnd_sql('slope * 365.0', 4)} AS trend_per_year,
+    {rnd_sql('resid', 4)} AS intercept
+FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY resid, dn) AS BIGINT) AS rk
+    FROM resid
+) WHERE rk = CAST(floor((n_days + 1) / 2.0) AS BIGINT)""",
+)

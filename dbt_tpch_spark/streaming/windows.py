@@ -629,3 +629,103 @@ def streaming_enriched_by_user_tier(spark: SparkSession, sf_dir: str) -> DataFra
             dsum(F.col("value")).alias("total_value"),
         )
     )
+
+
+@model("events_schema_drift", layer="streaming", materialization="view")
+def events_schema_drift(ctx):
+    """Day-over-day JSON schema drift: for every day, each props key is
+    classified ``new`` (absent the previous day), ``dropped`` (present
+    the previous day, absent now — emitted with today's zero count), or
+    ``persisting`` — the monitor that catches a producer silently
+    renaming or retiring a payload field before downstream column
+    promotion breaks. The first data day has no baseline and is skipped.
+
+    Shape: one parse + explode to the (day, key) census (bounded: days x
+    keys — calendar-bounded, not SF-bounded), then the drift
+    classification is a full-outer join of the census with itself
+    shifted one day, restricted to days that actually exist in the data
+    (no phantom day after the last). Scale: everything after the census
+    aggregation is bounded-frame arithmetic."""
+    e = ctx.source("events")
+    km = (
+        e.select(
+            F.col("ts").cast("date").alias("day"),
+            F.explode(F.from_json("props", "map<string,string>")).alias(
+                "key", "val"
+            ),
+        )
+        .groupBy("day", "key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_present"))
+        .localCheckpoint(eager=True)
+    )
+    days = km.select("day").distinct()
+    prv = km.select(
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("key"),
+        F.col("n_present").alias("n_prev"),
+    )
+    next_days = days.select(F.date_add(F.col("day"), 1).alias("day"))
+    j = (
+        km.join(prv, ["day", "key"], "full_outer")
+        # no phantom day after the last data day ...
+        .join(days, "day", "left_semi")
+        # ... and no baseline-less first day: the day's predecessor must
+        # itself exist in the data
+        .join(next_days, "day", "left_semi")
+    )
+    status = (
+        F.when(
+            F.col("n_present").isNotNull() & F.col("n_prev").isNotNull(),
+            F.lit("persisting"),
+        )
+        .when(F.col("n_present").isNotNull(), F.lit("new"))
+        .otherwise(F.lit("dropped"))
+    )
+    return j.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "key",
+        F.coalesce(F.col("n_present"), F.lit(0)).cast("long").alias("n_present"),
+        F.coalesce(F.col("n_prev"), F.lit(0)).cast("long").alias("n_prev"),
+        status.alias("status"),
+    )
+
+
+oracle(
+    "events_schema_drift",
+    ("events",),
+    """WITH km AS (
+    SELECT CAST(ts AS DATE) AS day,
+           unnest(json_keys(props)) AS key
+    FROM events
+),
+census AS (
+    SELECT day, key, CAST(COUNT(*) AS BIGINT) AS n_present
+    FROM km GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM census),
+prv AS (
+    SELECT CAST(day + INTERVAL 1 DAY AS DATE) AS day, key, n_present AS n_prev
+    FROM census
+),
+j AS (
+    SELECT
+        CAST(COALESCE(c.day, p.day) AS DATE) AS day,
+        COALESCE(c.key, p.key) AS key,
+        c.n_present, p.n_prev
+    FROM census c
+    FULL OUTER JOIN prv p ON c.day = p.day AND c.key = p.key
+)
+SELECT
+    CAST(j.day AS TIMESTAMP) AS day,
+    j.key,
+    COALESCE(j.n_present, 0) AS n_present,
+    COALESCE(j.n_prev, 0) AS n_prev,
+    CASE
+        WHEN j.n_present IS NOT NULL AND j.n_prev IS NOT NULL THEN 'persisting'
+        WHEN j.n_present IS NOT NULL THEN 'new'
+        ELSE 'dropped'
+    END AS status
+FROM j
+JOIN days d ON j.day = d.day
+JOIN days pd ON j.day = CAST(pd.day + INTERVAL 1 DAY AS DATE)""",
+)

@@ -210,6 +210,16 @@ SHUFFLE_BUDGETS = {
     "lineitem_joinsize_cms": 8,
     "daily_revenue_acf": 1,
     "customers_entity_clusters": 6,
+    # diagonal-Mahalanobis outliers: one per-(label,dim) stats agg
+    # (bounded |labels| x DIMS broadcast back) + per-vec sum + the
+    # WindowGroupLimit top-k per label; Theil-Sen / schema drift run on
+    # calendar-bounded frames after one corpus aggregation; k-center's
+    # rounds are narrow maps + TakeOrdered(1) argmaxes on checkpointed
+    # state — zero shuffles in the final plan
+    "embeddings_label_outliers": 3,
+    "daily_revenue_theilsen": 4,
+    "events_schema_drift": 4,
+    "embeddings_kcenter_sample": 0,
 }
 
 
