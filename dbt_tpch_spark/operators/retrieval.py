@@ -703,3 +703,116 @@ SELECT *,
          ELSE 0.0 END AS normalized_entropy
 FROM per_doc""",
 )
+
+
+# --------------------------------------------------------------------------
+# ranking agreement: BM25 vs plain TF-IDF top-k overlap
+# --------------------------------------------------------------------------
+
+
+@model("docs_rank_overlap", layer="operators", materialization="view")
+def docs_rank_overlap(ctx):
+    """Retrieval-evaluation primitive: per query, the overlap@k between
+    the BM25 top-k (docs_bm25_topk, the model DAG edge) and a plain
+    TF-IDF ranking (tf x ln(N/df), no length normalization) computed
+    over the same fixed query set — the cheap ranking-agreement check
+    run before swapping scorers in a retrieval/decontamination pipeline
+    (low overlap = the swap changes WHAT gets retrieved, not just the
+    order). Queries where the rankings share nothing still report (zero
+    overlap), via the literal query list.
+
+    Scale: rides the same one-pass (doc, term, tf) feedstock as BM25;
+    the overlap join is top-k x top-k per query — bounded."""
+    bm = ctx.ref("docs_bm25_topk").select("query_id", "doc_id")
+    dtf = _doc_term_freq(ctx).localCheckpoint(eager=True)
+    termdf = dtf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    totals = dtf.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    qterms = ctx.spark.createDataFrame(
+        [(qid, t) for qid, terms in QUERIES.items() for t in terms],
+        "query_id string, term string",
+    )
+    tscore = rnd(
+        F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df")), 6
+    )
+    scores = (
+        dtf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(termdf), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("tscore", tscore)
+        .groupBy("query_id", "doc_id")
+        .agg(dsum(F.col("tscore")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    tfidf_top = (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_DOCS)
+        .select("query_id", "doc_id")
+    )
+    ov = (
+        bm.join(tfidf_top, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    qlist = ctx.spark.createDataFrame(
+        [(qid,) for qid in QUERIES], "query_id string"
+    )
+    return (
+        qlist.join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            rnd(
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                / F.lit(float(TOP_DOCS)),
+                4,
+            ).alias("overlap_at_k"),
+        )
+    )
+
+
+def _rank_overlap_oracle() -> str:
+    qids = ", ".join(f"('{qid}')" for qid in QUERIES)
+    return f"""WITH {_tf_cte()},
+scores AS (
+    SELECT
+        q.query_id,
+        t.doc_id,
+        {dsum_sql(rnd_sql('CAST(t.tf AS DOUBLE) * ln(g.n_docs / f.df)', 6))} AS score
+    FROM dtf t
+    JOIN {_queries_values_sql()} ON t.term = q.term
+    JOIN termdf f ON t.term = f.term
+    CROSS JOIN totals g
+    GROUP BY 1, 2
+),
+tfidf_top AS (
+    SELECT query_id, doc_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id
+        ) AS rank FROM scores
+    ) WHERE rank <= {TOP_DOCS}
+),
+ov AS (
+    SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM docs_bm25_topk b
+    JOIN tfidf_top t ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+    GROUP BY 1
+),
+qlist AS (SELECT * FROM (VALUES {qids}) AS ql(query_id))
+SELECT
+    ql.query_id,
+    COALESCE(o.n_overlap, 0) AS n_overlap,
+    {rnd_sql(f'COALESCE(o.n_overlap, 0) / CAST({TOP_DOCS} AS DOUBLE)', 4)} AS overlap_at_k
+FROM qlist ql LEFT JOIN ov o ON ql.query_id = o.query_id"""
+
+
+oracle(
+    "docs_rank_overlap",
+    ("documents", "docs_bm25_topk"),
+    _rank_overlap_oracle(),
+)

@@ -613,3 +613,223 @@ SELECT
     direct.direct_fp = merged.merged_fp AS merge_exact
 FROM direct CROSS JOIN merged""",
 )
+
+
+# --------------------------------------------------------------------------
+# Welch's two-sample t-test: purchase vs view event values
+# --------------------------------------------------------------------------
+
+#: the two event-type "arms" compared by the test
+WELCH_A = "purchase"
+WELCH_B = "click"
+
+
+@model("events_ab_welch", layer="operators", materialization="view")
+def events_ab_welch(ctx):
+    """Welch's unequal-variance two-sample t-test between the value
+    distributions of two event types — the A/B-test primitive that,
+    unlike the pooled t-test, stays valid when the arms differ in both
+    size and variance. One row: per-arm n/mean/variance, the mean
+    difference, Welch's t statistic, and the Welch-Satterthwaite
+    effective degrees of freedom.
+
+    Determinism: each arm reduces to (n, sum, sum-of-squares) via exact
+    decimal sums in ONE bounded aggregation; every derived quantity is
+    the same IEEE expression on both engines (the lineitem_corr_matrix
+    convention). Scale: one corpus pass to a 2-row frame."""
+    e = ctx.source("events").filter(
+        F.col("event_type").isin(WELCH_A, WELCH_B)
+    )
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("value")).alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    nn = F.col("n").cast("double")
+    mean = F.col("s1") / nn
+    var = (F.col("s2") - nn * mean * mean) / (nn - F.lit(1.0))
+    m = m.select(
+        "event_type", "n", mean.alias("mean"), var.alias("var")
+    )
+    a = m.filter(F.col("event_type") == WELCH_A).select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = m.filter(F.col("event_type") == WELCH_B).select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    va_n = F.col("var_a") / F.col("n_a").cast("double")
+    vb_n = F.col("var_b") / F.col("n_b").cast("double")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(va_n + vb_n)
+    dof = ((va_n + vb_n) * (va_n + vb_n)) / (
+        va_n * va_n / (F.col("n_a").cast("double") - F.lit(1.0))
+        + vb_n * vb_n / (F.col("n_b").cast("double") - F.lit(1.0))
+    )
+    return a.crossJoin(b).select(
+        F.lit(WELCH_A).alias("arm_a"),
+        F.lit(WELCH_B).alias("arm_b"),
+        "n_a",
+        "n_b",
+        rnd(F.col("mean_a"), 6).alias("mean_a"),
+        rnd(F.col("mean_b"), 6).alias("mean_b"),
+        rnd(F.col("var_a"), 6).alias("var_a"),
+        rnd(F.col("var_b"), 6).alias("var_b"),
+        rnd(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+        rnd(t, 6).alias("t_stat"),
+        rnd(dof, 4).alias("welch_dof"),
+    )
+
+
+oracle(
+    "events_ab_welch",
+    ("events",),
+    f"""WITH m AS (
+    SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        {dsum_sql('value')} AS s1,
+        {dsum_sql('value * value')} AS s2
+    FROM events WHERE event_type IN ('{WELCH_A}', '{WELCH_B}')
+    GROUP BY 1
+),
+mv AS (
+    SELECT event_type, n,
+        s1 / CAST(n AS DOUBLE) AS mean,
+        (s2 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+            / (CAST(n AS DOUBLE) - 1.0) AS var
+    FROM m
+),
+j AS (
+    SELECT
+        a.n AS n_a, b.n AS n_b,
+        a.mean AS mean_a, b.mean AS mean_b,
+        a.var AS var_a, b.var AS var_b,
+        a.var / CAST(a.n AS DOUBLE) AS va_n,
+        b.var / CAST(b.n AS DOUBLE) AS vb_n
+    FROM (SELECT * FROM mv WHERE event_type = '{WELCH_A}') a
+    CROSS JOIN (SELECT * FROM mv WHERE event_type = '{WELCH_B}') b
+)
+SELECT
+    '{WELCH_A}' AS arm_a,
+    '{WELCH_B}' AS arm_b,
+    n_a, n_b,
+    {rnd_sql('mean_a', 6)} AS mean_a,
+    {rnd_sql('mean_b', 6)} AS mean_b,
+    {rnd_sql('var_a', 6)} AS var_a,
+    {rnd_sql('var_b', 6)} AS var_b,
+    {rnd_sql('mean_a - mean_b', 6)} AS mean_diff,
+    {rnd_sql('(mean_a - mean_b) / sqrt(va_n + vb_n)', 6)} AS t_stat,
+    {rnd_sql(
+        '((va_n + vb_n) * (va_n + vb_n))'
+        ' / (va_n * va_n / (CAST(n_a AS DOUBLE) - 1.0)'
+        ' + vb_n * vb_n / (CAST(n_b AS DOUBLE) - 1.0))', 4
+    )} AS welch_dof
+FROM j""",
+)
+
+
+# --------------------------------------------------------------------------
+# table column statistics (the ANALYZE primitive)
+# --------------------------------------------------------------------------
+
+#: (column, is_numeric) — numeric columns report min/max as doubles;
+#: string/timestamp columns report NULL bounds (cross-engine string
+#: formatting of doubles/timestamps is not canonical, so bounds stay in
+#: the numeric domain where IEEE equality is exact)
+LI_STAT_COLS = (
+    ("l_orderkey", True),
+    ("l_partkey", True),
+    ("l_suppkey", True),
+    ("l_linenumber", True),
+    ("l_quantity", True),
+    ("l_extendedprice", True),
+    ("l_discount", True),
+    ("l_tax", True),
+    ("l_returnflag", False),
+    ("l_linestatus", False),
+    ("l_shipdate", False),
+)
+
+
+@model("lineitem_column_stats", layer="operators", materialization="view")
+def lineitem_column_stats(ctx):
+    """Per-column table statistics — the ANALYZE primitive a cost-based
+    optimizer feeds on: row count, null count/fraction, exact NDV, and
+    (for numeric columns) min/max. One row per column.
+
+    Scale: ONE aggregation pass computes every per-column metric
+    simultaneously (the multi-count-distinct expands map-side; at true
+    100 TB the exact NDVs swap for the repo's md5-register HLL sketches
+    — events_hll_users — column by column, same output schema), then a
+    single in-row struct explode unpivots the wide row to the per-column
+    ledger. No per-column rescans."""
+    l = ctx.source("lineitem")
+    aggs = [F.count(F.lit(1)).cast("long").alias("_rows")]
+    for c, numeric in LI_STAT_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"ndv_{c}"))
+        if numeric:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"mn_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"mx_{c}"))
+    wide = l.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_rows").alias("n_rows"),
+            F.col(f"nn_{c}").alias("n_null"),
+            F.col(f"ndv_{c}").alias("ndv"),
+            (
+                F.col(f"mn_{c}") if numeric else F.lit(None).cast("double")
+            ).alias("min_value"),
+            (
+                F.col(f"mx_{c}") if numeric else F.lit(None).cast("double")
+            ).alias("max_value"),
+        )
+        for c, numeric in LI_STAT_COLS
+    ]
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .withColumn(
+            "null_frac",
+            rnd(F.col("n_null") / F.col("n_rows").cast("double"), 6),
+        )
+    )
+
+
+def _col_stats_oracle() -> str:
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS _rows"]
+    for c, numeric in LI_STAT_COLS:
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nn_{c}"
+        )
+        aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv_{c}")
+        if numeric:
+            aggs.append(f"MIN(CAST({c} AS DOUBLE)) AS mn_{c}")
+            aggs.append(f"MAX(CAST({c} AS DOUBLE)) AS mx_{c}")
+    sels = []
+    for c, numeric in LI_STAT_COLS:
+        mn = f"mn_{c}" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if numeric else "CAST(NULL AS DOUBLE)"
+        sels.append(
+            f"""SELECT '{c}' AS column, _rows AS n_rows, nn_{c} AS n_null,
+    ndv_{c} AS ndv, {mn} AS min_value, {mx} AS max_value,
+    {rnd_sql(f'CAST(nn_{c} AS DOUBLE) / _rows', 6)} AS null_frac
+FROM wide"""
+        )
+    return (
+        "WITH wide AS (\n    SELECT "
+        + ",\n        ".join(aggs)
+        + "\n    FROM lineitem\n)\n"
+        + "\nUNION ALL\n".join(sels)
+    )
+
+
+oracle("lineitem_column_stats", ("lineitem",), _col_stats_oracle())

@@ -220,6 +220,14 @@ SHUFFLE_BUDGETS = {
     "daily_revenue_theilsen": 4,
     "events_schema_drift": 4,
     "embeddings_kcenter_sample": 0,
+    # rank overlap carries BOTH ranking pipelines (the bm25 DAG edge at
+    # its own 6-shuffle budget + the tf-idf ranking on its own
+    # checkpointed feedstock) + the bounded top-k overlap joins
+    "docs_rank_overlap": 15,
+    # Welch / column stats: one corpus aggregation each to a <= 11-row
+    # frame (the multi-count-distinct expand is the second exchange)
+    "events_ab_welch": 2,
+    "lineitem_column_stats": 2,
 }
 
 
