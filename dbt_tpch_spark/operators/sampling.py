@@ -968,3 +968,142 @@ FROM documents d
 JOIN dedup_doc_labels l ON d.doc_id = l.doc_id
 GROUP BY 1""",
 )
+
+
+# --------------------------------------------------------------------------
+# per-source token-budget waterfilling
+# --------------------------------------------------------------------------
+
+#: fraction of the corpus token count used as the training budget T
+WATERFILL_FRACTION = 0.5
+
+
+@model("docs_token_waterfill", layer="operators", materialization="view")
+def docs_token_waterfill(ctx):
+    """Waterfilling allocation of a token budget across sources: find the
+    cap λ with Σ min(tokens_s, λ) = T (T = WATERFILL_FRACTION of corpus
+    tokens) and give every source min(tokens_s, λ) — the max-min-fair
+    mixture a data-curation pipeline uses to stop one giant crawl from
+    swallowing the whole budget while small high-quality sources keep
+    every token they have. One row per source: its token count, its
+    allocation, the shared cap, and whether the source is capped.
+
+    λ has the closed form (T - P_j) / (m - j) where P_j is the prefix
+    sum of the j smallest sources — found by scanning the SORTED source
+    frame once (sources are a bounded domain, so the sort/windows run on
+    a tiny aggregate, never the corpus). If T >= total tokens the cap is
+    NULL and every source keeps everything."""
+    from pyspark.sql import Window
+
+    d = ctx.source("documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower(F.trim(F.col("text"))), " ")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    tot = src.agg(
+        F.sum("n_tokens").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    w = Window.orderBy("n_tokens", "source")
+    ranked = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "pref",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("prev_c", F.lag("n_tokens").over(w))
+        .localCheckpoint(eager=True)
+    )
+    t_budget = F.lit(WATERFILL_FRACTION) * F.col("total")
+    lam = (t_budget - (F.col("pref") - F.col("n_tokens")).cast("double")) / (
+        F.col("m") - F.col("rk") + 1
+    ).cast("double")
+    valid = (lam < F.col("n_tokens")) & (
+        F.col("prev_c").isNull() | (lam >= F.col("prev_c"))
+    )
+    cap = (
+        ranked.withColumn("lam", lam)
+        .filter(valid)
+        .orderBy("rk")
+        .limit(1)
+        .select(rnd(F.col("lam"), 6).alias("cap"))
+    )
+    return (
+        # LEFT join on TRUE, not a cross join: when T >= total tokens the
+        # cap frame is EMPTY and a cross join would wipe the output; the
+        # left join keeps every source with a NULL cap (= keep everything)
+        ranked.join(F.broadcast(cap), F.lit(True), "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce(
+                F.least(F.col("n_tokens").cast("double"), F.col("cap")),
+                F.col("n_tokens").cast("double"),
+            ).alias("_alloc"),
+            "cap",
+        )
+        .select(
+            "source",
+            "n_tokens",
+            rnd(F.col("_alloc"), 6).alias("allocation"),
+            "cap",
+            (
+                F.col("cap").isNotNull()
+                & (F.col("n_tokens").cast("double") > F.col("cap"))
+            ).alias("is_capped"),
+        )
+    )
+
+
+oracle(
+    "docs_token_waterfill",
+    ("documents",),
+    f"""WITH src AS (
+    SELECT source,
+        CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
+            AS n_tokens
+    FROM documents GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total,
+           CAST(COUNT(*) AS BIGINT) AS m
+    FROM src
+),
+ranked AS (
+    SELECT s.*, t.total, t.m,
+        CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
+        SUM(n_tokens) OVER (
+            ORDER BY n_tokens, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS pref,
+        LAG(n_tokens) OVER w AS prev_c
+    FROM src s CROSS JOIN tot t
+    WINDOW w AS (ORDER BY n_tokens, source)
+),
+cand AS (
+    SELECT rk,
+        ({WATERFILL_FRACTION} * total - CAST(pref - n_tokens AS DOUBLE))
+            / CAST(m - rk + 1 AS DOUBLE) AS lam,
+        n_tokens, prev_c
+    FROM ranked
+),
+cap AS (
+    SELECT {rnd_sql('lam', 6)} AS cap FROM cand
+    WHERE lam < n_tokens AND (prev_c IS NULL OR lam >= prev_c)
+    ORDER BY rk LIMIT 1
+)
+SELECT
+    r.source,
+    r.n_tokens,
+    {rnd_sql(
+        'COALESCE(LEAST(CAST(r.n_tokens AS DOUBLE), c.cap),'
+        ' CAST(r.n_tokens AS DOUBLE))', 6
+    )} AS allocation,
+    c.cap,
+    (c.cap IS NOT NULL AND CAST(r.n_tokens AS DOUBLE) > c.cap) AS is_capped
+FROM ranked r LEFT JOIN cap c ON TRUE""",
+)

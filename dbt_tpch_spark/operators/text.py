@@ -1091,3 +1091,175 @@ SELECT
 FROM scored
 GROUP BY 1, 2, 3""",
 )
+
+
+# --------------------------------------------------------------------------
+# held-out bigram-LM perplexity (train split -> eval split)
+# --------------------------------------------------------------------------
+
+#: split convention shared with docs_split_assign (operators/sampling.py):
+#: md5('split|'||doc_id) first hex digit 0-d = train (14/16), e-f = eval
+LM_SPLIT_SALT = "split|"
+LM_TRAIN_BOUND = "e"
+
+
+@model("lm_heldout_perplexity", layer="operators", materialization="view")
+def lm_heldout_perplexity(ctx):
+    """Held-out perplexity of the add-one-smoothed bigram LM: the model
+    trains on the deterministic train split (the docs_split_assign
+    convention) and is evaluated on the held-out sixteenths — the honest
+    generalization number, where doc_bigram_surprisal scores in-sample.
+    Unseen eval bigrams/contexts fall back to the smoothing mass
+    ((0+1)/(0+V)) instead of crashing — exactly what add-one is for.
+    One row: split sizes, eval bigram count, train vocabulary, mean
+    held-out NLL, and perplexity = exp(NLL).
+
+    Scale: same feedstock shape as doc_bigram_surprisal (one positional
+    bigram explode, vocab²-bounded LM broadcasts); the split predicate
+    is a pure row-local md5 — no split materialization needed."""
+    from dbt_tpch_spark.functions import dsum
+
+    d = ctx.source("documents")
+    skey = F.md5(F.concat(F.lit(LM_SPLIT_SALT), F.col("doc_id").cast("string")))
+    d = d.withColumn("is_train", skey < F.lit(LM_TRAIN_BOUND))
+    bigrams = d.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "zip_with("
+                " slice(split(lower(trim(text)), ' '), 1,"
+                "       size(split(lower(trim(text)), ' ')) - 1),"
+                " slice(split(lower(trim(text)), ' '), 2,"
+                "       size(split(lower(trim(text)), ' ')) - 1),"
+                " (x, y) -> struct(x AS prev, y AS w))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "is_train",
+        F.col("bg.prev").alias("prev"),
+        F.col("bg.w").alias("w"),
+    )
+    dtf = (
+        bigrams.groupBy("doc_id", "is_train", "prev", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    train = dtf.filter(F.col("is_train"))
+    bc = train.groupBy("prev", "w").agg(F.sum("tf").cast("long").alias("c_bg"))
+    cc = bc.groupBy("prev").agg(F.sum("c_bg").cast("long").alias("c_prev"))
+    vocab = (
+        d.filter(F.col("is_train"))
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("t")
+        )
+        .agg(F.countDistinct("t").cast("double").alias("v"))
+    )
+    counts = d.groupBy().agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_docs"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_eval_docs"),
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("c_bg"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v"))
+    )
+    scored = (
+        dtf.filter(~F.col("is_train"))
+        .join(F.broadcast(bc), ["prev", "w"], "left")
+        .join(F.broadcast(cc), "prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("tok_nll", rnd(nll, 9))
+    )
+    agg = scored.agg(
+        F.sum("tf").cast("long").alias("n_eval_bigrams"),
+        (dsum(F.col("tok_nll") * F.col("tf")) / F.sum("tf").cast("double")).alias(
+            "_avg"
+        ),
+        F.any_value(F.col("v")).alias("_v"),
+    )
+    return agg.crossJoin(F.broadcast(counts)).select(
+        "n_train_docs",
+        "n_eval_docs",
+        "n_eval_bigrams",
+        F.col("_v").cast("long").alias("train_vocab"),
+        rnd(F.col("_avg"), 6).alias("avg_nll"),
+        rnd(F.exp(rnd(F.col("_avg"), 6)), 4).alias("perplexity"),
+    )
+
+
+oracle(
+    "lm_heldout_perplexity",
+    ("documents",),
+    f"""WITH d AS (
+    SELECT doc_id, text,
+           md5('{LM_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)) < '{LM_TRAIN_BOUND}'
+               AS is_train
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, is_train,
+           unnest(string_split(lower(trim(text)), ' ')) AS w,
+           generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+    FROM d
+),
+pairs AS (
+    SELECT a.doc_id, a.is_train, a.w AS prev, b.w AS w
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+dtf AS (
+    SELECT doc_id, is_train, prev, w, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM pairs GROUP BY 1, 2, 3, 4
+),
+bc AS (
+    SELECT prev, w, CAST(SUM(tf) AS BIGINT) AS c_bg
+    FROM dtf WHERE is_train GROUP BY 1, 2
+),
+cc AS (
+    SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_prev FROM bc GROUP BY 1
+),
+vocab AS (
+    SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v FROM (
+        SELECT unnest(string_split(lower(trim(text)), ' ')) AS t
+        FROM d WHERE is_train
+    )
+),
+counts AS (
+    SELECT
+        CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train_docs,
+        CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n_eval_docs
+    FROM d
+),
+scored AS (
+    SELECT t.tf,
+        {rnd_sql(
+            '-LN((COALESCE(b.c_bg, 0) + 1.0)'
+            ' / (COALESCE(c.c_prev, 0) + v.v))', 9
+        )} AS tok_nll,
+        v.v
+    FROM dtf t
+    LEFT JOIN bc b ON t.prev = b.prev AND t.w = b.w
+    LEFT JOIN cc c ON t.prev = c.prev
+    CROSS JOIN vocab v
+    WHERE NOT t.is_train
+),
+agg AS (
+    SELECT
+        CAST(SUM(tf) AS BIGINT) AS n_eval_bigrams,
+        {dsum_sql('tok_nll * tf')} / CAST(SUM(tf) AS DOUBLE) AS _avg,
+        ANY_VALUE(v) AS _v
+    FROM scored
+)
+SELECT
+    counts.n_train_docs,
+    counts.n_eval_docs,
+    agg.n_eval_bigrams,
+    CAST(agg._v AS BIGINT) AS train_vocab,
+    {rnd_sql('agg._avg', 6)} AS avg_nll,
+    {rnd_sql(f"exp({rnd_sql('agg._avg', 6)})", 4)} AS perplexity
+FROM agg CROSS JOIN counts""",
+)

@@ -224,6 +224,13 @@ SHUFFLE_BUDGETS = {
     # its own 6-shuffle budget + the tf-idf ranking on its own
     # checkpointed feedstock) + the bounded top-k overlap joins
     "docs_rank_overlap": 15,
+    # held-out LM: post-materialization plan (the split-tagged bigram tf
+    # table checkpoints once) — train LM aggs + vocab + the eval scoring
+    # joins; waterfill runs entirely on the checkpointed <= |sources|-row
+    # frame (the window sort is over 20 rows, the one corpus agg happens
+    # at checkpoint build)
+    "lm_heldout_perplexity": 7,
+    "docs_token_waterfill": 0,
     # Welch / column stats: one corpus aggregation each to a <= 11-row
     # frame (the multi-count-distinct expand is the second exchange)
     "events_ab_welch": 2,
