@@ -521,10 +521,10 @@ def customers_linkage_scores(ctx):
         F.floor(F.col("c_acctbal") / F.lit(FS_BAND_WIDTH)).cast("long").alias("band"),
     )
     pairs = _snm_adjacency(d, ("nation", "segment", "band"))
+    n_tot = d.count()  # ONE count over the customer scan, shared by all u's
 
     def _u(field):
         per_v = d.groupBy(field).agg(F.count(F.lit(1)).alias("n"))
-        n_tot = d.count()  # single count over the customer scan
         p = F.col("n") / F.lit(float(n_tot))
         return per_v.agg(
             dsum(rnd(p * p, 12)).alias(f"u_{field}")

@@ -259,3 +259,68 @@ def test_cluster_sharding_never_straddles_pairs(spark, sf_dir):
     census = ctx.ref("docs_shard_by_cluster")
     total = census.agg(F.sum("n_docs")).head()[0]
     assert total == ctx.source("documents").count()
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: waterfilling, k-center, entity clusters
+# ---------------------------------------------------------------------------
+
+
+def test_waterfill_allocations_sum_to_budget(spark, sf_dir):
+    """The waterfilling contract: when a cap exists, sum(allocation) must
+    equal the budget T (= fraction x total tokens) up to the 6-dp cap
+    rounding, capped sources must be exactly the ones above the cap, and
+    uncapped sources keep every token."""
+    from dbt_tpch_spark.operators.sampling import WATERFILL_FRACTION
+
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("docs_token_waterfill").collect()
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    budget = WATERFILL_FRACTION * total
+    got = sum(r["allocation"] for r in rows)
+    # each of the <= |sources| capped rows carries <= 5e-7 cap rounding
+    assert abs(got - budget) <= 1e-6 * len(rows) + 1e-6
+    for r in rows:
+        if r["is_capped"]:
+            assert r["n_tokens"] > r["cap"] and r["allocation"] == r["cap"]
+        else:
+            assert r["allocation"] == float(r["n_tokens"])
+
+
+def test_kcenter_radii_nonincreasing(spark, sf_dir):
+    """Gonzalez greedy picks the FARTHEST point each round, so selection
+    radii are non-increasing after the seed; all centers are distinct."""
+    ctx = Context(spark, sf_dir)
+    rows = sorted(
+        ctx.ref("embeddings_kcenter_sample").collect(),
+        key=lambda r: r["center_rank"],
+    )
+    assert rows[0]["center_rank"] == 1 and rows[0]["radius"] == 0.0
+    radii = [r["radius"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_entity_clusters_respect_linkage_pairs(spark, sf_dir):
+    """Both endpoints of every positive-score linkage pair must share an
+    entity label; labels are component minima (entity_id <= customer_key);
+    entity sizes sum to the corpus."""
+    ctx = Context(spark, sf_dir)
+    labels = {
+        r["customer_key"]: r["entity_id"]
+        for r in ctx.ref("customers_entity_clusters").collect()
+    }
+    n_cust = ctx.source("customer").count()
+    assert len(labels) == n_cust
+    assert all(eid <= ck for ck, eid in labels.items())
+    matches = (
+        ctx.ref("customers_linkage_scores")
+        .filter(F.col("is_candidate_match"))
+        .select("customer_a", "customer_b")
+        .collect()
+    )
+    assert matches
+    for m in matches:
+        assert labels[m["customer_a"]] == labels[m["customer_b"]]
