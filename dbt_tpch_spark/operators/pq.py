@@ -443,3 +443,101 @@ oracle(
 ),
 {_pq_prelude(table="rotemb")}{_ADC_TAIL_SQL}""",
 )
+
+
+# --------------------------------------------------------------------------
+# Scalar (int8) quantization with measured reconstruction error
+# --------------------------------------------------------------------------
+
+#: full vector dimensionality (M subvectors x SUBDIM dims)
+_SQ_DIMS = M_SUBVECTORS * SUBDIM
+#: int8 code range: codes 0..255 mapped affinely onto [lo_d, hi_d]
+_SQ_LEVELS = 255.0
+
+
+@model("embeddings_int8_quant", layer="operators", materialization="view")
+def embeddings_int8_quant(ctx):
+    """Per-dimension affine int8 scalar quantization of the embedding
+    table with the realized reconstruction error, reported per label —
+    the 4x-bandwidth-compression sibling of PQ (one byte per DIMENSION
+    instead of one byte per 8-dim subvector): cheaper to encode/decode,
+    4x bigger codes, far lower error. This operator is the calibration
+    harness that tells you which compression tier a corpus tolerates.
+
+    Per dimension d: codes ``round((x - lo_d) / ((hi_d - lo_d)/255))``
+    (constant dimensions encode to 0 losslessly); dequantized value
+    ``lo_d + code * step_d``; per-label mean-squared and max-absolute
+    reconstruction error over all n*64 cells.
+
+    Determinism: lo/hi are exact min/max; every derived quantity is the
+    same IEEE expression on identical doubles in both engines; squared
+    errors are rnd-quantized at 15 dp (err^2 <= 1e-4, so 11 significant
+    digits survive) and accumulated through DECIMAL(38,15).
+
+    Scale: one posexplode pass to (row, dim) grain, a 64-row min/max
+    aggregate joined back through the broadcast gate, one bounded
+    per-label reduction. No windows, no SF-dependent state."""
+    from dbt_tpch_spark.functions import gated_broadcast
+
+    e = ctx.source("embeddings")
+    xi = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "x0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).cast("long").alias("dim"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    rng = xi.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / F.lit(_SQ_LEVELS)
+    code = F.when(
+        F.col("hi") > F.col("lo"),
+        F.floor((F.col("x") - F.col("lo")) / step + F.lit(0.5)),
+    ).otherwise(F.lit(0))
+    q = xi.join(gated_broadcast(rng, _SQ_DIMS), "dim").withColumn(
+        "err", F.col("x") - (F.col("lo") + code.cast("double") * step)
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        rnd(
+            F.sum(rnd(F.col("err") * F.col("err"), 15).cast("decimal(38,15)"))
+            .cast("double") / n,
+            12,
+        ).alias("mse"),
+        F.max(rnd(F.abs(F.col("err")), 9)).alias("max_abs_err"),
+    )
+
+
+oracle(
+    "embeddings_int8_quant",
+    ("embeddings",),
+    f"""WITH dims AS (SELECT UNNEST(range(1, {_SQ_DIMS + 1})) AS i),
+xi AS (
+    SELECT vec_id, label, d.i AS dim, CAST(embedding[d.i] AS DOUBLE) AS x
+    FROM embeddings CROSS JOIN dims d
+),
+rng AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM xi GROUP BY dim),
+q AS (
+    SELECT label, x, lo, hi,
+        CASE WHEN hi > lo
+             THEN FLOOR((x - lo) / ((hi - lo) / {_SQ_LEVELS!r}) + 0.5)
+             ELSE 0 END AS code
+    FROM xi JOIN rng USING (dim)
+),
+er AS (
+    SELECT label,
+        x - (lo + code * ((hi - lo) / {_SQ_LEVELS!r})) AS err
+    FROM q
+)
+SELECT label,
+    CAST(COUNT(*) AS BIGINT) AS n_cells,
+    {rnd_sql(
+        'CAST(SUM(CAST(' + rnd_sql('err * err', 15) + ' AS DECIMAL(38,15)))'
+        ' AS DOUBLE) / COUNT(*)', 12)} AS mse,
+    MAX({rnd_sql('ABS(err)', 9)}) AS max_abs_err
+FROM er
+GROUP BY label""",
+)

@@ -816,3 +816,140 @@ oracle(
     ("documents", "docs_bm25_topk"),
     _rank_overlap_oracle(),
 )
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence: each source vs the rest of the corpus
+# --------------------------------------------------------------------------
+
+#: ln(2) as a literal so both engines use the identical constant (JSD's
+#: natural-log upper bound) instead of trusting two libm ln(2.0) calls
+_LN2 = 0.6931471805599453
+
+
+@model("source_js_divergence", layer="operators", materialization="view")
+def source_js_divergence(ctx):
+    """Per-source Jensen-Shannon divergence between the source's unigram
+    distribution and the REST of the corpus (leave-one-out) — the
+    symmetric, bounded ([0, ln 2]) complement to source_vocab_divergence's
+    KL: JS never blows up on disjoint vocabulary, so it ranks genuinely
+    alien sources instead of saturating on them.
+
+    JSD(P||Q) = 0.5*Σ p*ln(p/m) + 0.5*Σ q*ln(q/m), m=(p+q)/2, with the
+    mass of terms ABSENT from the source folded in closed form:
+    Σ_{t∉s} 0.5*q_t*ln 2 = 0.5*ln 2*(1 - Σ_{t∈s} q_t). That keeps the
+    scored frame at (source, observed-term) grain — never |vocab|×|sources|.
+
+    Scale shape: ONE tokenize pass -> (source,term) counts, materialized
+    once (localCheckpoint) because THREE consumers read it (unigram table,
+    per-source totals, the scored join) — without the barrier each one
+    re-tokenizes the corpus; the term join is a plain shuffle join at
+    vocabulary grain (no broadcast of an unbounded frame); per-term
+    contributions are rnd-quantized to 9 dp and accumulated through
+    DECIMAL(30,9) so the sum is order-free."""
+    d = ctx.source("documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_sw")
+    ).localCheckpoint(eager=False)
+    ug = st.groupBy("term").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    stot = st.groupBy("source").agg(F.sum("c_sw").cast("double").alias("n_s"))
+    tot = ug.agg(F.sum("c_w").cast("double").alias("n_tokens"))
+
+    p = F.col("c_sw") / F.col("n_s")
+    nr = F.col("n_tokens") - F.col("n_s")
+    q = (F.col("c_w") - F.col("c_sw")).cast("double") / nr
+    m = (p + q) / F.lit(2.0)
+    contrib = (
+        F.lit(0.5) * p * F.log(p / m)
+        + F.when(q > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    scored = (
+        st.join(ug, "term")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s"),
+            rnd(contrib, 9).alias("js_term"),
+            rnd(q, 12).alias("q_term"),
+        )
+    )
+    agg = scored.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_tokens_source"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.col("js_term").cast("decimal(30,9)")).cast("double").alias("_js_obs"),
+        F.sum(F.col("q_term").cast("decimal(32,12)")).cast("double").alias("_sq"),
+    )
+    jsd = F.col("_js_obs") + F.lit(0.5 * _LN2) * (F.lit(1.0) - F.col("_sq"))
+    agg = agg.select(
+        "source",
+        "n_tokens_source",
+        "n_terms",
+        rnd(jsd, 6).alias("js_divergence"),
+    )
+    w = Window.orderBy(F.col("js_divergence").desc(), F.col("source"))
+    return agg.withColumn(
+        "divergence_rank", F.row_number().over(w).cast("long")
+    )
+
+
+oracle(
+    "source_js_divergence",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT source,
+           unnest(string_split(lower(trim(text)), ' ')) AS term
+    FROM documents
+),
+st AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_sw
+    FROM toks GROUP BY 1, 2
+),
+ug AS (
+    SELECT term, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM st GROUP BY 1
+),
+stot AS (
+    SELECT source, CAST(SUM(c_sw) AS DOUBLE) AS n_s FROM st GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c_w) AS DOUBLE) AS n_tokens FROM ug),
+scored AS (
+    SELECT s.source, o.n_s,
+        {rnd_sql(
+            "0.5 * (s.c_sw / o.n_s)"
+            " * ln((s.c_sw / o.n_s) / (((s.c_sw / o.n_s)"
+            "   + ((u.c_w - s.c_sw) / (t.n_tokens - o.n_s))) / 2.0))"
+            " + CASE WHEN (u.c_w - s.c_sw) > 0 THEN"
+            "   0.5 * ((u.c_w - s.c_sw) / (t.n_tokens - o.n_s))"
+            "   * ln(((u.c_w - s.c_sw) / (t.n_tokens - o.n_s))"
+            "     / (((s.c_sw / o.n_s)"
+            "       + ((u.c_w - s.c_sw) / (t.n_tokens - o.n_s))) / 2.0))"
+            " ELSE 0.0 END",
+            9,
+        )} AS js_term,
+        {rnd_sql("(u.c_w - s.c_sw) / (t.n_tokens - o.n_s)", 12)} AS q_term
+    FROM st s
+    JOIN ug u ON s.term = u.term
+    JOIN stot o ON s.source = o.source
+    CROSS JOIN tot t
+),
+agg AS (
+    SELECT
+        source,
+        CAST(MAX(n_s) AS BIGINT) AS n_tokens_source,
+        CAST(COUNT(*) AS BIGINT) AS n_terms,
+        CAST(SUM(CAST(js_term AS DECIMAL(30,9))) AS DOUBLE) AS js_obs,
+        CAST(SUM(CAST(q_term AS DECIMAL(32,12))) AS DOUBLE) AS sq
+    FROM scored
+    GROUP BY 1
+)
+SELECT source, n_tokens_source, n_terms,
+    {rnd_sql(f'js_obs + 0.5 * {_LN2!r} * (1.0 - sq)', 6)} AS js_divergence,
+    CAST(ROW_NUMBER() OVER (
+        ORDER BY {rnd_sql(f'js_obs + 0.5 * {_LN2!r} * (1.0 - sq)', 6)} DESC,
+                 source) AS BIGINT) AS divergence_rank
+FROM agg""",
+)

@@ -1107,3 +1107,136 @@ SELECT
     (c.cap IS NOT NULL AND CAST(r.n_tokens AS DOUBLE) > c.cap) AS is_capped
 FROM ranked r LEFT JOIN cap c ON TRUE""",
 )
+
+
+# --------------------------------------------------------------------------
+# Gumbel-top-k: deterministic weighted sampling WITHOUT replacement
+# --------------------------------------------------------------------------
+
+#: sample size for the weighted draw
+GUMBEL_K = 64
+GUMBEL_SALT = "gumbel|"
+_GHEX = "0123456789abcdef"
+
+
+@model("docs_gumbel_topk", layer="operators", materialization="view")
+def docs_gumbel_topk(ctx):
+    """Weighted sample of K documents WITHOUT replacement, probability
+    proportional to size (n_chars), via the Gumbel-top-k trick: the top K
+    documents by ``ln(w) + G`` where ``G = -ln(-ln(u))`` is a Gumbel
+    perturbation, are EXACTLY a w-proportional sample without replacement
+    (Yellott 1977 / the exponential-clocks equivalence) — the one-pass,
+    join-free way to draw a weighted subset of a 100 TB corpus.
+
+    Determinism: u comes from 6 hex digits of a salted md5 of the doc id
+    (u = (v + 0.5)/16^6 — never 0 or 1), so the "randomness" is a pure
+    function of the key: reproducible, resumable, engine-identical. The
+    perturbed key is rnd-quantized at 9 dp BEFORE ranking, with doc_id as
+    the tie-break, so both engines rank the same order.
+
+    Scale: a stateless per-row map, then ``row_number() <= K`` over the
+    quantized key, which Catalyst plans as TakeOrderedAndProject (a
+    per-partition K-heap + K-row merge) — no global sort, no shuffle of
+    the corpus. Output is K rows."""
+    from pyspark.sql.window import Window
+
+    d = ctx.source("documents").filter(F.col("n_chars") > 0)
+    v = None
+    for i in range(1, 7):
+        dig = F.expr(f"instr('{_GHEX}', substring(md5('{GUMBEL_SALT}' || CAST(doc_id AS STRING)), {i}, 1)) - 1")
+        v = dig if v is None else v * F.lit(16) + dig
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(16**6))
+    gkey = rnd(F.log(F.col("n_chars").cast("double")) - F.log(-F.log(u)), 9)
+    scored = d.select(
+        "doc_id", "source", "lang", "n_chars", gkey.alias("gumbel_key")
+    )
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= GUMBEL_K)
+        .select("rn", "doc_id", "source", "lang", "n_chars", "gumbel_key")
+    )
+
+
+def _gumbel_digit_sql(i: int) -> str:
+    return (
+        f"(strpos('{_GHEX}', substring(md5('{GUMBEL_SALT}' ||"
+        f" CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+    )
+
+
+oracle(
+    "docs_gumbel_topk",
+    ("documents",),
+    f"""WITH v AS (
+    SELECT doc_id, source, lang, n_chars,
+        ((((({_gumbel_digit_sql(1)}) * 16 + {_gumbel_digit_sql(2)}) * 16
+            + {_gumbel_digit_sql(3)}) * 16 + {_gumbel_digit_sql(4)}) * 16
+            + {_gumbel_digit_sql(5)}) * 16 + {_gumbel_digit_sql(6)} AS hv
+    FROM documents WHERE n_chars > 0
+),
+s AS (
+    SELECT doc_id, source, lang, n_chars,
+        {rnd_sql(
+            'ln(CAST(n_chars AS DOUBLE))'
+            f' - ln(-ln((CAST(hv AS DOUBLE) + 0.5) / {float(16**6)!r}))', 9)}
+            AS gumbel_key
+    FROM v
+),
+r AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY gumbel_key DESC, doc_id) AS BIGINT) AS rn
+    FROM s
+)
+SELECT rn, doc_id, source, lang, n_chars, gumbel_key
+FROM r WHERE rn <= {GUMBEL_K}""",
+)
+
+
+# --------------------------------------------------------------------------
+# Per-group reservoir: fixed-k deterministic uniform sample per source
+# --------------------------------------------------------------------------
+
+RESERVOIR_K = 5
+RESERVOIR_SALT = "reservoir|"
+
+
+@model("docs_reservoir_per_source", layer="operators", materialization="view")
+def docs_reservoir_per_source(ctx):
+    """Fixed-size (k=5) uniform sample per source — the per-group
+    "show me a few examples" primitive every corpus review needs. Keeping
+    the k smallest salted-md5 keys within each group IS a uniform
+    k-reservoir (bottom-k by a random-uniform key), but deterministic,
+    mergeable across shards (re-rank the union), and engine-identical.
+
+    Scale: ``row_number() <= k`` over a window PARTITIONED by source
+    plans as WindowGroupLimit — a running per-group k-heap, no global
+    sort, no group materialization. Output is |sources| x k rows."""
+    from pyspark.sql.window import Window
+
+    d = ctx.source("documents")
+    key = F.md5(
+        F.concat(F.lit(RESERVOIR_SALT), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id"))
+    return (
+        d.withColumn("slot", F.row_number().over(w).cast("long"))
+        .filter(F.col("slot") <= RESERVOIR_K)
+        .select("source", "slot", "doc_id", "lang", "n_chars")
+    )
+
+
+oracle(
+    "docs_reservoir_per_source",
+    ("documents",),
+    f"""WITH r AS (
+    SELECT source, doc_id, lang, n_chars,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY md5('{RESERVOIR_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+        ) AS BIGINT) AS slot
+    FROM documents
+)
+SELECT source, slot, doc_id, lang, n_chars
+FROM r WHERE slot <= {RESERVOIR_K}""",
+)

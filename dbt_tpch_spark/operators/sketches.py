@@ -978,3 +978,117 @@ SELECT 'partkey_selfjoin', e.cms_estimate, x.exact_size,
     {rnd_sql('CAST(e.cms_estimate - x.exact_size AS DOUBLE) / x.exact_size', 6)} AS rel_error
 FROM est_f2 e CROSS JOIN exact_f2 x""",
 )
+
+
+# --------------------------------------------------------------------------
+# System-R NDV join-cardinality estimate (the optimizer's textbook model)
+# --------------------------------------------------------------------------
+
+
+@model("joinsize_ndv_estimate", layer="operators", materialization="view")
+def joinsize_ndv_estimate(ctx):
+    """The Selinger/System-R cardinality model — ``|A join_k B| =
+    n_A * n_B / max(ndv_A(k), ndv_B(k))`` (uniformity + containment
+    assumptions) — evaluated against the EXACT join sizes for the same two
+    joins lineitem_joinsize_cms sketches: the fact-fact FK join
+    (lineitem x orders on order key) and the skewed self-join (lineitem on
+    part key, i.e. F2). One row: both estimates, both exact sizes, and the
+    realized relative error of each — the three-way comparison (NDV model
+    vs CMS sketch vs truth) an optimizer bake-off needs.
+
+    Exact sizes come from the sum-of-frequency-products identity over
+    key-grain aggregates — the join itself is never materialized.
+
+    Scale: two scalar aggregation passes (the multi-count-distinct expand)
+    plus two key-grain frequency aggregations and one co-partitioned join
+    at key grain; everything downstream is 1-row arithmetic."""
+    l = ctx.source("lineitem")
+    o = ctx.source("orders")
+    s1 = l.agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        F.countDistinct("l_orderkey").cast("long").alias("ndv_l_orderkey"),
+        F.countDistinct("l_partkey").cast("long").alias("ndv_l_partkey"),
+    )
+    s2 = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_o"),
+        F.countDistinct("o_orderkey").cast("long").alias("ndv_o_orderkey"),
+    )
+    fl = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("f_l"))
+    fo = o.groupBy("o_orderkey").agg(F.count(F.lit(1)).cast("long").alias("f_o"))
+    exact_fk = (
+        fl.join(fo, fl.l_orderkey == fo.o_orderkey)
+        .agg(F.sum(F.col("f_l") * F.col("f_o")).cast("long").alias("exact_fk"))
+    )
+    fp = l.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("f_p"))
+    exact_self = fp.agg(
+        F.sum(F.col("f_p") * F.col("f_p")).cast("long").alias("exact_self")
+    )
+    r = (
+        s1.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(exact_fk))
+        .crossJoin(F.broadcast(exact_self))
+    )
+    est_fk = (
+        F.col("n_l").cast("double")
+        * F.col("n_o").cast("double")
+        / F.greatest("ndv_l_orderkey", "ndv_o_orderkey").cast("double")
+    )
+    est_self = (
+        F.col("n_l").cast("double")
+        * F.col("n_l").cast("double")
+        / F.col("ndv_l_partkey").cast("double")
+    )
+    return r.select(
+        "n_l",
+        "n_o",
+        "ndv_l_orderkey",
+        "ndv_o_orderkey",
+        "ndv_l_partkey",
+        rnd(est_fk, 2).alias("est_fk"),
+        "exact_fk",
+        rnd((est_fk - F.col("exact_fk")) / F.col("exact_fk"), 6).alias(
+            "err_fk"
+        ),
+        rnd(est_self, 2).alias("est_self"),
+        "exact_self",
+        rnd((est_self - F.col("exact_self")) / F.col("exact_self"), 6).alias(
+            "err_self"
+        ),
+    )
+
+
+oracle(
+    "joinsize_ndv_estimate",
+    ("lineitem", "orders"),
+    f"""WITH s1 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_l,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_l_orderkey,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_l_partkey
+    FROM lineitem
+),
+s2 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_o,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv_o_orderkey
+    FROM orders
+),
+fl AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS f_l FROM lineitem GROUP BY 1),
+fo AS (SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS f_o FROM orders GROUP BY 1),
+efk AS (
+    SELECT CAST(SUM(f_l * f_o) AS BIGINT) AS exact_fk
+    FROM fl JOIN fo ON fl.l_orderkey = fo.o_orderkey
+),
+fp AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f_p FROM lineitem GROUP BY 1),
+esj AS (SELECT CAST(SUM(f_p * f_p) AS BIGINT) AS exact_self FROM fp)
+SELECT n_l, n_o, ndv_l_orderkey, ndv_o_orderkey, ndv_l_partkey,
+    {rnd_sql('CAST(n_l AS DOUBLE) * n_o / GREATEST(ndv_l_orderkey, ndv_o_orderkey)', 2)} AS est_fk,
+    exact_fk,
+    {rnd_sql(
+        '(CAST(n_l AS DOUBLE) * n_o / GREATEST(ndv_l_orderkey, ndv_o_orderkey)'
+        ' - exact_fk) / exact_fk', 6)} AS err_fk,
+    {rnd_sql('CAST(n_l AS DOUBLE) * n_l / ndv_l_partkey', 2)} AS est_self,
+    exact_self,
+    {rnd_sql(
+        '(CAST(n_l AS DOUBLE) * n_l / ndv_l_partkey - exact_self)'
+        ' / exact_self', 6)} AS err_self
+FROM s1 CROSS JOIN s2 CROSS JOIN efk CROSS JOIN esj""",
+)

@@ -1263,3 +1263,62 @@ SELECT
     {rnd_sql(f"exp({rnd_sql('agg._avg', 6)})", 4)} AS perplexity
 FROM agg CROSS JOIN counts""",
 )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix (evaluation primitive over doc_language_id)
+# --------------------------------------------------------------------------
+
+
+@model("doc_lang_confusion", layer="operators", materialization="view")
+def doc_lang_confusion(ctx):
+    """Confusion matrix of the marker-word language-ID against the corpus
+    label — the evaluation primitive that turns a per-doc classifier into
+    reviewable quality numbers (which languages bleed into which). One row
+    per (actual, predicted) pair: count, row-share (recall contribution),
+    column-share (precision contribution), diagonal flag.
+
+    Scale: the classifier output reduces to a <=|langs|^2-cell frame in
+    one aggregation; marginals join back on bounded keys. Everything past
+    the (reused) doc_language_id scan is bounded-cardinality."""
+    p = ctx.ref("doc_language_id").select("lang", "predicted_lang")
+    cm = p.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    actual = cm.groupBy("lang").agg(F.sum("n").cast("long").alias("n_actual"))
+    pred = cm.groupBy("predicted_lang").agg(
+        F.sum("n").cast("long").alias("n_predicted")
+    )
+    return (
+        cm.join(actual, "lang")
+        .join(pred, "predicted_lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            "n_actual",
+            "n_predicted",
+            rnd(F.col("n") / F.col("n_actual"), 9).alias("share_of_actual"),
+            rnd(F.col("n") / F.col("n_predicted"), 9).alias("share_of_predicted"),
+            (F.col("lang") == F.col("predicted_lang")).alias("is_diagonal"),
+        )
+    )
+
+
+oracle(
+    "doc_lang_confusion",
+    ("documents", "doc_language_id"),
+    """WITH cm AS (
+    SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM doc_language_id GROUP BY 1, 2
+),
+actual AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_actual FROM cm GROUP BY 1),
+pred AS (SELECT predicted_lang, CAST(SUM(n) AS BIGINT) AS n_predicted FROM cm GROUP BY 1)
+SELECT cm.lang, cm.predicted_lang, cm.n, actual.n_actual, pred.n_predicted,
+    (FLOOR((CAST(cm.n AS DOUBLE) / actual.n_actual) * 1000000000.0 + 0.5) / 1000000000.0) AS share_of_actual,
+    (FLOOR((CAST(cm.n AS DOUBLE) / pred.n_predicted) * 1000000000.0 + 0.5) / 1000000000.0) AS share_of_predicted,
+    (cm.lang = cm.predicted_lang) AS is_diagonal
+FROM cm
+JOIN actual USING (lang)
+JOIN pred USING (predicted_lang)""",
+)

@@ -235,6 +235,32 @@ SHUFFLE_BUDGETS = {
     # frame (the multi-count-distinct expand is the second exchange)
     "events_ab_welch": 2,
     "lineitem_column_stats": 2,
+    # rank statistics (round 5): value-grain arm counts (1) + the bucketed
+    # exact cumsum (stats agg + local-window hash; offsets ride a <=32-row
+    # broadcast) + the final 1-row reduction; benford is two bounded aggs
+    # + the digit census; burstiness reuses its user-partition sort for
+    # the per-user agg, band rollup is bounded
+    "events_ks_test": 4,
+    "events_mannwhitney": 4,
+    "events_benford": 3,
+    "customer_gini": 4,
+    "user_interarrival_burstiness": 2,
+    # JS divergence: checkpointed (source,term) feedstock read by three
+    # consumers; term-grain shuffle join (deliberately NOT broadcast) +
+    # bounded source rollup
+    "source_js_divergence": 6,
+    # gumbel weighted sample: stateless map + TakeOrderedAndProject — the
+    # zero-shuffle weighted-draw plan
+    "docs_gumbel_topk": 0,
+    # int8 quant: (row,dim) explode agg + gated 64-row broadcast back +
+    # bounded label rollup
+    "embeddings_int8_quant": 3,
+    "doc_lang_confusion": 5,
+    # per-source reservoir: one partitioned WindowGroupLimit
+    "docs_reservoir_per_source": 1,
+    # NDV estimate: two multi-distinct expands + two key-grain frequency
+    # aggs + the frequency-product join
+    "joinsize_ndv_estimate": 9,
 }
 
 
@@ -277,6 +303,10 @@ def test_shuffle_budget(spark, sf_dir, name):
         "tpch_q03_shipping_priority",
         "tpch_q10_returned_items",
         "tpch_q18_large_volume_customer",
+        # round-5 sampling primitives: the weighted draw must plan as
+        # TakeOrderedAndProject, the per-group reservoir as WindowGroupLimit
+        "docs_gumbel_topk",
+        "docs_reservoir_per_source",
     ],
 )
 def test_topk_rank_filter_avoids_global_sort(spark, sf_dir, name):
