@@ -29,6 +29,7 @@ _LAYER_MODULES = (
     "dbt_tpch_spark.operators.timeseries",
     "dbt_tpch_spark.operators.graph",
     "dbt_tpch_spark.operators.rankstats",
+    "dbt_tpch_spark.operators.modeleval",
     "dbt_tpch_spark.operators.pq",
     "dbt_tpch_spark.operators.pca",
     "dbt_tpch_spark.operators.sketches",

@@ -48,28 +48,15 @@ def doc_text_stats(ctx):
     composite quality score — the standard quality-filter features of a
     pretraining data pipeline."""
     d = ctx.source("documents")
+    c = doc_quality_cols()
     ltext = F.lower(F.trim(F.col("text")))
     words = F.split(ltext, " ")
-    n_tokens = F.size(words).cast("long")
-    n_chars = F.length(F.col("text")).cast("long")
+    n_tokens = c["n_tokens"]
     token_chars = F.expr(
         "aggregate(transform(split(lower(trim(text)), ' '), w -> length(w)),"
         " 0L, (acc, v) -> acc + v)"
     )
-    n_stop = F.size(
-        F.filter(words, lambda w: w.isin(*STOPWORDS))
-    ).cast("long")
-    punct_chars = F.length(
-        F.regexp_replace(ltext, "[a-z0-9 ]", "")
-    ).cast("long")
     n_bpe = F.size(F.regexp_extract_all(ltext, F.lit(BPE_PATTERN), 0)).cast("long")
-    punct_ratio = punct_chars.cast("double") / F.nullif(n_chars, F.lit(0))
-    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
-    quality = (
-        F.lit(0.4) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
-        + F.lit(0.3) * stop_ratio
-    )
     return d.select(
         "doc_id",
         "lang",
@@ -77,13 +64,13 @@ def doc_text_stats(ctx):
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct(words)).cast("long").alias("n_distinct_tokens"),
         n_bpe.alias("n_bpe_tokens"),
-        n_chars.alias("n_chars"),
+        c["n_chars"].alias("n_chars"),
         rnd(token_chars.cast("double") / F.nullif(n_tokens, F.lit(0)), 4).alias(
             "avg_token_len"
         ),
-        rnd(punct_ratio, 6).alias("punct_ratio"),
-        rnd(stop_ratio, 6).alias("stopword_ratio"),
-        rnd(quality, 6).alias("quality_score"),
+        rnd(c["punct_ratio"], 6).alias("punct_ratio"),
+        rnd(c["stop_ratio"], 6).alias("stopword_ratio"),
+        c["quality_score"].alias("quality_score"),
     )
 
 
@@ -885,6 +872,63 @@ QC_WEIGHTS = (-1.0, 2.0, 1.5, 1.0, -3.0)
 QC_KEEP_THRESHOLD = 0.5
 
 
+def doc_quality_cols() -> dict:
+    """The rule-based and classifier quality expressions over ``text`` as
+    named Columns — the single source of truth shared by
+    ``doc_text_stats``, ``doc_quality_classifier``, and the classifier
+    evals (operators/modeleval.py), so an eval can read BOTH the score
+    and its ground-truth label from one map-only scan instead of a
+    doc_id self-join of two projections of the same table (two
+    corpus-grain shuffles at 100 TB). Unused entries cost nothing —
+    Catalyst prunes columns that are never selected."""
+    ltext = F.lower(F.trim(F.col("text")))
+    words = F.split(ltext, " ")
+    n_tokens = F.size(words).cast("long")
+    n_chars = F.length(F.col("text")).cast("long")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast(
+        "long"
+    )
+    punct_chars = F.length(F.regexp_replace(ltext, "[a-z0-9 ]", "")).cast(
+        "long"
+    )
+    punct_ratio = punct_chars.cast("double") / F.nullif(n_chars, F.lit(0))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    quality_score = rnd(
+        F.lit(0.4) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * stop_ratio,
+        6,
+    )
+    x_len = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    x_div = F.size(F.array_distinct(words)).cast("double") / F.nullif(
+        n_tokens, F.lit(0)
+    )
+    x_punct = punct_chars.cast("double") / F.nullif(n_chars, F.lit(0))
+    w0, w1, w2, w3, w4 = QC_WEIGHTS
+    logit = rnd(
+        F.lit(w0)
+        + F.lit(w1) * x_len
+        + F.lit(w2) * x_div
+        + F.lit(w3) * stop_ratio
+        + F.lit(w4) * x_punct,
+        6,
+    )
+    quality_prob = rnd(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "quality_score": quality_score,
+        "x_len": x_len,
+        "x_div": x_div,
+        "x_stop": stop_ratio,
+        "x_punct": x_punct,
+        "logit": logit,
+        "quality_prob": quality_prob,
+    }
+
+
 @model("doc_quality_classifier", layer="operators", materialization="view")
 def doc_quality_classifier(ctx):
     """Model-based quality filtering: per-document logistic score
@@ -896,41 +940,18 @@ def doc_quality_classifier(ctx):
     Determinism: the logit is 6-dp-quantized before the sigmoid so a
     sub-ULP libm exp() divergence cannot flip the rounded output."""
     d = ctx.source("documents")
-    ltext = F.lower(F.trim(F.col("text")))
-    words = F.split(ltext, " ")
-    n_tokens = F.size(words).cast("long")
-    n_chars = F.length(F.col("text")).cast("long")
-    x_len = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
-    x_div = F.size(F.array_distinct(words)).cast("double") / F.nullif(
-        n_tokens, F.lit(0)
-    )
-    x_stop = F.size(
-        F.filter(words, lambda w: w.isin(*STOPWORDS))
-    ).cast("double") / F.nullif(n_tokens, F.lit(0))
-    x_punct = F.length(
-        F.regexp_replace(ltext, "[a-z0-9 ]", "")
-    ).cast("double") / F.nullif(n_chars, F.lit(0))
-    w0, w1, w2, w3, w4 = QC_WEIGHTS
-    z = rnd(
-        F.lit(w0)
-        + F.lit(w1) * x_len
-        + F.lit(w2) * x_div
-        + F.lit(w3) * x_stop
-        + F.lit(w4) * x_punct,
-        6,
-    )
-    p = rnd(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    c = doc_quality_cols()
     return d.select(
         "doc_id",
         "lang",
         "source",
-        rnd(x_len, 6).alias("x_length"),
-        rnd(x_div, 6).alias("x_diversity"),
-        rnd(x_stop, 6).alias("x_stopword"),
-        rnd(x_punct, 6).alias("x_punct"),
-        z.alias("logit"),
-        p.alias("quality_prob"),
-        (p >= F.lit(QC_KEEP_THRESHOLD)).alias("keep"),
+        rnd(c["x_len"], 6).alias("x_length"),
+        rnd(c["x_div"], 6).alias("x_diversity"),
+        rnd(c["x_stop"], 6).alias("x_stopword"),
+        rnd(c["x_punct"], 6).alias("x_punct"),
+        c["logit"].alias("logit"),
+        c["quality_prob"].alias("quality_prob"),
+        (c["quality_prob"] >= F.lit(QC_KEEP_THRESHOLD)).alias("keep"),
     )
 
 

@@ -261,6 +261,19 @@ SHUFFLE_BUDGETS = {
     # NDV estimate: two multi-distinct expands + two key-grain frequency
     # aggs + the frequency-product join
     "joinsize_ndv_estimate": 9,
+    # classifier evals (round 5): join-free single-scan feedstock; AUC's
+    # visible shuffles are the bucketed-cumsum machinery over the BOUNDED
+    # (<=1e6-row, 6-dp score-grain) frame; calibration is one bin-grain
+    # agg + a checkpointed <=10-row rollup
+    "doc_quality_auc": 4,
+    "doc_quality_calibration": 1,
+    # zipf: vocab-grain term counts + the bucketed rank machinery
+    "vocab_zipf_fit": 4,
+    # spearman: user-grain agg rides the checkpoint; two bucketed rank
+    # passes + the 1-row moment reduction
+    "events_user_spearman": 4,
+    # temporal split: 1-row bounds agg + split census (distinct expand)
+    "events_temporal_split_embargo": 3,
 }
 
 
