@@ -20,6 +20,14 @@ the cheap quality classifier, and is the corpus statistically healthy?
   rate vs mean predicted probability, the per-bin |gap|, and the expected
   calibration error ECE = Σ (n_b/N)·|gap_b| replicated onto every row.
   Bounded output (≤10 rows + 1-row broadcast).
+* ``doc_quality_pr_auc`` — step-interpolated average precision over the
+  same (score, label) pairs — the rare-positive complement to ROC-AUC;
+  exact integer cumulatives, 9-dp-quantized per-threshold terms.
+* ``docs_dsir_ess`` — Kish effective sample size (Σw)²/Σw² of the DSIR
+  importance weights per source — the resampling go/no-go diagnostic.
+* ``vocab_heaps_fit`` — OLS fit of ln(vocab) on ln(tokens) along the
+  ingestion order (Heaps' law V = K·nᵝ) — the growth-law companion to
+  the static Zipf fit below.
 * ``vocab_zipf_fit`` — least-squares fit of ln(frequency) on ln(rank)
   over the corpus unigram vocabulary (Zipf's law; slope ≈ -1 for natural
   language, far from it for boilerplate/spam corpora). The frequency rank
@@ -424,6 +432,276 @@ SELECT n_users, s_ab,
         '(s_ab - CAST(s_a AS DOUBLE) * s_a / n_users)'
         ' / (s_aa - CAST(s_a AS DOUBLE) * s_a / n_users)', 9)} AS spearman_rho
 FROM m""",
+)
+
+
+@model("doc_quality_pr_auc", layer="operators", materialization="view")
+def doc_quality_pr_auc(ctx):
+    """Average precision (PR-AUC) of the quality classifier against the
+    rule-based gate — the eval that matters when positives are rare and
+    ROC-AUC flatters (Davis & Goadrich, ICML'06). Step-interpolated AP
+    over distinct-score thresholds, descending:
+
+        AP = Σ_v (n_pos(v)/P) · (cum_pos(v) / cum_tot(v))
+
+    with cum_pos/cum_tot from two descending bucketed cumsums over the
+    BOUNDED (≤10⁶+1-row, 6-dp) score-grain frame. Per-threshold terms are
+    9-dp-quantized and accumulated through DECIMAL(30,9) so the sum is
+    addition-order-free; the /P division happens once on the final
+    scalar. Output: 1 row."""
+    pv = (
+        _scored_labels(ctx)
+        .groupBy("score")
+        .agg(
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_tot"),
+        )
+    )
+    b1 = bucketed_windows(
+        pv, "score", [], ascending=False, running_sum=("n_pos", "cum_pos")
+    )
+    b2 = bucketed_windows(
+        b1, "score", [], ascending=False, running_sum=("n_tot", "cum_tot")
+    )
+    term = rnd(
+        F.col("n_pos").cast("double")
+        * F.col("cum_pos")
+        / F.col("cum_tot"),
+        9,
+    )
+    acc9 = "decimal(30,9)"
+    res = b2.agg(
+        F.sum(F.col("n_pos")).cast("long").alias("n_pos"),
+        F.sum(F.col("n_tot") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.sum(term.cast(acc9)).cast("double").alias("ap_raw"),
+    )
+    return res.select(
+        "n_pos",
+        "n_neg",
+        rnd(F.col("ap_raw") / F.col("n_pos").cast("double"), 9).alias(
+            "avg_precision"
+        ),
+    )
+
+
+oracle(
+    "doc_quality_pr_auc",
+    ("doc_quality_classifier", "doc_text_stats"),
+    f"""WITH sl AS ({_SCORED_SQL}),
+pv AS (
+    SELECT score,
+        CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        CAST(COUNT(*) AS BIGINT) AS n_tot
+    FROM sl GROUP BY score
+),
+c AS (
+    SELECT n_pos, n_tot,
+        CAST(SUM(n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS cum_pos,
+        CAST(SUM(n_tot) OVER (ORDER BY score DESC) AS BIGINT) AS cum_tot
+    FROM pv
+),
+s AS (
+    SELECT
+        CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+        CAST(SUM(n_tot - n_pos) AS BIGINT) AS n_neg,
+        CAST(SUM(CAST({rnd_sql(
+            'CAST(n_pos AS DOUBLE) * cum_pos / cum_tot', 9
+        )} AS DECIMAL(30,9))) AS DOUBLE) AS ap_raw
+    FROM c
+)
+SELECT n_pos, n_neg,
+    {rnd_sql('ap_raw / CAST(n_pos AS DOUBLE)', 9)} AS avg_precision
+FROM s""",
+)
+
+
+@model("vocab_heaps_fit", layer="operators", materialization="view")
+def vocab_heaps_fit(ctx):
+    """OLS fit of ln(vocab size) ~ ln(corpus tokens) along the doc_id
+    ingestion order (Heaps'/Herdan's law: V = K·nᵝ, β ≈ 0.4-0.6 for
+    natural text; β near 1 means the corpus never stops minting tokens —
+    a tokenizer-budget red flag). Companion to vocab_zipf_fit: Zipf is
+    the static frequency law, Heaps the growth law.
+
+    One token explode feeds (a) per-doc token counts and (b) per-doc
+    new-term counts (term first-seen at min(doc_id)); both cumulate along
+    doc_id through the bucketed exact-cumsum machinery (doc-grain frame,
+    SF-linear, no single-task sort), logs are 9-dp-quantized into the
+    DECIMAL(30,9) OLS moments. Output: 1 row."""
+    toks = (
+        ctx.source("documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dt = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    nv = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    d = dt.join(nv, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("new_terms"), F.lit(0)).cast("long").alias(
+            "new_terms"
+        ),
+    )
+    b1 = bucketed_windows(
+        d, "doc_id", [], ascending=True, running_sum=("n_tokens", "cum_tokens")
+    )
+    b2 = bucketed_windows(
+        b1, "doc_id", [], ascending=True, running_sum=("new_terms", "cum_vocab")
+    )
+    xy = b2.filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    ).select(
+        rnd(F.log(F.col("cum_tokens")), 9).alias("x"),
+        rnd(F.log(F.col("cum_vocab")), 9).alias("y"),
+    )
+    acc9 = "decimal(30,9)"
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("x").cast(acc9)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(acc9)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(acc9)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(acc9)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(acc9)).cast("double").alias("syy"),
+    )
+    n = F.col("n_docs").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / vx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return m.select(
+        "n_docs",
+        rnd(slope, 6).alias("heaps_beta"),
+        rnd(intercept, 6).alias("heaps_ln_k"),
+        rnd(cov * cov / (vx * vy), 6).alias("r_squared"),
+    )
+
+
+oracle(
+    "vocab_heaps_fit",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents
+    ) WHERE term <> ''
+),
+dt AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY doc_id
+),
+nv AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS new_terms
+    FROM (SELECT term, MIN(doc_id) AS doc_id FROM toks GROUP BY term)
+    GROUP BY doc_id
+),
+d AS (
+    SELECT dt.doc_id, dt.n_tokens,
+           CAST(COALESCE(nv.new_terms, 0) AS BIGINT) AS new_terms
+    FROM dt LEFT JOIN nv USING (doc_id)
+),
+c AS (
+    SELECT
+        CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+        CAST(SUM(new_terms) OVER (ORDER BY doc_id) AS BIGINT) AS cum_vocab
+    FROM d
+),
+xy AS (
+    SELECT {rnd_sql('LN(CAST(cum_tokens AS DOUBLE))', 9)} AS x,
+           {rnd_sql('LN(CAST(cum_vocab AS DOUBLE))', 9)} AS y
+    FROM c WHERE cum_tokens > 0 AND cum_vocab > 0
+),
+m AS (
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(30,9))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x * y AS DECIMAL(30,9))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(x * x AS DECIMAL(30,9))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y * y AS DECIMAL(30,9))) AS DOUBLE) AS syy
+    FROM xy
+)
+SELECT n_docs,
+    {rnd_sql(
+        '(sxy - sx * sy / CAST(n_docs AS DOUBLE))'
+        ' / (sxx - sx * sx / CAST(n_docs AS DOUBLE))', 6)} AS heaps_beta,
+    {rnd_sql(
+        '(sy - ((sxy - sx * sy / CAST(n_docs AS DOUBLE))'
+        ' / (sxx - sx * sx / CAST(n_docs AS DOUBLE))) * sx)'
+        ' / CAST(n_docs AS DOUBLE)', 6)} AS heaps_ln_k,
+    {rnd_sql(
+        '((sxy - sx * sy / CAST(n_docs AS DOUBLE))'
+        ' * (sxy - sx * sy / CAST(n_docs AS DOUBLE)))'
+        ' / ((sxx - sx * sx / CAST(n_docs AS DOUBLE))'
+        ' * (syy - sy * sy / CAST(n_docs AS DOUBLE)))', 6)} AS r_squared
+FROM m""",
+)
+
+
+@model("docs_dsir_ess", layer="operators", materialization="view")
+def docs_dsir_ess(ctx):
+    """Kish effective sample size of the DSIR importance weights, per
+    source — the go/no-go diagnostic before importance resampling: with
+    w = exp(avg_log_ratio), ESS = (Σw)²/Σw². An ESS ratio near 1 means
+    the reweighting barely changes the distribution; near 0 means a few
+    documents dominate and the resample would collapse onto them.
+
+    Weights are 6-dp-quantized after the exp (the shared quantized-libm
+    convention) and both moments accumulate through DECIMAL(30,9).
+    Source-grain output (bounded)."""
+    w = ctx.ref("docs_dsir_weights").select(
+        "source", rnd(F.exp(F.col("avg_log_ratio")), 6).alias("w")
+    )
+    acc9 = "decimal(30,9)"
+    g = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("w").cast(acc9)).cast("double").alias("sw"),
+        F.sum((F.col("w") * F.col("w")).cast(acc9)).cast("double").alias("sww"),
+    )
+    ess = F.col("sw") * F.col("sw") / F.col("sww")
+    return g.select(
+        "source",
+        "n_docs",
+        rnd(F.col("sw"), 6).alias("sum_w"),
+        rnd(ess, 6).alias("ess"),
+        rnd(ess / F.col("n_docs").cast("double"), 6).alias("ess_ratio"),
+    )
+
+
+oracle(
+    "docs_dsir_ess",
+    ("docs_dsir_weights",),
+    f"""WITH w AS (
+    SELECT source, {rnd_sql('EXP(avg_log_ratio)', 6)} AS w
+    FROM docs_dsir_weights
+),
+g AS (
+    SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CAST(w AS DECIMAL(30,9))) AS DOUBLE) AS sw,
+        CAST(SUM(CAST(w * w AS DECIMAL(30,9))) AS DOUBLE) AS sww
+    FROM w GROUP BY source
+)
+SELECT source, n_docs,
+    {rnd_sql('sw', 6)} AS sum_w,
+    {rnd_sql('sw * sw / sww', 6)} AS ess,
+    {rnd_sql('sw * sw / (sww * n_docs)', 6)} AS ess_ratio
+FROM g""",
 )
 
 

@@ -46,7 +46,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dbt_tpch_spark.functions import bucketed_windows, dsum, rnd
-from dbt_tpch_spark.models.oracle import dsum_sql, money_sql, oracle, rnd_sql
+from dbt_tpch_spark.models.oracle import (
+    dsum_sql,
+    money_sql,
+    oracle,
+    rnd_sql,
+    wsum_sql,
+)
 from dbt_tpch_spark.plans import model
 
 #: the two event-type "arms" compared by the rank tests (the repo's Welch
@@ -504,4 +510,87 @@ SELECT band,
     {rnd_sql(dsum_sql('mg') + ' / COUNT(*)', 4)} AS avg_mean_gap_sec
 FROM b
 GROUP BY band""",
+)
+
+
+#: per-tail trim percentage for the robust mean (1% each side)
+TRIM_TAIL_PCT = 1
+
+
+@model("order_trimmed_mean", layer="operators", materialization="view")
+def order_trimmed_mean(ctx):
+    """Two-sided 1%-trimmed mean of order value — the robust location
+    estimate that survives fat tails and data-entry outliers where the
+    plain mean drifts; reported next to the raw mean so the gap itself is
+    the outlier-impact metric.
+
+    Exact global ranks come from bucketed_windows (order-grain frame,
+    SF-linear — no single-task sort); the trim boundary is integer
+    arithmetic (``n·pct div 100``, engine-identical, no float-division
+    boundary flakes); kept values sum through exact decimal."""
+    o = ctx.source("orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    b = bucketed_windows(
+        o,
+        "price",
+        ["o_orderkey"],
+        ascending=True,
+        rank_out="rn",
+        grand_sum=("price", "total_price"),
+        count_out="n_total",
+    )
+    lo = F.expr(f"n_total * {TRIM_TAIL_PCT} div 100")
+    kept = b.filter(
+        (F.col("rn") > lo) & (F.col("rn") <= F.col("n_total") - lo)
+    )
+    res = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        dsum(F.col("price")).alias("s_kept"),
+        F.max("n_total").alias("n_total"),
+        F.max("total_price").alias("total_price"),
+    )
+    return res.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        "n_kept",
+        rnd(F.col("s_kept") / F.col("n_kept").cast("double"), 4).alias(
+            "trimmed_mean"
+        ),
+        rnd(
+            F.col("total_price") / F.col("n_total").cast("double"), 4
+        ).alias("raw_mean"),
+    )
+
+
+oracle(
+    "order_trimmed_mean",
+    ("orders",),
+    f"""WITH o AS (
+    SELECT o_orderkey, o_totalprice AS price FROM orders
+),
+r AS (
+    SELECT price,
+           CAST(ROW_NUMBER() OVER (ORDER BY price, o_orderkey) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_total,
+           {wsum_sql('price', '')} AS total_price
+    FROM o
+),
+k AS (
+    SELECT price, n_total, total_price
+    FROM r
+    WHERE rn > n_total * {TRIM_TAIL_PCT} // 100
+      AND rn <= n_total - n_total * {TRIM_TAIL_PCT} // 100
+),
+s AS (
+    SELECT
+        MAX(n_total) AS n_total,
+        CAST(COUNT(*) AS BIGINT) AS n_kept,
+        {dsum_sql('price')} AS s_kept,
+        MAX(total_price) AS total_price
+    FROM k
+)
+SELECT n_total, n_kept,
+    {rnd_sql('s_kept / CAST(n_kept AS DOUBLE)', 4)} AS trimmed_mean,
+    {rnd_sql('total_price / CAST(n_total AS DOUBLE)', 4)} AS raw_mean
+FROM s""",
 )

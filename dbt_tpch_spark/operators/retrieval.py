@@ -710,20 +710,11 @@ FROM per_doc""",
 # --------------------------------------------------------------------------
 
 
-@model("docs_rank_overlap", layer="operators", materialization="view")
-def docs_rank_overlap(ctx):
-    """Retrieval-evaluation primitive: per query, the overlap@k between
-    the BM25 top-k (docs_bm25_topk, the model DAG edge) and a plain
-    TF-IDF ranking (tf x ln(N/df), no length normalization) computed
-    over the same fixed query set — the cheap ranking-agreement check
-    run before swapping scorers in a retrieval/decontamination pipeline
-    (low overlap = the swap changes WHAT gets retrieved, not just the
-    order). Queries where the rankings share nothing still report (zero
-    overlap), via the literal query list.
-
-    Scale: rides the same one-pass (doc, term, tf) feedstock as BM25;
-    the overlap join is top-k x top-k per query — bounded."""
-    bm = ctx.ref("docs_bm25_topk").select("query_id", "doc_id")
+def _tfidf_topk(ctx):
+    """Plain TF-IDF (tf × ln(N/df), no length normalization) top-k
+    ranking over the fixed query set — the second ranker shared by
+    docs_rank_overlap and docs_rrf_fusion. Returns (query_id, doc_id,
+    rank)."""
     dtf = _doc_term_freq(ctx).localCheckpoint(eager=True)
     termdf = dtf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     totals = dtf.agg(
@@ -747,11 +738,51 @@ def docs_rank_overlap(ctx):
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
-    tfidf_top = (
-        scores.withColumn("rank", F.row_number().over(w))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_DOCS)
-        .select("query_id", "doc_id")
+        .select("query_id", "doc_id", "rank")
     )
+
+
+def _tfidf_top_cte() -> str:
+    """SQL twin of :func:`_tfidf_topk` — `scores` + `tfidf_top(query_id,
+    doc_id, rank)` CTE bodies; the caller supplies WITH {_tf_cte()}."""
+    return f"""scores AS (
+    SELECT
+        q.query_id,
+        t.doc_id,
+        {dsum_sql(rnd_sql('CAST(t.tf AS DOUBLE) * ln(g.n_docs / f.df)', 6))} AS score
+    FROM dtf t
+    JOIN {_queries_values_sql()} ON t.term = q.term
+    JOIN termdf f ON t.term = f.term
+    CROSS JOIN totals g
+    GROUP BY 1, 2
+),
+tfidf_top AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id
+        ) AS BIGINT) AS rank FROM scores
+    ) WHERE rank <= {TOP_DOCS}
+)"""
+
+
+@model("docs_rank_overlap", layer="operators", materialization="view")
+def docs_rank_overlap(ctx):
+    """Retrieval-evaluation primitive: per query, the overlap@k between
+    the BM25 top-k (docs_bm25_topk, the model DAG edge) and a plain
+    TF-IDF ranking (tf x ln(N/df), no length normalization) computed
+    over the same fixed query set — the cheap ranking-agreement check
+    run before swapping scorers in a retrieval/decontamination pipeline
+    (low overlap = the swap changes WHAT gets retrieved, not just the
+    order). Queries where the rankings share nothing still report (zero
+    overlap), via the literal query list.
+
+    Scale: rides the same one-pass (doc, term, tf) feedstock as BM25;
+    the overlap join is top-k x top-k per query — bounded."""
+    bm = ctx.ref("docs_bm25_topk").select("query_id", "doc_id")
+    tfidf_top = _tfidf_topk(ctx).select("query_id", "doc_id")
     ov = (
         bm.join(tfidf_top, ["query_id", "doc_id"])
         .groupBy("query_id")
@@ -779,24 +810,7 @@ def docs_rank_overlap(ctx):
 def _rank_overlap_oracle() -> str:
     qids = ", ".join(f"('{qid}')" for qid in QUERIES)
     return f"""WITH {_tf_cte()},
-scores AS (
-    SELECT
-        q.query_id,
-        t.doc_id,
-        {dsum_sql(rnd_sql('CAST(t.tf AS DOUBLE) * ln(g.n_docs / f.df)', 6))} AS score
-    FROM dtf t
-    JOIN {_queries_values_sql()} ON t.term = q.term
-    JOIN termdf f ON t.term = f.term
-    CROSS JOIN totals g
-    GROUP BY 1, 2
-),
-tfidf_top AS (
-    SELECT query_id, doc_id FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY score DESC, doc_id
-        ) AS rank FROM scores
-    ) WHERE rank <= {TOP_DOCS}
-),
+{_tfidf_top_cte()},
 ov AS (
     SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
     FROM docs_bm25_topk b
@@ -815,6 +829,84 @@ oracle(
     "docs_rank_overlap",
     ("documents", "docs_bm25_topk"),
     _rank_overlap_oracle(),
+)
+
+
+#: RRF smoothing constant (Cormack, Clarke & Buettcher, SIGIR'09 — k=60
+#: is the paper's recommendation and the de-facto default everywhere)
+RRF_K = 60
+
+
+@model("docs_rrf_fusion", layer="operators", materialization="view")
+def docs_rrf_fusion(ctx):
+    """Reciprocal-rank fusion of the BM25 and TF-IDF top-k rankings over
+    the fixed query set: RRF(d) = Σ_r 1/(k + rank_r(d)) over the rankers
+    that retrieved d (standard truncated-list RRF, k=60) — the
+    zero-training ensemble that routinely beats either ranker alone and
+    the standard first stage of a hybrid retrieval pipeline.
+
+    Determinism: each contribution is 1/(60+rank) with rank ≤ TOP_DOCS —
+    a small fixed rational set, bit-identical on both engines; a doc has
+    at most two contributions and two-term IEEE addition is commutative,
+    so no decimal accumulator is needed. The fusion frame is bounded
+    (|queries| × 2·TOP_DOCS rows), so the final per-query window is over
+    bounded cardinality."""
+    bm = ctx.ref("docs_bm25_topk").select(
+        "query_id", "doc_id", F.col("rank").alias("r_bm25")
+    )
+    tf = _tfidf_topk(ctx).select(
+        "query_id", "doc_id", F.col("rank").alias("r_tfidf")
+    )
+    both = bm.join(tf, ["query_id", "doc_id"], "full_outer")
+    contrib = F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r_bm25")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r_tfidf")), F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        both.withColumn("rrf_score", rnd(contrib, 9))
+        .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= TOP_DOCS)
+        .select(
+            "query_id",
+            "doc_id",
+            "r_bm25",
+            "r_tfidf",
+            "rrf_score",
+            "fused_rank",
+        )
+    )
+
+
+oracle(
+    "docs_rrf_fusion",
+    ("documents", "docs_bm25_topk"),
+    f"""WITH {_tf_cte()},
+{_tfidf_top_cte()},
+both_ AS (
+    SELECT
+        COALESCE(b.query_id, t.query_id) AS query_id,
+        COALESCE(b.doc_id, t.doc_id) AS doc_id,
+        b.rank AS r_bm25,
+        t.rank AS r_tfidf,
+        {rnd_sql(
+            f'COALESCE(1.0 / ({RRF_K} + b.rank), 0.0)'
+            f' + COALESCE(1.0 / ({RRF_K} + t.rank), 0.0)', 9
+        )} AS rrf_score
+    FROM docs_bm25_topk b
+    FULL JOIN tfidf_top t
+      ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+)
+SELECT query_id, doc_id, r_bm25, r_tfidf, rrf_score, fused_rank
+FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+    ) AS BIGINT) AS fused_rank
+    FROM both_
+) WHERE fused_rank <= {TOP_DOCS}""",
 )
 
 

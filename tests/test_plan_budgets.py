@@ -274,6 +274,16 @@ SHUFFLE_BUDGETS = {
     "events_user_spearman": 4,
     # temporal split: 1-row bounds agg + split census (distinct expand)
     "events_temporal_split_embargo": 3,
+    # PR-AUC / Heaps: bounded score-grain (resp. doc-grain) frames through
+    # two chained bucketed cumsums each
+    "doc_quality_pr_auc": 4,
+    "vocab_heaps_fit": 4,
+    # ESS inherits the DSIR unigram-LM pipeline's budget shape
+    "docs_dsir_ess": 8,
+    # RRF rides the same (doc,term,tf) feedstock as rank_overlap (15)
+    "docs_rrf_fusion": 14,
+    # trimmed mean: order-grain bucketed rank machinery
+    "order_trimmed_mean": 4,
 }
 
 
