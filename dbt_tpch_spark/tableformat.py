@@ -337,6 +337,78 @@ class TxnTable:
             "files_skipped": len(carry),
         }
 
+    def delete_where(self, predicate: str) -> dict:
+        """Copy-on-write DELETE ... WHERE ``predicate`` (a SQL boolean
+        expression over the table's columns), the same two-phase shape
+        Delta/Iceberg use:
+
+        1. **Find touched files** with ONE distributed scan that groups
+           matching rows by ``input_file_name()`` — parquet predicate
+           pushdown makes this the cheap pass, and the result is
+           file-grain metadata (bounded by snapshot file count, the same
+           class the commit log itself already holds).
+        2. **Rewrite only touched files**, dropping rows where the
+           predicate is TRUE (NULL keeps the row — SQL DELETE semantics);
+           untouched files carry over by reference in one atomic commit.
+
+        A predicate matching nothing is a metadata no-op: no rewrite, no
+        commit, version unchanged. Returns rewrite accounting including
+        ``rows_deleted``."""
+        base_version = self.latest_version()
+        files = self.snapshot_files(base_version)
+        rel_by_abs = {
+            os.path.abspath(os.path.join(self.path, a["file"])): a["file"]
+            for a in files
+        }
+        scan = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*rel_by_abs)
+            .withColumn("_file", F.input_file_name())
+        )
+        per_file = (
+            scan.filter(F.expr(predicate))
+            .groupBy("_file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        from urllib.parse import unquote, urlparse
+
+        hit_rel, rows_deleted = set(), 0
+        for row in per_file:
+            # input_file_name() is a URI (file:///...); snapshot paths are
+            # plain local paths
+            abs_path = os.path.abspath(unquote(urlparse(row["_file"]).path))
+            hit_rel.add(rel_by_abs[abs_path])
+            rows_deleted += row["n"]
+        if not hit_rel:
+            return {
+                "version": base_version,
+                "files_rewritten": 0,
+                "files_skipped": len(files),
+                "rows_deleted": 0,
+            }
+        hit = [a for a in files if a["file"] in hit_rel]
+        survivors = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, a["file"]) for a in hit])
+            .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+        )
+        adds = self._write_files(survivors)
+        v = base_version + 1
+        self._commit(
+            v,
+            "delete",
+            adds=adds,
+            removes=[a["file"] for a in hit],
+            schema=self.table_schema(base_version),
+        )
+        return {
+            "version": v,
+            "files_rewritten": len(hit),
+            "files_skipped": len(files) - len(hit),
+            "rows_deleted": rows_deleted,
+        }
+
     # ------------------------------------------------- layout optimization
 
     def compact(self, target_bytes: int = 128 * 1024 * 1024) -> dict:

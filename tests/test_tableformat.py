@@ -406,3 +406,68 @@ def test_zorder_bit_budget_caps_at_sign_bit(spark, tmp_path):
     rep = t.optimize_zorder(["a", "b", "c", "d"], n_files=4)
     assert rep["files_written"] == 4
     assert t.read().count() == 2000
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """DELETE's find-touched-files pass must leave files with no matching
+    rows carried by reference (same sublinearity property as MERGE), drop
+    exactly the predicate-TRUE rows from touched files, and keep every
+    prior snapshot time-travel-readable."""
+    p = str(tmp_path / "t")
+    low = _mk(spark, [(1, "a"), (2, "b")]).coalesce(1)
+    high = _mk(spark, [(100, "x"), (200, "y")]).coalesce(1)
+    t = TxnTable.create(spark, p, low, ["k"])
+    t.append(high)
+
+    rep = t.delete_where("k = 2")
+    assert rep["files_rewritten"] == 1 and rep["files_skipped"] == 1
+    assert rep["rows_deleted"] == 1
+    assert _rows(t.read()) == [(1, "a"), (100, "x"), (200, "y")]
+    # prior snapshot untouched (copy-on-write)
+    assert _rows(t.read(version=1)) == [
+        (1, "a"),
+        (2, "b"),
+        (100, "x"),
+        (200, "y"),
+    ]
+    assert t.history()[-1]["operation"] == "delete"
+
+
+def test_delete_where_no_match_is_metadata_noop(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxnTable.create(spark, p, _mk(spark, [(1, "a"), (2, "b")]), ["k"])
+    v_before = t.latest_version()
+    rep = t.delete_where("k = 999")
+    assert rep["rows_deleted"] == 0 and rep["files_rewritten"] == 0
+    assert t.latest_version() == v_before  # no commit written
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: a row where the predicate evaluates to NULL
+    is NOT deleted (only TRUE deletes)."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k long, v string"
+    )
+    t = TxnTable.create(spark, p, df, ["k"])
+    rep = t.delete_where("v = 'c'")  # NULL for k=2 -> row kept
+    assert rep["rows_deleted"] == 1
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+
+def test_delete_where_across_schema_evolution(spark, tmp_path):
+    """Deleting with a predicate on an evolved column must not corrupt
+    rows written before the column existed (mergeSchema on both the scan
+    and the rewrite)."""
+    p = str(tmp_path / "t")
+    t = TxnTable.create(spark, p, _mk(spark, [(1, "a"), (2, "b")]), ["k"])
+    evolved = spark.createDataFrame(
+        [(3, "c", "new"), (4, "d", "drop-me")], "k long, v string, tag string"
+    )
+    t.append(evolved)
+    rep = t.delete_where("tag = 'drop-me'")
+    assert rep["rows_deleted"] == 1
+    got = {r["k"]: r["tag"] for r in t.read().collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3] == "new" and got[1] is None  # backfilled NULL intact
