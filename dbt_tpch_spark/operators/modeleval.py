@@ -772,3 +772,156 @@ SELECT split,
 FROM t
 GROUP BY split""",
 )
+
+
+@model("doc_quality_mcnemar", layer="operators", materialization="view")
+def doc_quality_mcnemar(ctx):
+    """McNemar's test (continuity-corrected) between the two quality
+    gates — rule-based keep (quality_score ≥ MIN_QUALITY) vs classifier
+    keep (quality_prob ≥ QC_KEEP_THRESHOLD) on the SAME documents. The
+    paired-classifier comparison the independent-sample tests get wrong:
+    only the discordant cells b (rule-only keep) and c (classifier-only
+    keep) carry signal; χ² = (|b−c|−1)²/(b+c).
+
+    One map-only scan (shared quality expressions), four exact integer
+    cells, 1-row output."""
+    from dbt_tpch_spark.operators.text import QC_KEEP_THRESHOLD
+
+    d = _scored_labels(ctx).select(
+        "is_pos",
+        (F.col("score") >= F.lit(QC_KEEP_THRESHOLD)).alias("clf_keep"),
+    )
+    g = d.agg(
+        F.sum(F.when(F.col("is_pos") & F.col("clf_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both_keep"),
+        F.sum(F.when(F.col("is_pos") & ~F.col("clf_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rule_only"),
+        F.sum(F.when(~F.col("is_pos") & F.col("clf_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clf_only"),
+        F.sum(F.when(~F.col("is_pos") & ~F.col("clf_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both_drop"),
+    )
+    b, c = F.col("n_rule_only").cast("double"), F.col("n_clf_only").cast("double")
+    chi2 = F.when(
+        b + c > F.lit(0.0),
+        (F.abs(b - c) - F.lit(1.0)) * (F.abs(b - c) - F.lit(1.0)) / (b + c),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "n_both_keep",
+        "n_rule_only",
+        "n_clf_only",
+        "n_both_drop",
+        rnd(chi2, 6).alias("mcnemar_chi2"),
+    )
+
+
+def _mcnemar_oracle() -> str:
+    from dbt_tpch_spark.operators.text import QC_KEEP_THRESHOLD
+
+    return f"""WITH sl AS ({_SCORED_SQL}),
+cells AS (
+    SELECT
+        CAST(SUM(CASE WHEN is_pos AND score >= {QC_KEEP_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+        CAST(SUM(CASE WHEN is_pos AND score < {QC_KEEP_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_only,
+        CAST(SUM(CASE WHEN NOT is_pos AND score >= {QC_KEEP_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_clf_only,
+        CAST(SUM(CASE WHEN NOT is_pos AND score < {QC_KEEP_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop
+    FROM sl
+)
+SELECT n_both_keep, n_rule_only, n_clf_only, n_both_drop,
+    {rnd_sql(
+        'CASE WHEN n_rule_only + n_clf_only > 0 THEN'
+        ' (ABS(CAST(n_rule_only AS DOUBLE) - n_clf_only) - 1.0)'
+        ' * (ABS(CAST(n_rule_only AS DOUBLE) - n_clf_only) - 1.0)'
+        ' / (CAST(n_rule_only AS DOUBLE) + n_clf_only)'
+        ' ELSE 0.0 END', 6)} AS mcnemar_chi2
+FROM cells"""
+
+
+oracle(
+    "doc_quality_mcnemar",
+    ("doc_quality_classifier", "doc_text_stats"),
+    _mcnemar_oracle(),
+)
+
+
+@model("doc_langid_kappa", layer="operators", materialization="view")
+def doc_langid_kappa(ctx):
+    """Cohen's kappa for the marker-word language-ID against the corpus
+    label — the chance-corrected single-number summary of
+    doc_lang_confusion (accuracy alone flatters when one language
+    dominates). κ = (N·Σdiag − Σ_ℓ row_ℓ·col_ℓ) / (N² − Σ_ℓ row_ℓ·col_ℓ)
+    — a ratio of exact integers; the marginal products accumulate
+    through DECIMAL(38,0) so the identity survives corpus scale.
+
+    Label-grain marginal frames (bounded |langs|), 1-row output."""
+    p = ctx.ref("doc_language_id").select("lang", "predicted_lang")
+    act = p.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    prd = p.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_p")
+    )
+    marg = (
+        act.join(
+            prd, act["lang"] == prd["predicted_lang"], "full_outer"
+        ).select(
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_p"), F.lit(0)).alias("n_p"),
+        )
+    )
+    pe = marg.agg(
+        F.sum((F.col("n_a") * F.col("n_p")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("pe_num"),
+        F.sum("n_a").cast("long").alias("n_docs"),
+    )
+    agree = p.agg(
+        F.sum(
+            F.when(F.col("lang") == F.col("predicted_lang"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_agree")
+    )
+    j = pe.crossJoin(F.broadcast(agree))
+    n = F.col("n_docs").cast("double")
+    kappa = (n * F.col("n_agree") - F.col("pe_num")) / (
+        n * n - F.col("pe_num")
+    )
+    return j.select(
+        "n_docs",
+        "n_agree",
+        rnd(F.col("n_agree") / n, 9).alias("accuracy"),
+        rnd(kappa, 9).alias("cohens_kappa"),
+    )
+
+
+oracle(
+    "doc_langid_kappa",
+    ("doc_language_id",),
+    f"""WITH p AS (
+    SELECT lang, predicted_lang FROM doc_language_id
+),
+act AS (SELECT lang AS l, CAST(COUNT(*) AS BIGINT) AS n_a FROM p GROUP BY 1),
+prd AS (SELECT predicted_lang AS l, CAST(COUNT(*) AS BIGINT) AS n_p FROM p GROUP BY 1),
+marg AS (
+    SELECT COALESCE(a.n_a, 0) AS n_a, COALESCE(r.n_p, 0) AS n_p
+    FROM act a FULL JOIN prd r ON a.l = r.l
+),
+pe AS (
+    SELECT CAST(SUM(CAST(n_a * n_p AS DECIMAL(38,0))) AS DOUBLE) AS pe_num,
+           CAST(SUM(n_a) AS BIGINT) AS n_docs
+    FROM marg
+),
+ag AS (
+    SELECT CAST(SUM(CASE WHEN lang = predicted_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+    FROM p
+)
+SELECT n_docs, n_agree,
+    {rnd_sql('CAST(n_agree AS DOUBLE) / n_docs', 9)} AS accuracy,
+    {rnd_sql(
+        '(CAST(n_docs AS DOUBLE) * n_agree - pe_num)'
+        ' / (CAST(n_docs AS DOUBLE) * n_docs - pe_num)', 9)} AS cohens_kappa
+FROM pe CROSS JOIN ag""",
+)

@@ -1045,3 +1045,73 @@ SELECT source, n_tokens_source, n_terms,
                  source) AS BIGINT) AS divergence_rank
 FROM agg""",
 )
+
+
+@model("docs_ndcg_fused", layer="operators", materialization="view")
+def docs_ndcg_fused(ctx):
+    """nDCG@k of the RRF-fused ranking against binary BM25-membership
+    relevance — "how much of the BM25 signal does the fusion preserve
+    after mixing in TF-IDF", the standard ranking-quality readout for a
+    hybrid retrieval stage. Relevance of a fused doc is carried BY the
+    fusion frame itself (``r_bm25 IS NOT NULL``); the ideal DCG comes
+    from the BM25 list's own ranks, so no third corpus pass exists.
+
+    Per-position gains 1/log2(i+1) are 9-dp-quantized and accumulated
+    through DECIMAL(30,9) (≤ TOP_DOCS terms per query — bounded).
+    Output: one row per query."""
+    fused = ctx.ref("docs_rrf_fusion")
+    acc9 = "decimal(30,9)"
+    gain = rnd(
+        F.when(F.col("r_bm25").isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+        / F.log2(F.col("fused_rank").cast("double") + F.lit(1.0)),
+        9,
+    )
+    dcg = fused.groupBy("query_id").agg(
+        F.sum(gain.cast(acc9)).cast("double").alias("dcg"),
+        F.sum(F.when(F.col("r_bm25").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_relevant_in_fused"),
+    )
+    ideal_gain = rnd(
+        F.lit(1.0) / F.log2(F.col("rank").cast("double") + F.lit(1.0)), 9
+    )
+    idcg = (
+        ctx.ref("docs_bm25_topk")
+        .groupBy("query_id")
+        .agg(F.sum(ideal_gain.cast(acc9)).cast("double").alias("idcg"))
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "n_relevant_in_fused",
+        rnd(F.col("dcg"), 6).alias("dcg"),
+        rnd(F.col("idcg"), 6).alias("idcg"),
+        rnd(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+    )
+
+
+oracle(
+    "docs_ndcg_fused",
+    ("docs_rrf_fusion", "docs_bm25_topk"),
+    f"""WITH d AS (
+    SELECT query_id,
+        CAST(SUM(CAST({rnd_sql(
+            'CASE WHEN r_bm25 IS NOT NULL THEN 1.0 ELSE 0.0 END'
+            ' / log2(CAST(fused_rank AS DOUBLE) + 1.0)', 9
+        )} AS DECIMAL(30,9))) AS DOUBLE) AS dcg,
+        CAST(SUM(CASE WHEN r_bm25 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_relevant_in_fused
+    FROM docs_rrf_fusion GROUP BY query_id
+),
+i AS (
+    SELECT query_id,
+        CAST(SUM(CAST({rnd_sql(
+            '1.0 / log2(CAST(rank AS DOUBLE) + 1.0)', 9
+        )} AS DECIMAL(30,9))) AS DOUBLE) AS idcg
+    FROM docs_bm25_topk GROUP BY query_id
+)
+SELECT d.query_id, d.n_relevant_in_fused,
+    {rnd_sql('d.dcg', 6)} AS dcg,
+    {rnd_sql('i.idcg', 6)} AS idcg,
+    {rnd_sql('d.dcg / i.idcg', 6)} AS ndcg_at_k
+FROM d JOIN i ON d.query_id = i.query_id""",
+)

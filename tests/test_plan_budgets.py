@@ -284,6 +284,14 @@ SHUFFLE_BUDGETS = {
     "docs_rrf_fusion": 14,
     # trimmed mean: order-grain bucketed rank machinery
     "order_trimmed_mean": 4,
+    # nDCG composes the fused ranking (14) + the BM25 reference list +
+    # two bounded per-query gain aggs; every frame past the checkpointed
+    # feedstock is |queries|-bounded
+    "docs_ndcg_fused": 20,
+    # McNemar: one map-only scan to a 1-row cell census
+    "doc_quality_mcnemar": 1,
+    # kappa: label-grain marginals (bounded |langs|) + 1-row reductions
+    "doc_langid_kappa": 4,
 }
 
 
