@@ -324,3 +324,219 @@ def test_entity_clusters_respect_linkage_pairs(spark, sf_dir):
     assert matches
     for m in matches:
         assert labels[m["customer_a"]] == labels[m["customer_b"]]
+
+
+# ---------------------------------------------------------------- round 5
+
+
+def test_auc_matches_bruteforce(spark, sf_dir):
+    """The bucketed-cumsum AUC must equal the O(P*N) tie-credited
+    definition computed in plain Python from the same scored frame."""
+    from dbt_tpch_spark.operators.modeleval import _scored_labels
+
+    ctx = Context(spark, sf_dir)
+    row = ctx.ref("doc_quality_auc").head()
+    rows = _scored_labels(ctx).collect()
+    pos = [r["score"] for r in rows if r["is_pos"]]
+    neg = [r["score"] for r in rows if not r["is_pos"]]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    u = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    assert abs(row["auc"] - u / (len(pos) * len(neg))) < 1e-6
+
+
+def test_pr_auc_matches_bruteforce(spark, sf_dir):
+    """Step-interpolated AP recomputed from per-distinct-score blocks."""
+    from collections import Counter
+
+    from dbt_tpch_spark.operators.modeleval import _scored_labels
+
+    ctx = Context(spark, sf_dir)
+    row = ctx.ref("doc_quality_pr_auc").head()
+    rows = _scored_labels(ctx).collect()
+    by_score = Counter()
+    pos_by_score = Counter()
+    for r in rows:
+        by_score[r["score"]] += 1
+        pos_by_score[r["score"]] += 1 if r["is_pos"] else 0
+    cum_pos = cum_tot = 0
+    ap = 0.0
+    p_total = sum(pos_by_score.values())
+    for s in sorted(by_score, reverse=True):
+        cum_pos += pos_by_score[s]
+        cum_tot += by_score[s]
+        ap += pos_by_score[s] * cum_pos / cum_tot
+    assert abs(row["avg_precision"] - ap / p_total) < 1e-6
+    assert 0.0 < row["avg_precision"] <= 1.0
+
+
+def test_calibration_bins_partition_and_ece_consistent(spark, sf_dir):
+    rows = Context(spark, sf_dir).ref("doc_quality_calibration").collect()
+    assert rows
+    n_docs = Context(spark, sf_dir).source("documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    ece = sum(r["n"] * r["abs_gap"] for r in rows) / sum(r["n"] for r in rows)
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        assert abs(r["ece"] - ece) < 1e-5, (r["ece"], ece)
+
+
+def test_spearman_matches_bruteforce(spark, sf_dir):
+    """Rank correlation recomputed in Python with the SAME deterministic
+    tie convention (order by metric, then user_id)."""
+    from dbt_tpch_spark.functions import dsum
+
+    ctx = Context(spark, sf_dir)
+    row = ctx.ref("events_user_spearman").head()
+    pu = (
+        ctx.source("events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("a"),
+            dsum(F.col("value")).alias("b"),
+        )
+        .collect()
+    )
+    ra = {
+        r["user_id"]: i + 1
+        for i, r in enumerate(sorted(pu, key=lambda r: (r["a"], r["user_id"])))
+    }
+    rb = {
+        r["user_id"]: i + 1
+        for i, r in enumerate(sorted(pu, key=lambda r: (r["b"], r["user_id"])))
+    }
+    n = len(pu)
+    sa = sum(ra.values())
+    saa = sum(v * v for v in ra.values())
+    sab = sum(ra[u] * rb[u] for u in ra)
+    rho = (sab - sa * sa / n) / (saa - sa * sa / n)
+    assert row["n_users"] == n
+    assert abs(row["spearman_rho"] - rho) < 1e-6
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+
+
+def test_ks_matches_bruteforce(spark, sf_dir):
+    """Exact two-sample KS recomputed from raw per-arm value lists."""
+    from dbt_tpch_spark.operators.rankstats import RANK_ARM_A, RANK_ARM_B
+
+    ctx = Context(spark, sf_dir)
+    row = ctx.ref("events_ks_test").head()
+    ev = (
+        ctx.source("events")
+        .filter(F.col("event_type").isin(RANK_ARM_A, RANK_ARM_B))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(r["value"] for r in ev if r["event_type"] == RANK_ARM_A)
+    b = sorted(r["value"] for r in ev if r["event_type"] == RANK_ARM_B)
+    vals = sorted(set(a) | set(b))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in vals
+    )
+    assert abs(row["ks_stat"] - d) < 1e-6
+
+
+def test_temporal_split_embargo_gap_holds(spark, sf_dir):
+    from dbt_tpch_spark.operators.modeleval import SPLIT_EMBARGO_MS
+
+    ctx = Context(spark, sf_dir)
+    rows = {r["split"]: r for r in ctx.ref("events_temporal_split_embargo").collect()}
+    total = ctx.source("events").count()
+    assert sum(r["n_events"] for r in rows.values()) == total
+    assert "train" in rows and "test" in rows
+    # min(test) > t_cut + E and max(train) <= t_cut  =>  gap > E
+    assert rows["test"]["min_ms"] - rows["train"]["max_ms"] > SPLIT_EMBARGO_MS
+    if "embargo" in rows:
+        assert rows["embargo"]["min_ms"] > rows["train"]["max_ms"]
+        assert rows["embargo"]["max_ms"] < rows["test"]["min_ms"]
+
+
+def test_rrf_fused_list_is_consistent(spark, sf_dir):
+    """Fused ranks are dense 1..k per query, every fused doc cites at
+    least one source rank, the cited BM25 rank matches the BM25 model,
+    and the RRF score equals its definition."""
+    ctx = Context(spark, sf_dir)
+    fused = ctx.ref("docs_rrf_fusion").collect()
+    bm = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in ctx.ref("docs_bm25_topk").collect()
+    }
+    by_q = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["r_bm25"] is not None or r["r_tfidf"] is not None, r
+        if r["r_bm25"] is not None:
+            assert bm[(r["query_id"], r["doc_id"])] == r["r_bm25"]
+        want = (1.0 / (60 + r["r_bm25"]) if r["r_bm25"] else 0.0) + (
+            1.0 / (60 + r["r_tfidf"]) if r["r_tfidf"] else 0.0
+        )
+        assert abs(r["rrf_score"] - want) < 1e-8, r
+    for q, rs in by_q.items():
+        assert sorted(r["fused_rank"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_ndcg_bounded_by_one(spark, sf_dir):
+    rows = Context(spark, sf_dir).ref("docs_ndcg_fused").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0 + 1e-9, r
+        assert r["dcg"] <= r["idcg"] + 1e-9, r
+
+
+def test_kappa_and_mcnemar_cells_consistent(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    k = ctx.ref("doc_langid_kappa").head()
+    assert k["cohens_kappa"] <= k["accuracy"] + 1e-9 <= 1.0 + 1e-9
+    m = ctx.ref("doc_quality_mcnemar").head()
+    n_docs = ctx.source("documents").count()
+    cells = (
+        m["n_both_keep"] + m["n_rule_only"] + m["n_clf_only"] + m["n_both_drop"]
+    )
+    assert cells == n_docs
+    assert m["mcnemar_chi2"] >= 0.0
+
+
+def test_trimmed_mean_is_interior(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    r = ctx.ref("order_trimmed_mean").head()
+    lohi = ctx.source("orders").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).head()
+    trim = r["n_total"] * 1 // 100
+    assert r["n_kept"] == r["n_total"] - 2 * trim
+    assert lohi["lo"] <= r["trimmed_mean"] <= lohi["hi"]
+    assert lohi["lo"] <= r["raw_mean"] <= lohi["hi"]
+
+
+def test_ess_within_kish_bounds(spark, sf_dir):
+    rows = Context(spark, sf_dir).ref("docs_dsir_ess").collect()
+    assert rows
+    for r in rows:
+        assert 1.0 - 1e-6 <= r["ess"] <= r["n_docs"] + 1e-6, r
+        assert 0.0 < r["ess_ratio"] <= 1.0 + 1e-6
+
+
+def test_gini_benford_bounds(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    g = ctx.ref("customer_gini").head()
+    assert 0.0 <= g["gini"] < 1.0
+    rows = ctx.ref("events_benford").collect()
+    assert {r["digit"] for r in rows} <= set("123456789")
+    assert sum(r["n"] for r in rows) == rows[0]["n_tot"]
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-6
+
+
+def test_zipf_heaps_fits_are_sane(spark, sf_dir):
+    ctx = Context(spark, sf_dir)
+    z = ctx.ref("vocab_zipf_fit").head()
+    assert z["zipf_slope"] < 0.0 and 0.0 <= z["r_squared"] <= 1.0
+    h = ctx.ref("vocab_heaps_fit").head()
+    assert 0.0 < h["heaps_beta"] <= 1.0 and 0.0 <= h["r_squared"] <= 1.0
