@@ -2079,3 +2079,175 @@ FROM (
     FROM resid
 ) WHERE rk = CAST(floor((n_days + 1) / 2.0) AS BIGINT)""",
 )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival: time from first view to first purchase
+# --------------------------------------------------------------------------
+
+#: milliseconds per day (integer division makes durations engine-identical)
+_MS_PER_DAY = 86_400_000
+
+
+@model("user_survival_km", layer="operators", materialization="view")
+def user_survival_km(ctx):
+    """Kaplan-Meier product-limit estimate of time-to-conversion: per
+    user, duration in whole days from the first ``view`` to the first
+    ``purchase`` at-or-after it, right-CENSORED at the corpus's last
+    event for users who never convert — the survival curve no naive
+    "average days to purchase over converters only" can replace (that
+    estimator is biased low exactly when conversion is slow).
+
+    S(t) = Π_{d≤t, events} (1 − d_t/n_t) computed as exp of a running
+    sum of 9-dp-quantized ln(1 − d/n) factors (DECIMAL(30,9)
+    accumulation); the d_t = n_t terminal day is handled explicitly on
+    both engines (DuckDB ln(0) raises, Spark yields NULL — neither is
+    trusted) via a running had-terminal-day flag that pins S to 0.
+
+    Scale: user-grain aggregations (the sessionization shape), then
+    everything lives at duration-day grain — bounded by the observation
+    span in DAYS, not by corpus size, so the unpartitioned windows are
+    over a calendar-bounded frame. Durations are integer epoch-ms
+    arithmetic (div), engine-identical."""
+    e = ctx.source("events").select(
+        "user_id", "event_type", F.expr("unix_millis(ts)").alias("ms")
+    )
+    t0 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t0"))
+    )
+    tp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("ms") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t1"))
+    )
+    obs = e.agg(F.max("ms").alias("tmax"))
+    u = (
+        t0.join(tp, "user_id", "left")
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(),
+                F.expr(f"(t1 - t0) div {_MS_PER_DAY}"),
+            )
+            .otherwise(F.expr(f"(tmax - t0) div {_MS_PER_DAY}"))
+            .alias("dur_day"),
+            F.col("t1").isNotNull().alias("observed"),
+        )
+    )
+    pd_ = u.groupBy("dur_day").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.sum(F.when(F.col("observed"), 0).otherwise(1))
+        .cast("long")
+        .alias("c"),
+    )
+    w_ord = Window.orderBy("dur_day")
+    w_ex = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_in = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_total = F.sum(F.col("d") + F.col("c")).over(w_all)
+    n_risk = (n_total - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_ex), F.lit(0))).cast("long")
+    r = pd_.withColumn("n_risk", n_risk)
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        rnd(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            ),
+            9,
+        ),
+    )
+    dead = F.max(
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    ).over(w_in)
+    cum = (
+        F.sum(term.cast("decimal(30,9)")).over(w_in).cast("double")
+    )
+    s = r.withColumn("_term", term).withColumn("_dead", dead).withColumn(
+        "_cum", cum
+    )
+    survival = F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
+        rnd(F.exp(F.coalesce(F.col("_cum"), F.lit(0.0))), 6)
+    )
+    return s.select(
+        "dur_day",
+        F.col("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        survival.alias("survival"),
+    )
+
+
+oracle(
+    "user_survival_km",
+    ("events",),
+    f"""WITH e AS (
+    SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+t0 AS (
+    SELECT user_id, MIN(ms) AS t0 FROM e
+    WHERE event_type = 'view' GROUP BY user_id
+),
+tp AS (
+    SELECT e.user_id, MIN(e.ms) AS t1
+    FROM e JOIN t0 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ms >= t0.t0
+    GROUP BY e.user_id
+),
+obs AS (SELECT MAX(ms) AS tmax FROM e),
+u AS (
+    SELECT
+        CASE WHEN tp.t1 IS NOT NULL
+             THEN (tp.t1 - t0.t0) // {_MS_PER_DAY}
+             ELSE (obs.tmax - t0.t0) // {_MS_PER_DAY} END AS dur_day,
+        tp.t1 IS NOT NULL AS observed
+    FROM t0 LEFT JOIN tp USING (user_id) CROSS JOIN obs
+),
+pd AS (
+    SELECT dur_day,
+        CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS c
+    FROM u GROUP BY dur_day
+),
+r AS (
+    SELECT *,
+        CAST(SUM(d + c) OVER () -
+             COALESCE(SUM(d + c) OVER (
+                 ORDER BY dur_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_risk
+    FROM pd
+),
+s AS (
+    SELECT *,
+        CASE WHEN d < n_risk THEN {rnd_sql(
+            'LN(1.0 - CAST(d AS DOUBLE) / n_risk)', 9
+        )} END AS term,
+        MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+            ORDER BY dur_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+    FROM r
+),
+z AS (
+    SELECT *,
+        CAST(SUM(CAST(term AS DECIMAL(30,9))) OVER (
+            ORDER BY dur_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS DOUBLE) AS cum
+    FROM s
+)
+SELECT dur_day, n_risk,
+    d AS n_events,
+    c AS n_censored,
+    CASE WHEN dead = 1 THEN 0.0
+         ELSE {rnd_sql('EXP(COALESCE(cum, 0.0))', 6)} END AS survival
+FROM z""",
+)

@@ -540,3 +540,25 @@ def test_zipf_heaps_fits_are_sane(spark, sf_dir):
     assert z["zipf_slope"] < 0.0 and 0.0 <= z["r_squared"] <= 1.0
     h = ctx.ref("vocab_heaps_fit").head()
     assert 0.0 < h["heaps_beta"] <= 1.0 and 0.0 <= h["r_squared"] <= 1.0
+
+
+def test_km_survival_is_monotone_and_risk_telescopes(spark, sf_dir):
+    """S(t) nonincreasing from S<=1; the at-risk count telescopes exactly
+    (n_risk[t+1] = n_risk[t] - d[t] - c[t]); total at-risk at day 0 equals
+    the users-with-a-view population."""
+    ctx = Context(spark, sf_dir)
+    rows = sorted(
+        ctx.ref("user_survival_km").collect(), key=lambda r: r["dur_day"]
+    )
+    assert rows and rows[0]["survival"] <= 1.0 + 1e-9
+    for a, b in zip(rows, rows[1:]):
+        assert b["survival"] <= a["survival"] + 1e-9
+        assert b["n_risk"] == a["n_risk"] - a["n_events"] - a["n_censored"]
+    n_viewers = (
+        ctx.source("events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0]["n_risk"] == n_viewers

@@ -292,6 +292,9 @@ SHUFFLE_BUDGETS = {
     "doc_quality_mcnemar": 1,
     # kappa: label-grain marginals (bounded |langs|) + 1-row reductions
     "doc_langid_kappa": 4,
+    # Kaplan-Meier: user-grain t0/t1 aggs + the duration-day census; the
+    # singleton-partition windows run over the calendar-bounded day frame
+    "user_survival_km": 12,
 }
 
 
