@@ -833,3 +833,211 @@ FROM wide"""
 
 
 oracle("lineitem_column_stats", ("lineitem",), _col_stats_oracle())
+
+
+# --------------------------------------------------------------------------
+# experimentation stack: CUPED variance reduction + sample-ratio mismatch
+# --------------------------------------------------------------------------
+
+#: deterministic synthetic A/B assignment (user_id parity) standing in for
+#: the experiment's assignment column — a real deployment swaps the
+#: expression; everything downstream is the production plan.
+_ARM = "CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END"
+
+
+@model("events_ab_cuped", layer="operators", materialization="view")
+def events_ab_cuped(ctx):
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al., WSDM'13): adjust each user's experiment-period metric Y by the
+    pre-period covariate X — Y' = Y − θ·(X − E[X]), θ = cov(X,Y)/var(X) —
+    and report per-arm adjusted means plus the variance-reduction factor
+    ρ² = cov²/(var_x·var_y). The pre/post cut is the midpoint of the
+    observed epoch-ms span (integer arithmetic); the covariate is the
+    user's pre-period value sum, the metric the post-period value sum.
+
+    Determinism: per-user X/Y are exact-decimal sums quantized to 6 dp;
+    pooled moments accumulate their products through DECIMAL(30,9), so θ
+    is the same IEEE expression on both engines. Scale: ONE user-grain
+    aggregation (checkpointed — it feeds the pooled-moment and per-arm
+    consumers), then 1-row/2-row bounded frames."""
+    e = ctx.source("events").select(
+        "user_id", F.expr("unix_millis(ts)").alias("ms"), "value"
+    )
+    bounds = e.agg(
+        F.expr("min(ms) + (max(ms) - min(ms)) div 2").alias("t_mid")
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            rnd(
+                dsum(
+                    F.when(F.col("ms") <= F.col("t_mid"), F.col("value"))
+                    .otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("x"),
+            rnd(
+                dsum(
+                    F.when(F.col("ms") > F.col("t_mid"), F.col("value"))
+                    .otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("y"),
+        )
+        .withColumn("arm", F.expr(_ARM))
+        .localCheckpoint(eager=False)
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _dsum9(F.col("x")).alias("sx"),
+        _dsum9(F.col("y")).alias("sy"),
+        _dsum9(F.col("x") * F.col("y")).alias("sxy"),
+        _dsum9(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum9(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    scalars = pooled.select(
+        rnd(
+            F.when(vx > F.lit(0.0), cov / vx).otherwise(F.lit(0.0)), 9
+        ).alias("theta"),
+        rnd(F.col("sx") / n, 6).alias("mean_x_pooled"),
+        rnd(
+            F.when(
+                (vx > F.lit(0.0)) & (vy > F.lit(0.0)),
+                cov * cov / (vx * vy),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("var_reduction"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        _dsum9(F.col("x")).alias("sx_a"),
+        _dsum9(F.col("y")).alias("sy_a"),
+    )
+    j = arms.crossJoin(F.broadcast(scalars))
+    na = F.col("n_users").cast("double")
+    mean_y = F.col("sy_a") / na
+    mean_x = F.col("sx_a") / na
+    adj = mean_y - F.col("theta") * (mean_x - F.col("mean_x_pooled"))
+    return j.select(
+        "arm",
+        "n_users",
+        rnd(mean_y, 6).alias("mean_post"),
+        rnd(adj, 6).alias("mean_post_adjusted"),
+        "theta",
+        "var_reduction",
+    )
+
+
+def _cuped_oracle() -> str:
+    mid = "SELECT MIN(ms) + (MAX(ms) - MIN(ms)) // 2 AS t_mid FROM e"
+    return f"""WITH e AS (
+    SELECT user_id, epoch_ms(ts) AS ms, value FROM events
+),
+b AS ({mid}),
+pu AS (
+    SELECT user_id,
+        {rnd_sql(dsum_sql(
+            'CASE WHEN ms <= t_mid THEN value ELSE 0.0 END'), 6)} AS x,
+        {rnd_sql(dsum_sql(
+            'CASE WHEN ms > t_mid THEN value ELSE 0.0 END'), 6)} AS y,
+        {_ARM} AS arm
+    FROM e CROSS JOIN b
+    GROUP BY user_id
+),
+pooled AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        {_dsum9_sql('x')} AS sx, {_dsum9_sql('y')} AS sy,
+        {_dsum9_sql('x * y')} AS sxy,
+        {_dsum9_sql('x * x')} AS sxx,
+        {_dsum9_sql('y * y')} AS syy
+    FROM pu
+),
+scalars AS (
+    SELECT
+        {rnd_sql(
+            'CASE WHEN sxx - sx * sx / n > 0.0'
+            ' THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)'
+            ' ELSE 0.0 END', 9)} AS theta,
+        {rnd_sql('sx / n', 6)} AS mean_x_pooled,
+        {rnd_sql(
+            'CASE WHEN sxx - sx * sx / n > 0.0 AND syy - sy * sy / n > 0.0'
+            ' THEN (sxy - sx * sy / n) * (sxy - sx * sy / n)'
+            ' / ((sxx - sx * sx / n) * (syy - sy * sy / n))'
+            ' ELSE 0.0 END', 9)} AS var_reduction
+    FROM pooled
+),
+arms AS (
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+        {_dsum9_sql('x')} AS sx_a, {_dsum9_sql('y')} AS sy_a
+    FROM pu GROUP BY arm
+)
+SELECT arm, n_users,
+    {rnd_sql('sy_a / n_users', 6)} AS mean_post,
+    {rnd_sql(
+        'sy_a / n_users - theta * (sx_a / n_users - mean_x_pooled)', 6
+    )} AS mean_post_adjusted,
+    theta,
+    var_reduction
+FROM arms CROSS JOIN scalars"""
+
+
+oracle("events_ab_cuped", ("events",), _cuped_oracle())
+
+
+@model("events_ab_srm_check", layer="operators", materialization="view")
+def events_ab_srm_check(ctx):
+    """Sample-ratio-mismatch guardrail for the A/B assignment: chi-square
+    of the per-arm USER counts against the designed 50/50 split —
+    χ² = (n_A − n_B)²/(n_A + n_B), flagged at the 1-dof 5% critical value
+    3.841. The first thing to check before reading any experiment metric;
+    a failed SRM invalidates the whole readout. One distinct-user census
+    to a 1-row frame."""
+    u = (
+        ctx.source("events")
+        .select("user_id")
+        .distinct()
+        .withColumn("arm", F.expr(_ARM))
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    chi2 = (na - nb) * (na - nb) / (na + nb)
+    return g.select(
+        "n_a",
+        "n_b",
+        rnd(chi2, 6).alias("srm_chi2"),
+        (chi2 > F.lit(3.841)).alias("srm_flag"),
+    )
+
+
+oracle(
+    "events_ab_srm_check",
+    ("events",),
+    f"""WITH u AS (
+    SELECT DISTINCT user_id FROM events
+),
+a AS (
+    SELECT
+        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+    FROM u
+)
+SELECT n_a, n_b,
+    {rnd_sql(
+        '(CAST(n_a AS DOUBLE) - n_b) * (CAST(n_a AS DOUBLE) - n_b)'
+        ' / (CAST(n_a AS DOUBLE) + n_b)', 6)} AS srm_chi2,
+    ((CAST(n_a AS DOUBLE) - n_b) * (CAST(n_a AS DOUBLE) - n_b)
+     / (CAST(n_a AS DOUBLE) + n_b)) > 3.841 AS srm_flag
+FROM a""",
+)

@@ -562,3 +562,22 @@ def test_km_survival_is_monotone_and_risk_telescopes(spark, sf_dir):
         .count()
     )
     assert rows[0]["n_risk"] == n_viewers
+
+
+def test_cuped_adjustment_preserves_pooled_mean(spark, sf_dir):
+    """CUPED is mean-preserving in the pooled population: the
+    user-weighted average of adjusted arm means equals the raw pooled
+    post-period mean (θ·(X − E[X]) integrates to zero). Also ρ² ∈ [0,1]
+    and the SRM census covers every user exactly once."""
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("events_ab_cuped").collect()
+    assert len(rows) == 2
+    n = sum(r["n_users"] for r in rows)
+    raw = sum(r["n_users"] * r["mean_post"] for r in rows) / n
+    adj = sum(r["n_users"] * r["mean_post_adjusted"] for r in rows) / n
+    assert abs(raw - adj) < 1e-4, (raw, adj)
+    assert 0.0 <= rows[0]["var_reduction"] <= 1.0 + 1e-9
+    srm = ctx.ref("events_ab_srm_check").head()
+    n_users = ctx.source("events").select("user_id").distinct().count()
+    assert srm["n_a"] + srm["n_b"] == n_users
+    assert srm["srm_chi2"] >= 0.0

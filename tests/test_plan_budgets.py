@@ -295,6 +295,10 @@ SHUFFLE_BUDGETS = {
     # Kaplan-Meier: user-grain t0/t1 aggs + the duration-day census; the
     # singleton-partition windows run over the calendar-bounded day frame
     "user_survival_km": 12,
+    # CUPED: one checkpointed user-grain agg feeding pooled-moment and
+    # per-arm consumers; SRM is one distinct-user census
+    "events_ab_cuped": 2,
+    "events_ab_srm_check": 2,
 }
 
 
