@@ -525,12 +525,14 @@ def vocab_heaps_fit(ctx):
     a tokenizer-budget red flag). Companion to vocab_zipf_fit: Zipf is
     the static frequency law, Heaps the growth law.
 
-    One token explode feeds (a) per-doc token counts and (b) per-doc
-    new-term counts (term first-seen at min(doc_id)); both cumulate along
-    doc_id through the bucketed exact-cumsum machinery (doc-grain frame,
-    SF-linear, no single-task sort), logs are 9-dp-quantized into the
-    DECIMAL(30,9) OLS moments. Output: 1 row."""
-    toks = (
+    ONE tokenization pass materializes the standing (doc, term, tf)
+    feedstock (the bm25 checkpoint pattern — two lazy consumers would
+    each re-tokenize the corpus); per-doc token counts (Σtf) and per-doc
+    new-term counts (term first-seen at min(doc_id)) are cheap aggregates
+    of it. Both cumulate along doc_id through the bucketed exact-cumsum
+    machinery (doc-grain frame, SF-linear, no single-task sort), logs are
+    9-dp-quantized into the DECIMAL(30,9) OLS moments. Output: 1 row."""
+    dtf = (
         ctx.source("documents")
         .select(
             "doc_id",
@@ -539,12 +541,15 @@ def vocab_heaps_fit(ctx):
             ).alias("term"),
         )
         .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    dt = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    dt = dtf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens")
     )
     nv = (
-        toks.groupBy("term")
+        dtf.groupBy("term")
         .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))

@@ -25,6 +25,9 @@ any plan:
   (Goh-Barabási burstiness ``B = (σ-μ)/(σ+μ)``) rolled up into bounded
   activity bands. The only window is PARTITIONED by user — the classic
   sessionization shape that scales linearly.
+* ``order_trimmed_mean`` — two-sided 1%-trimmed mean of order value
+  (robust location next to the raw mean); exact global ranks from the
+  bucketed machinery, integer-exact trim boundaries (``n·pct div 100``).
 
 Scale notes (100 TB): every operator reduces to (a) hash aggregations at
 value/entity grain, (b) one bucketed exact cumsum (32-way parallel,

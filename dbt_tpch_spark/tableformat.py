@@ -356,6 +356,13 @@ class TxnTable:
         ``rows_deleted``."""
         base_version = self.latest_version()
         files = self.snapshot_files(base_version)
+        if not files:  # already-empty snapshot: nothing to scan or delete
+            return {
+                "version": base_version,
+                "files_rewritten": 0,
+                "files_skipped": 0,
+                "rows_deleted": 0,
+            }
         rel_by_abs = {
             os.path.abspath(os.path.join(self.path, a["file"])): a["file"]
             for a in files
