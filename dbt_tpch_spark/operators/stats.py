@@ -1041,3 +1041,215 @@ SELECT n_a, n_b,
      / (CAST(n_a AS DOUBLE) + n_b)) > 3.841 AS srm_flag
 FROM a""",
 )
+
+
+# --------------------------------------------------------------------------
+# resampling-free uncertainty: block jackknife + delta-method ratio CI
+# --------------------------------------------------------------------------
+
+#: jackknife block count (md5-keyed, so blocks are growth-stable)
+_JK_BLOCKS = 32
+
+
+@model("order_mean_jackknife_ci", layer="operators", materialization="view")
+def order_mean_jackknife_ci(ctx):
+    """Block-jackknife 95% CI for the mean order value — the uncertainty
+    estimate that needs NO distributional assumption and NO random
+    resampling: orders hash deterministically (md5) into 32 blocks, each
+    leave-one-block-out mean is closed-form from the per-block (n, sum),
+    and the jackknife variance is (B−1)/B · Σ(θ_i − θ̄)². At 100 TB this
+    is ONE aggregation to a 32-row frame; a bootstrap would need R full
+    resample passes.
+
+    Determinism: per-block sums are exact decimal; θ_i is 9-dp-quantized
+    and θ_i² 6-dp-quantized before the DECIMAL(30,9) reduction (θ² at
+    9 dp would push floor()'s argument past 2^63 — Spark's floor(double)
+    returns BIGINT and silently wraps where DuckDB's stays double; 6 dp
+    keeps the argument < 2^63 for θ up to ~3e6), so the variance is
+    addition-order-free on both engines."""
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    hexd = "0123456789abcdef"
+    n1 = F.instr(F.lit(hexd), F.substring(h, 1, 1)) - 1
+    n2 = F.instr(F.lit(hexd), F.substring(h, 2, 1)) - 1
+    o = ctx.source("orders").select(
+        F.pmod(n1 * 16 + n2, F.lit(_JK_BLOCKS)).cast("long").alias("blk"),
+        "o_totalprice",
+    )
+    per_blk = o.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        dsum(F.col("o_totalprice")).alias("s_i"),
+    )
+    tot = per_blk.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        _dsum9(F.col("s_i")).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    j = per_blk.crossJoin(F.broadcast(tot))
+    theta = rnd(
+        (F.col("s") - F.col("s_i"))
+        / (F.col("n") - F.col("n_i")).cast("double"),
+        9,
+    )
+    m = j.agg(
+        _dsum9(theta).alias("st"),
+        _dsum9(rnd(theta * theta, 6)).alias("stt"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("b").alias("b"),
+    )
+    bd = F.col("b").cast("double")
+    var_jack = (
+        (bd - F.lit(1.0))
+        / bd
+        * (F.col("stt") - F.col("st") * F.col("st") / bd)
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    se = F.sqrt(F.greatest(var_jack, F.lit(0.0)))
+    return m.select(
+        "n",
+        F.col("b").alias("n_blocks"),
+        rnd(mean, 6).alias("mean"),
+        rnd(se, 6).alias("jackknife_se"),
+        rnd(mean - F.lit(1.96) * se, 6).alias("ci_lo"),
+        rnd(mean + F.lit(1.96) * se, 6).alias("ci_hi"),
+    )
+
+
+oracle(
+    "order_mean_jackknife_ci",
+    ("orders",),
+    f"""WITH o AS (
+    SELECT CAST((
+        (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)
+    ) % {_JK_BLOCKS} AS BIGINT) AS blk,
+           o_totalprice
+    FROM orders
+),
+pb AS (
+    SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_i,
+           {dsum_sql('o_totalprice')} AS s_i
+    FROM o GROUP BY blk
+),
+tot AS (
+    SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+           {_dsum9_sql('s_i')} AS s,
+           CAST(COUNT(*) AS BIGINT) AS b
+    FROM pb
+),
+th AS (
+    SELECT {rnd_sql('(t.s - pb.s_i) / (t.n - pb.n_i)', 9)} AS theta,
+           t.n, t.s, t.b
+    FROM pb CROSS JOIN tot t
+),
+m AS (
+    SELECT {_dsum9_sql('theta')} AS st,
+           {_dsum9_sql(rnd_sql('theta * theta', 6))} AS stt,
+           MAX(n) AS n, MAX(s) AS s, MAX(b) AS b
+    FROM th
+)
+SELECT n, b AS n_blocks,
+    {rnd_sql('s / n', 6)} AS mean,
+    {rnd_sql(
+        'SQRT(GREATEST((b - 1.0) / b * (stt - st * st / b), 0.0))', 6
+    )} AS jackknife_se,
+    {rnd_sql(
+        's / n - 1.96 * SQRT(GREATEST((b - 1.0) / b * (stt - st * st / b), 0.0))', 6
+    )} AS ci_lo,
+    {rnd_sql(
+        's / n + 1.96 * SQRT(GREATEST((b - 1.0) / b * (stt - st * st / b), 0.0))', 6
+    )} AS ci_hi
+FROM m""",
+)
+
+
+@model("events_ratio_metric_ci", layer="operators", materialization="view")
+def events_ratio_metric_ci(ctx):
+    """Delta-method 95% CI for the ratio metric "value per event"
+    (Σ value / Σ events over users) — ratio metrics are the norm in
+    experimentation and a naive per-event variance is WRONG because the
+    denominator is random too; the delta method gives
+    var(x̄/ȳ) ≈ (s²_x + R²·s²_y − 2R·s_xy) / (n·ȳ²) from the same
+    user-grain moments CUPED uses. One user-grain aggregation, 1-row
+    output."""
+    pu = (
+        ctx.source("events")
+        .groupBy("user_id")
+        .agg(
+            rnd(dsum(F.col("value")), 6).alias("x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+    )
+    m = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _dsum9(F.col("x")).alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        _dsum9(F.col("x") * F.col("y")).alias("sxy"),
+        _dsum9(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    xbar = F.col("sx") / n
+    ybar = F.col("sy").cast("double") / n
+    r = F.col("sx") / F.col("sy").cast("double")
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+    vy = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / n
+    ) / (n - F.lit(1.0))
+    cxy = (
+        F.col("sxy") - F.col("sx") * F.col("sy").cast("double") / n
+    ) / (n - F.lit(1.0))
+    se = F.sqrt(
+        F.greatest(
+            (vx + r * r * vy - F.lit(2.0) * r * cxy) / (n * ybar * ybar),
+            F.lit(0.0),
+        )
+    )
+    return m.select(
+        "n",
+        rnd(r, 6).alias("ratio"),
+        rnd(xbar, 6).alias("mean_value_per_user"),
+        rnd(ybar, 6).alias("mean_events_per_user"),
+        rnd(se, 9).alias("delta_se"),
+        rnd(r - F.lit(1.96) * se, 6).alias("ci_lo"),
+        rnd(r + F.lit(1.96) * se, 6).alias("ci_hi"),
+    )
+
+
+def _ratio_ci_oracle() -> str:
+    vx = "(sxx - sx * sx / n) / (n - 1.0)"
+    vy = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1.0)"
+    cxy = "(sxy - sx * CAST(sy AS DOUBLE) / n) / (n - 1.0)"
+    r = "(sx / CAST(sy AS DOUBLE))"
+    ybar = "(CAST(sy AS DOUBLE) / n)"
+    se = (
+        f"SQRT(GREATEST((({vx}) + {r} * {r} * ({vy})"
+        f" - 2.0 * {r} * ({cxy})) / (n * {ybar} * {ybar}), 0.0))"
+    )
+    return f"""WITH pu AS (
+    SELECT user_id,
+        {rnd_sql(dsum_sql('value'), 6)} AS x,
+        CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY user_id
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        {_dsum9_sql('x')} AS sx,
+        CAST(SUM(y) AS BIGINT) AS sy,
+        {_dsum9_sql('x * y')} AS sxy,
+        {_dsum9_sql('x * x')} AS sxx,
+        CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM pu
+)
+SELECT n,
+    {rnd_sql(r, 6)} AS ratio,
+    {rnd_sql('sx / n', 6)} AS mean_value_per_user,
+    {rnd_sql(ybar, 6)} AS mean_events_per_user,
+    {rnd_sql(se, 9)} AS delta_se,
+    {rnd_sql(f'{r} - 1.96 * {se}', 6)} AS ci_lo,
+    {rnd_sql(f'{r} + 1.96 * {se}', 6)} AS ci_hi
+FROM m"""
+
+
+oracle("events_ratio_metric_ci", ("events",), _ratio_ci_oracle())

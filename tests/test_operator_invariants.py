@@ -581,3 +581,17 @@ def test_cuped_adjustment_preserves_pooled_mean(spark, sf_dir):
     n_users = ctx.source("events").select("user_id").distinct().count()
     assert srm["n_a"] + srm["n_b"] == n_users
     assert srm["srm_chi2"] >= 0.0
+
+
+def test_uncertainty_intervals_contain_their_estimates(spark, sf_dir):
+    """Jackknife and delta-method CIs must bracket their point estimates
+    with strictly positive width (the floor-overflow regression that
+    zeroed the jackknife SE made the interval degenerate)."""
+    ctx = Context(spark, sf_dir)
+    jk = ctx.ref("order_mean_jackknife_ci").head()
+    assert jk["n_blocks"] == 32
+    assert jk["jackknife_se"] > 0.0
+    assert jk["ci_lo"] < jk["mean"] < jk["ci_hi"]
+    rc = ctx.ref("events_ratio_metric_ci").head()
+    assert rc["delta_se"] > 0.0
+    assert rc["ci_lo"] < rc["ratio"] < rc["ci_hi"]

@@ -299,6 +299,10 @@ SHUFFLE_BUDGETS = {
     # per-arm consumers; SRM is one distinct-user census
     "events_ab_cuped": 2,
     "events_ab_srm_check": 2,
+    # jackknife: one 32-block agg + 1-row broadcast + the 32-row moment
+    # reductions; ratio CI is one user-grain agg + a 1-row reduction
+    "order_mean_jackknife_ci": 4,
+    "events_ratio_metric_ci": 2,
 }
 
 
