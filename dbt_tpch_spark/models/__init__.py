@@ -37,6 +37,7 @@ _LAYER_MODULES = (
     "dbt_tpch_spark.operators.winnow",
     "dbt_tpch_spark.operators.simjoin",
     "dbt_tpch_spark.operators.stats",
+    "dbt_tpch_spark.operators.lshplan",
     "dbt_tpch_spark.streaming.windows",
 )
 

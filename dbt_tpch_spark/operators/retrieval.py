@@ -33,8 +33,14 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dbt_tpch_spark.functions import davg, dsum, rnd
-from dbt_tpch_spark.models.oracle import davg_sql, dsum_sql, oracle, rnd_sql
+from dbt_tpch_spark.functions import davg, dsum, isum, rnd
+from dbt_tpch_spark.models.oracle import (
+    davg_sql,
+    dsum_sql,
+    isum_sql,
+    oracle,
+    rnd_sql,
+)
 from dbt_tpch_spark.plans import model
 
 #: BM25 free parameters (standard Robertson defaults).
@@ -1114,4 +1120,95 @@ SELECT d.query_id, d.n_relevant_in_fused,
     {rnd_sql('i.idcg', 6)} AS idcg,
     {rnd_sql('d.dcg / i.idcg', 6)} AS ndcg_at_k
 FROM d JOIN i ON d.query_id = i.query_id""",
+)
+
+
+# --------------------------------------------------------------------------
+# vocabulary coverage / OOV rate per source
+# --------------------------------------------------------------------------
+
+#: top-V vocabulary size for the coverage report (tokenizer-budget proxy).
+VOCAB_V = 50
+
+
+@model("docs_oov_rate", layer="operators", materialization="view")
+def docs_oov_rate(ctx):
+    """Vocabulary coverage: build the top-V global vocabulary by term
+    frequency (ties broken lexicographically, deterministic on both
+    engines) and report each source's out-of-vocabulary token rate — the
+    standard tokenizer-budget diagnostic before committing a vocab size
+    for a pretraining corpus.
+
+    Scale shape: ONE corpus pass to (source, term) counts (map-side
+    partial agg absorbs repeats); the global census aggregates the
+    already-reduced (source, term) frame, not raw tokens; the top-V vocab
+    is a global top-k (TakeOrderedAndProject — V rows cross the wire) and
+    broadcasts back; the final per-source rollup shuffles only the
+    (source, term) grain. The corpus is scanned exactly once."""
+    d = ctx.source("documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    )
+    # the (source, term) frame feeds both the census and the final rollup;
+    # checkpoint it so the corpus explode runs exactly once (the MI
+    # cells-feedstock convention, operators/stats.py)
+    stf = (
+        toks.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    census = stf.groupBy("term").agg(isum(F.col("cnt")).alias("total"))
+    vocab = (
+        census.orderBy(F.desc("total"), "term")
+        .limit(VOCAB_V)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    joined = stf.join(F.broadcast(vocab), "term", "left")
+    oov_cnt = F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(F.lit(0))
+    return joined.groupBy("source").agg(
+        isum(F.col("cnt")).alias("total_tokens"),
+        isum(oov_cnt).alias("oov_tokens"),
+        rnd(
+            dsum(oov_cnt) / dsum(F.col("cnt")),
+            6,
+        ).alias("oov_rate"),
+        F.count_distinct(
+            F.when(F.col("in_vocab").isNull(), F.col("term"))
+        ).alias("distinct_oov_terms"),
+    )
+
+
+oracle(
+    "docs_oov_rate",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT source,
+           unnest(string_split(lower(trim(text)), ' ')) AS term
+    FROM documents
+),
+stf AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY 1, 2
+),
+census AS (
+    SELECT term, {isum_sql('cnt')} AS total FROM stf GROUP BY term
+),
+vocab AS (
+    SELECT term, 1 AS in_vocab
+    FROM census ORDER BY total DESC, term LIMIT {VOCAB_V}
+),
+joined AS (
+    SELECT stf.*, vocab.in_vocab
+    FROM stf LEFT JOIN vocab ON stf.term = vocab.term
+)
+SELECT
+    source,
+    {isum_sql('cnt')} AS total_tokens,
+    {isum_sql('CASE WHEN in_vocab IS NULL THEN cnt ELSE 0 END')} AS oov_tokens,
+    {rnd_sql(dsum_sql('CASE WHEN in_vocab IS NULL THEN cnt ELSE 0 END') + ' / ' + dsum_sql('cnt'), 6)} AS oov_rate,
+    CAST(COUNT(DISTINCT CASE WHEN in_vocab IS NULL THEN term END) AS BIGINT)
+        AS distinct_oov_terms
+FROM joined
+GROUP BY source""",
 )

@@ -1140,3 +1140,107 @@ def _kcenter_oracle() -> str:
 
 
 oracle("embeddings_kcenter_sample", ("embeddings",), _kcenter_oracle())
+
+
+# --------------------------------------------------------------------------
+# near-duplicate threshold sweep: pair counts per cosine bin
+# --------------------------------------------------------------------------
+
+#: sweep floor — on this corpus the interesting mass sits in [0.2, 0.5]
+#: (synthetic embeddings are near-orthogonal; see TESTDATA.md), so the
+#: sweep starts low enough to expose the elbow.
+CURVE_MIN_COS = 0.2
+#: bin width for the threshold curve (0.05 cosine per bin).
+CURVE_BINS_PER_UNIT = 20
+
+
+@model("embeddings_dup_threshold_curve", layer="operators", materialization="view")
+def embeddings_dup_threshold_curve(ctx):
+    """Dedup-threshold planning curve: for each 0.05-wide cosine bin at or
+    above the sweep floor, the number of embedding pairs in the bin and the cumulative
+    pairs AT OR ABOVE the bin's lower edge — i.e. how many near-duplicate
+    pairs (and thus how much survivor-selection work, and how much corpus
+    you delete) each candidate threshold implies. Run before committing
+    SEMDEDUP_THRESHOLD-style cutoffs: the elbow of this curve is the
+    defensible threshold, not a folklore constant.
+
+    Scale shape: pair generation is the brute-force O(n²) probe ONLY at
+    sandbox scale, mirroring dedup_embedding_cosine — at 100 TB this runs
+    on a uniform corpus sample (the curve is a distribution estimate, so
+    sampling is statistically honest in a way it is NOT for dedup itself)
+    or over the LSH-bucketed candidates for the >=0.7 tail. The histogram
+    itself is one bounded agg (<= 11 bins) plus a single-partition window
+    over those bins — bounded grain, invariant-exempt."""
+    e = ctx.source("embeddings")
+    norms = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias("norm_sq"),
+    )
+    a = norms.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm_sq").alias("norm_a"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm_sq").alias("norm_b"),
+    )
+    cos = rnd(
+        F.expr(DOT_SPARK.format(a="emb_a", b="emb_b"))
+        / (F.sqrt(F.col("norm_a")) * F.sqrt(F.col("norm_b"))),
+        6,
+    )
+    binned = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= CURVE_MIN_COS)
+        .select(
+            (
+                F.floor(F.col("cosine") * CURVE_BINS_PER_UNIT)
+                / CURVE_BINS_PER_UNIT
+            ).alias("threshold"),
+        )
+    )
+    hist = binned.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    w = (
+        Window.orderBy(F.desc("threshold"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hist.select(
+        "threshold",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("pairs_at_or_above"),
+    )
+
+
+oracle(
+    "embeddings_dup_threshold_curve",
+    ("embeddings",),
+    f"""WITH norms AS (
+    SELECT vec_id, embedding, {dot_duck('embedding', 'embedding')} AS norm_sq
+    FROM embeddings
+),
+pairs AS (
+    SELECT {rnd_sql(
+        f"{dot_duck('a.embedding', 'b.embedding')}"
+        " / (sqrt(a.norm_sq) * sqrt(b.norm_sq))", 6
+    )} AS cosine
+    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+),
+hist AS (
+    SELECT floor(cosine * {CURVE_BINS_PER_UNIT}) / {CURVE_BINS_PER_UNIT} AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    WHERE cosine >= {CURVE_MIN_COS}
+    GROUP BY 1
+)
+SELECT threshold, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY threshold DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS pairs_at_or_above
+FROM hist""",
+)

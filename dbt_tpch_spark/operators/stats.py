@@ -1253,3 +1253,88 @@ FROM m"""
 
 
 oracle("events_ratio_metric_ci", ("events",), _ratio_ci_oracle())
+
+
+# --------------------------------------------------------------------------
+# l-diversity privacy census over documents
+# --------------------------------------------------------------------------
+
+#: sensitive-attribute banding: document length in 100-char bands (a
+#: bounded domain — n_chars is capped by the ingest contract).
+LDIV_BAND_CHARS = 100
+
+
+@model("docs_l_diversity", layer="operators", materialization="view")
+def docs_l_diversity(ctx):
+    """l-diversity census (Machanavajjhala et al., ICDE'06) for a document
+    release keyed by the quasi-identifiers (lang, source), with the
+    length band (n_chars // 100) as the sensitive attribute: per QI
+    group, k-anonymity (group size), distinct-l (distinct sensitive
+    values), and entropy-l = exp(H(sensitive | group)) — the release is
+    "entropy l-diverse" iff min(entropy_l) >= l. Complements the k-anon
+    release gate (models/extended.py) with the diversity dimension k-anon
+    alone misses (a group of 1000 docs all in one length band is
+    1000-anonymous yet fully determined on the sensitive attribute).
+
+    Scale shape: one bounded-grain aggregation to (lang, source, band)
+    cells, one window over those cells on the SAME (lang, source) key the
+    final groupBy shuffles on (partitioning reused, no extra exchange),
+    then the bounded group rollup — no frame here grows with the corpus.
+    Entropy terms are quantized (rnd 9) before the scale-9 decimal
+    accumulation, the repo-wide ln determinism convention."""
+    from pyspark.sql import Window
+
+    d = ctx.source("documents")
+    band = (F.col("n_chars") / LDIV_BAND_CHARS).cast("long")
+    cells = (
+        d.select("lang", "source", band.alias("band"))
+        .groupBy("lang", "source", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band"))
+    )
+    w = Window.partitionBy("lang", "source")
+    p = F.col("n_band") / F.col("k_anonymity")
+    return (
+        cells.withColumn("k_anonymity", F.sum("n_band").over(w).cast("long"))
+        .withColumn("term", rnd(-p * F.log(p), 9))
+        .groupBy("lang", "source")
+        .agg(
+            F.max("k_anonymity").alias("k_anonymity"),
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+            _dsum9(F.col("term")).alias("_h"),
+        )
+        .select(
+            "lang",
+            "source",
+            "k_anonymity",
+            "l_distinct",
+            rnd(F.exp(F.col("_h")), 6).alias("entropy_l"),
+        )
+    )
+
+
+oracle(
+    "docs_l_diversity",
+    ("documents",),
+    f"""WITH cells AS (
+    SELECT lang, source,
+           CAST(n_chars // {LDIV_BAND_CHARS} AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_band
+    FROM documents
+    GROUP BY 1, 2, 3
+),
+with_k AS (
+    SELECT *,
+           CAST(SUM(n_band) OVER (PARTITION BY lang, source) AS BIGINT)
+               AS k_anonymity
+    FROM cells
+)
+SELECT lang, source,
+       MAX(k_anonymity) AS k_anonymity,
+       CAST(COUNT(*) AS BIGINT) AS l_distinct,
+       {rnd_sql('exp(' + _dsum9_sql(rnd_sql(
+           '-(CAST(n_band AS DOUBLE) / k_anonymity)'
+           ' * ln(CAST(n_band AS DOUBLE) / k_anonymity)', 9
+       )) + ')', 6)} AS entropy_l
+FROM with_k
+GROUP BY 1, 2""",
+)

@@ -2251,3 +2251,91 @@ SELECT dur_day, n_risk,
          ELSE {rnd_sql('EXP(COALESCE(cum, 0.0))', 6)} END AS survival
 FROM z""",
 )
+
+
+# --------------------------------------------------------------------------
+# robust anomaly detection: median/MAD flags on the daily revenue series
+# --------------------------------------------------------------------------
+
+#: modified z-score constants (Iglewicz & Hoaglin 1993): 0.6745 rescales
+#: MAD to sigma-equivalent units; |z| > 3.5 is the standard outlier cut.
+MAD_SCALE = 0.6745
+MAD_Z_CUT = 3.5
+
+
+@model("events_mad_anomaly", layer="operators", materialization="view")
+def events_mad_anomaly(ctx):
+    """Robust outlier flags on the daily event-revenue series via the
+    modified z-score: z = 0.6745 · (x − median) / MAD, flagged at
+    |z| > 3.5. Median/MAD (not mean/stddev) so the detector's own
+    baseline is not dragged by the anomalies it hunts — the standard
+    data-quality tripwire on an ingest pipeline's volume/revenue feed.
+
+    Scale shape: the corpus-size shuffle is the ONE groupBy to day grain
+    (map-side partials absorb within-day rows); everything after runs on
+    the calendar-bounded daily frame — two exact percentiles reduced to a
+    1-row frame that broadcasts back (J7 cross-join-scalar shape, no
+    whole-table window). Exact medians are fine here BECAUSE the frame is
+    day-grain; on an unbounded series you'd swap in the sampled-quantile
+    machinery (events_sampled_quantiles)."""
+    e = ctx.source("events")
+    # the day-grain frame feeds three consumers (median, MAD, final scoring);
+    # checkpoint it so the corpus is scanned/shuffled exactly once (the MI
+    # cells-feedstock convention, operators/stats.py)
+    daily = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(dsum(F.col("value")).alias("revenue"))
+        .localCheckpoint(eager=True)
+    )
+    med = daily.agg(
+        rnd(F.percentile("revenue", F.lit(0.5)), 6).alias("med")
+    )
+    with_med = daily.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        rnd(
+            F.percentile(F.abs(F.col("revenue") - F.col("med")), F.lit(0.5)), 6
+        ).alias("mad")
+    )
+    z = (
+        F.lit(MAD_SCALE)
+        * (F.col("revenue") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .withColumn("robust_z", rnd(z, 6))
+        .select(
+            "day",
+            rnd(F.col("revenue"), 6).alias("revenue"),
+            "robust_z",
+            (F.abs(F.col("robust_z")) > MAD_Z_CUT).alias("is_anomaly"),
+        )
+    )
+
+
+oracle(
+    "events_mad_anomaly",
+    ("events",),
+    f"""WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, {dsum_sql('value')} AS revenue
+    FROM events GROUP BY 1
+),
+med AS (
+    SELECT {rnd_sql('percentile_cont(0.5) WITHIN GROUP (ORDER BY revenue)', 6)} AS med
+    FROM daily
+),
+mad AS (
+    SELECT {rnd_sql('percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(revenue - med))', 6)} AS mad
+    FROM daily, med
+),
+scored AS (
+    SELECT day, revenue, med, mad,
+           {rnd_sql(f'{MAD_SCALE} * (revenue - med) / nullif(mad, 0.0)', 6)} AS robust_z
+    FROM daily, med, mad
+)
+SELECT day,
+       {rnd_sql('revenue', 6)} AS revenue,
+       robust_z,
+       (abs(robust_z) > {MAD_Z_CUT}) AS is_anomaly
+FROM scored""",
+)

@@ -28,6 +28,11 @@ do, scaled to what a from-scratch repo can carry honestly:
   did training read last week" is a version pin, the reproducibility
   primitive a data pipeline needs.
 * **Vacuum**: deletes data files referenced by NO retained version.
+* **Snapshot diff (CDC)**: ``snapshot_diff(v_from, v_to)`` classifies
+  inserted/deleted/updated/rewritten-unchanged rows between versions,
+  scanning ONLY files added or removed in between — files carried by
+  reference are bit-identical and cancel without I/O (Delta's
+  table_changes, done from the commit log).
 * **OPTIMIZE**: ``compact`` bin-packs small files (the post-streaming /
   post-merge hygiene pass); ``optimize_zorder`` rewrites the snapshot
   sorted by a Morton interleave of chosen key columns so every file
@@ -599,6 +604,92 @@ class TxnTable:
         return df, len(hit), len(files)
 
     # ------------------------------------------------------------ vacuum
+
+    def _read_files(self, files: list[str]) -> DataFrame | None:
+        if not files:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
+    def snapshot_diff(self, v_from: int, v_to: int | None = None) -> dict:
+        """Change-data summary between two snapshots — "what did the last
+        N commits do to this table", the audit/CDC primitive Delta exposes
+        as table_changes.
+
+        Scale shape: data files shared by both snapshots are carried BY
+        REFERENCE in the log, so their rows are bit-identical and cancel
+        out of the diff without being read — only files added or removed
+        between the versions are scanned, and the key-grain full-outer
+        join runs over just those rows (sublinear in table size when
+        writes are clustered, exactly like MERGE's stats pruning). The
+        file census itself is a pure log read, no data I/O.
+
+        Row classification (needs ``key_cols``; file-level counts only
+        otherwise): ``rows_inserted`` (key only in v_to), ``rows_deleted``
+        (key only in v_from), ``rows_updated`` (key in both rewritten
+        files with any common column differing, null-safely),
+        ``rows_rewritten_unchanged`` (key rewritten byte-equal — compact /
+        z-order churn, logically a no-op)."""
+        v_to = self.latest_version() if v_to is None else v_to
+        from_files = {a["file"] for a in self.snapshot_files(v_from)}
+        to_files = {a["file"] for a in self.snapshot_files(v_to)}
+        only_from = sorted(from_files - to_files)
+        only_to = sorted(to_files - from_files)
+        out: dict = {
+            "v_from": v_from,
+            "v_to": v_to,
+            "files_removed": len(only_from),
+            "files_added": len(only_to),
+            "files_unchanged": len(from_files & to_files),
+        }
+        old = self._read_files(only_from)
+        new = self._read_files(only_to)
+        if not self.key_cols:
+            out["rows_in_removed_files"] = old.count() if old is not None else 0
+            out["rows_in_added_files"] = new.count() if new is not None else 0
+            return out
+        if old is None or new is None:
+            out["rows_inserted"] = new.count() if new is not None else 0
+            out["rows_deleted"] = old.count() if old is not None else 0
+            out["rows_updated"] = 0
+            out["rows_rewritten_unchanged"] = 0
+            return out
+        from pyspark.sql import functions as F
+
+        common = [c for c in old.columns if c in set(new.columns)]
+        value_cols = [c for c in common if c not in self.key_cols]
+        o = old.select([F.col(c).alias(f"_o_{c}") for c in common])
+        n = new.select([F.col(c).alias(f"_n_{c}") for c in common])
+        cond = [
+            o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"]) for k in self.key_cols
+        ]
+        j = o.join(n, cond, "full_outer")
+        k0 = self.key_cols[0]
+        in_old = j[f"_o_{k0}"].isNotNull()
+        in_new = j[f"_n_{k0}"].isNotNull()
+        same = F.lit(True)
+        for c in value_cols:
+            same = same & j[f"_o_{c}"].eqNullSafe(j[f"_n_{c}"])
+        changed = ~same
+        kind = (
+            F.when(in_old & ~in_new, F.lit("deleted"))
+            .when(~in_old & in_new, F.lit("inserted"))
+            .when(changed, F.lit("updated"))
+            .otherwise(F.lit("rewritten_unchanged"))
+        )
+        counts = {
+            r["kind"]: r["n"]
+            for r in j.select(kind.alias("kind"))
+            .groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out["rows_inserted"] = counts.get("inserted", 0)
+        out["rows_deleted"] = counts.get("deleted", 0)
+        out["rows_updated"] = counts.get("updated", 0)
+        out["rows_rewritten_unchanged"] = counts.get("rewritten_unchanged", 0)
+        return out
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files referenced by NONE of the newest

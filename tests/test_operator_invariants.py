@@ -595,3 +595,125 @@ def test_uncertainty_intervals_contain_their_estimates(spark, sf_dir):
     rc = ctx.ref("events_ratio_metric_ci").head()
     assert rc["delta_se"] > 0.0
     assert rc["ci_lo"] < rc["ratio"] < rc["ci_hi"]
+
+
+def test_lsh_planner_monotone_and_bounds_production(spark, sf_dir):
+    """With K fixed, more bands means finer buckets (n_buckets grows),
+    lower half-recall threshold (s_half falls), and at least as much
+    candidate work; and the production LSH config's candidate workload
+    must upper-bound the verified-pair count the production path emits
+    (verified pairs are a subset of candidates)."""
+    ctx = Context(spark, sf_dir)
+    rows = sorted(
+        ctx.ref("lsh_band_collision_stats").collect(),
+        key=lambda r: r["n_bands"],
+    )
+    assert [r["n_bands"] * r["rows_per_band"] for r in rows] == [16] * len(rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_buckets"] < b["n_buckets"], (a, b)
+        assert a["s_half"] > b["s_half"], (a, b)
+        assert a["candidate_pairs"] <= b["candidate_pairs"], (a, b)
+    for r in rows:
+        assert r["candidate_pairs"] >= r["colliding_buckets"] * 1
+        assert (r["max_bucket"] >= 2) == (r["colliding_buckets"] > 0)
+    from dbt_tpch_spark.operators.dedup import LSH_BANDS, MINHASH_K
+
+    prod = next(r for r in rows if r["n_bands"] == LSH_BANDS)
+    assert prod["rows_per_band"] == MINHASH_K // LSH_BANDS
+    n_verified = ctx.ref("dedup_minhash_lsh").count()
+    assert prod["candidate_pairs"] >= n_verified
+
+
+def test_oov_rate_matches_bruteforce(spark, sf_dir):
+    """Brute-force recompute of the top-V vocabulary (count desc, term asc)
+    and per-source OOV tallies in plain Python."""
+    from collections import Counter
+
+    from dbt_tpch_spark.operators.retrieval import VOCAB_V
+
+    ctx = Context(spark, sf_dir)
+    docs = ctx.source("documents").select("source", "text").collect()
+    census: Counter = Counter()
+    per_source: dict[str, Counter] = {}
+    for r in docs:
+        toks = r["text"].strip().lower().split(" ")
+        census.update(toks)
+        per_source.setdefault(r["source"], Counter()).update(toks)
+    vocab = {
+        t for t, _ in sorted(census.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_V]
+    }
+    got = {r["source"]: r for r in ctx.ref("docs_oov_rate").collect()}
+    assert set(got) == set(per_source)
+    for src, cnt in per_source.items():
+        total = sum(cnt.values())
+        oov = sum(c for t, c in cnt.items() if t not in vocab)
+        distinct_oov = sum(1 for t in cnt if t not in vocab)
+        row = got[src]
+        assert row["total_tokens"] == total, src
+        assert row["oov_tokens"] == oov, src
+        assert row["distinct_oov_terms"] == distinct_oov, src
+        assert abs(row["oov_rate"] - oov / total) < 1e-6, src
+
+
+def test_l_diversity_bounds_and_conservation(spark, sf_dir):
+    """1 <= l_distinct <= k; 1 <= entropy_l <= l_distinct (entropy of a
+    discrete distribution is at most ln of its support size); group sizes
+    sum to the corpus."""
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("docs_l_diversity").collect()
+    assert rows
+    n_docs = ctx.source("documents").count()
+    assert sum(r["k_anonymity"] for r in rows) == n_docs
+    for r in rows:
+        assert 1 <= r["l_distinct"] <= r["k_anonymity"], r
+        assert 1.0 - 1e-6 <= r["entropy_l"] <= r["l_distinct"] + 1e-6, r
+
+
+def test_mad_anomaly_matches_bruteforce(spark, sf_dir):
+    """Recompute median/MAD/modified-z in plain Python with the repo rnd
+    convention and compare flags exactly."""
+    import math
+
+    from dbt_tpch_spark.operators.timeseries import MAD_SCALE, MAD_Z_CUT
+
+    def rnd6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        mid = n // 2
+        return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("events_mad_anomaly").collect()
+    assert rows
+    # output revenues are rnd6-quantized while the model's median/MAD run
+    # on the raw sums, so the recompute carries a <= 5e-7 input shift:
+    # compare z at 1e-4, far below the 3.5 decision boundary
+    revs = [r["revenue"] for r in rows]
+    med = rnd6(median(revs))
+    mad = rnd6(median([abs(x - med) for x in revs]))
+    for r in rows:
+        z = rnd6(MAD_SCALE * (r["revenue"] - med) / mad)
+        assert abs(r["robust_z"] - z) < 1e-4, r
+        assert r["is_anomaly"] == (abs(r["robust_z"]) > MAD_Z_CUT), r
+
+
+def test_dup_threshold_curve_is_a_consistent_suffix_sum(spark, sf_dir):
+    """pairs_at_or_above must be the exact suffix sum of n_pairs over
+    descending thresholds, strictly non-increasing in threshold, with the
+    lowest bin's cumulative equal to the total pair mass."""
+    ctx = Context(spark, sf_dir)
+    rows = sorted(
+        ctx.ref("embeddings_dup_threshold_curve").collect(),
+        key=lambda r: -r["threshold"],
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        assert r["n_pairs"] > 0, r  # empty bins are absent, not zero
+        cum += r["n_pairs"]
+        assert r["pairs_at_or_above"] == cum, r
+    total = sum(r["n_pairs"] for r in rows)
+    assert rows[-1]["pairs_at_or_above"] == total

@@ -28,7 +28,10 @@ _REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _dump_parity_artifact() -> None:
-    if not _PARITY_RESULTS:
+    # only a FULL sweep may (over)write the artifact: a -k-filtered run
+    # accumulating a handful of results must not clobber the 240+-query
+    # record the judge audits
+    if len(_PARITY_RESULTS) < len(QUERIES):
         return
     rounds = [
         int(m.group(1))

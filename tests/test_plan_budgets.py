@@ -303,6 +303,16 @@ SHUFFLE_BUDGETS = {
     # reductions; ratio CI is one user-grain agg + a 1-row reduction
     "order_mean_jackknife_ci": 4,
     "events_ratio_metric_ci": 2,
+    # LSH planner: one bucket-grain shuffle + bounded config rollup
+    "lsh_band_collision_stats": 3,
+    # checkpointed (source, term) feedstock: census + top-k + rollup
+    "docs_oov_rate": 3,
+    # bounded cells + window reusing the final groupBy's partitioning
+    "docs_l_diversity": 2,
+    # one day-grain shuffle (checkpointed) + two 1-row reductions
+    "events_mad_anomaly": 3,
+    # bounded histogram agg + single-partition window over <= 11 bins
+    "embeddings_dup_threshold_curve": 2,
 }
 
 

@@ -471,3 +471,64 @@ def test_delete_where_across_schema_evolution(spark, tmp_path):
     got = {r["k"]: r["tag"] for r in t.read().collect()}
     assert set(got) == {1, 2, 3}
     assert got[3] == "new" and got[1] is None  # backfilled NULL intact
+
+
+def test_snapshot_diff_classifies_changes_and_skips_shared_files(
+    spark, tmp_path
+):
+    """MERGE over two disjoint files rewrites only the touched one; the
+    diff must classify inserted/deleted/updated/rewritten-unchanged rows
+    correctly AND report the untouched file as shared (it cancels out of
+    the scan — the sublinear-CDC property)."""
+    p = str(tmp_path / "t")
+    low = _mk(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1)
+    high = _mk(spark, [(100, "x")]).coalesce(1)
+    t = TxnTable.create(spark, p, low, ["k"])
+    t.append(high)  # v1
+    # v2: update k=2, insert k=5 — touches only the low file
+    t.merge(_mk(spark, [(2, "B"), (5, "E")]).coalesce(1))
+
+    d = t.snapshot_diff(1, 2)
+    assert d["files_unchanged"] == 1  # the high file carried by reference
+    assert d["files_removed"] == 1 and d["files_added"] >= 1
+    assert d["rows_inserted"] == 1  # k=5
+    assert d["rows_deleted"] == 0
+    assert d["rows_updated"] == 1  # k=2 a->B
+    # k=1 and k=3 live in the rewritten low file with identical bytes
+    assert d["rows_rewritten_unchanged"] == 2
+
+
+def test_snapshot_diff_overwrite_and_delete(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, p, _mk(spark, [(1, "a"), (2, "b")]).coalesce(1), ["k"]
+    )
+    t.overwrite(_mk(spark, [(2, "b"), (9, "z")]).coalesce(1))  # v1
+    d = t.snapshot_diff(0, 1)
+    assert d["rows_inserted"] == 1  # k=9
+    assert d["rows_deleted"] == 1  # k=1
+    assert d["rows_updated"] == 0
+    assert d["rows_rewritten_unchanged"] == 1  # k=2 rewritten identically
+
+    t.delete_where("k = 9")  # v2
+    d2 = t.snapshot_diff(1, 2)
+    assert d2["rows_deleted"] == 1 and d2["rows_inserted"] == 0
+    # identity diff is all-zero and reads no data
+    d3 = t.snapshot_diff(2, 2)
+    assert d3["files_added"] == d3["files_removed"] == 0
+    assert d3["rows_inserted"] == d3["rows_deleted"] == 0
+    assert d3["rows_updated"] == d3["rows_rewritten_unchanged"] == 0
+
+
+def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
+    """An append that ADDS a column must diff cleanly: old-side rows
+    lack the column (mergeSchema backfills NULL), and only the common
+    columns participate in the updated/unchanged split."""
+    p = str(tmp_path / "t")
+    t = TxnTable.create(spark, p, _mk(spark, [(1, "a")]).coalesce(1), ["k"])
+    wide = spark.createDataFrame([(2, "b", 7.5)], "k long, v string, w double")
+    t.append(wide.coalesce(1))  # v1 adds column w
+    d = t.snapshot_diff(0, 1)
+    assert d["files_unchanged"] == 1  # the v0 file is shared
+    assert d["rows_inserted"] == 1 and d["rows_deleted"] == 0
+    assert d["rows_updated"] == 0 and d["rows_rewritten_unchanged"] == 0
