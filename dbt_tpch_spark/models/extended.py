@@ -631,3 +631,48 @@ FROM g"""
 
 
 oracle("customer_kanon_report", ("customer", "nation"), _kanon_oracle())
+
+
+# --------------------------------------------------------------------------
+# ROLLUP / grouping sets (§2.8 extension: multi-grain subtotals in one pass)
+# --------------------------------------------------------------------------
+
+
+@model("orders_rollup_revenue", layer="extended", materialization="view")
+def orders_rollup_revenue(ctx):
+    """Status × year revenue with ROLLUP subtotals and a grand total in
+    ONE aggregation pass — the multi-grain report shape (detail rows,
+    per-status subtotals, grand total) that otherwise costs three
+    scans + a UNION. Explicit grouping flags (not raw grouping_id) so the
+    engines' differing bit conventions never leak into the result.
+
+    Scale: Catalyst expands rollup grains via a single Expand + one
+    hash aggregate — the input is scanned once and the shuffle carries
+    (3 grains × groups), all bounded domains (status × year)."""
+    o = ctx.source("orders")
+    base = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").cast("long").alias("year"),
+        "o_totalprice",
+    )
+    return base.rollup("status", "year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.grouping("status").cast("long").alias("is_total_status"),
+        F.grouping("year").cast("long").alias("is_total_year"),
+    )
+
+
+oracle(
+    "orders_rollup_revenue",
+    ("orders",),
+    f"""SELECT
+    o_orderstatus AS status,
+    CAST(year(o_orderdate) AS BIGINT) AS year,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    {dsum_sql('o_totalprice')} AS revenue,
+    CAST(GROUPING(o_orderstatus) AS BIGINT) AS is_total_status,
+    CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS is_total_year
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, year(o_orderdate))""",
+)

@@ -1338,3 +1338,121 @@ SELECT lang, source,
 FROM with_k
 GROUP BY 1, 2""",
 )
+
+
+# --------------------------------------------------------------------------
+# quantile normalization: cross-source score calibration
+# --------------------------------------------------------------------------
+
+#: score-grid resolution: quality_prob quantized to 1e-3 — the grid (and
+#: with it every frame below) is bounded at 1001 × n_sources rows.
+QNORM_GRID = 1000
+
+
+@model("docs_quality_quantile_norm", layer="operators", materialization="view")
+def docs_quality_quantile_norm(ctx):
+    """Quantile normalization of the quality-classifier score across
+    sources: each source's score distribution is mapped onto the GLOBAL
+    score distribution (source CDF -> smallest global score bin at or
+    above that CDF). The curation problem this solves: a fixed
+    quality_prob cutoff keeps 80% of one source and 8% of another purely
+    because their score distributions differ; normalized scores make one
+    threshold mean the same percentile everywhere (the quantile-mapping
+    trick used for batch-effect removal in bioinformatics, applied to
+    corpus curation).
+
+    Scale shape: ONE corpus-grain aggregation to the (source, score-bin)
+    grid; everything downstream — per-source CDFs (window keyed on the
+    same source grain), the global CDF, and the CDF-alignment range join
+    against the broadcast 1001-row global grid — runs on bounded frames.
+    CDF values are exact ratios of integers, so the >= alignment compares
+    identical doubles on both engines."""
+    from pyspark.sql import Window
+
+    scored = ctx.ref("doc_quality_classifier").select(
+        "source",
+        (F.floor(F.col("quality_prob") * QNORM_GRID) / QNORM_GRID).alias("bin"),
+    )
+    cells = (
+        scored.groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_src_all = Window.partitionBy("source")
+    src = cells.select(
+        "source",
+        "bin",
+        "n_docs",
+        (
+            F.sum("n_docs").over(w_src).cast("double")
+            / F.sum("n_docs").over(w_src_all)
+        ).alias("source_cdf"),
+    )
+    w_g = Window.orderBy("gbin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    glob = (
+        cells.groupBy(F.col("bin").alias("gbin"))
+        .agg(F.sum("n_docs").cast("long").alias("gn"))
+        .select(
+            "gbin",
+            (
+                F.sum("gn").over(w_g).cast("double")
+                / F.sum("gn").over(Window.partitionBy())
+            ).alias("global_cdf"),
+        )
+    )
+    # alignment: smallest global bin whose CDF reaches the source CDF —
+    # a range join against the broadcast bounded global grid
+    joined = src.join(
+        F.broadcast(glob), F.col("global_cdf") >= F.col("source_cdf")
+    )
+    return joined.groupBy("source", "bin", "n_docs", "source_cdf").agg(
+        F.min("gbin").alias("normalized_score")
+    ).select(
+        "source",
+        F.col("bin").alias("score_bin"),
+        "n_docs",
+        rnd(F.col("source_cdf"), 6).alias("source_cdf"),
+        "normalized_score",
+    )
+
+
+oracle(
+    "docs_quality_quantile_norm",
+    ("doc_quality_classifier",),
+    f"""WITH cells AS (
+    SELECT source,
+           floor(quality_prob * {QNORM_GRID}) / {QNORM_GRID} AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM doc_quality_classifier
+    GROUP BY 1, 2
+),
+src AS (
+    SELECT source, bin, n_docs,
+           CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / SUM(n_docs) OVER (PARTITION BY source) AS source_cdf
+    FROM cells
+),
+gcdf AS (
+    SELECT gbin,
+           CAST(SUM(gn) OVER (ORDER BY gbin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / SUM(gn) OVER () AS global_cdf
+    FROM (
+        SELECT bin AS gbin, CAST(SUM(n_docs) AS BIGINT) AS gn
+        FROM cells GROUP BY 1
+    )
+)
+SELECT src.source, src.bin AS score_bin, src.n_docs,
+       {rnd_sql('src.source_cdf', 6)} AS source_cdf,
+       MIN(gcdf.gbin) AS normalized_score
+FROM src JOIN gcdf ON gcdf.global_cdf >= src.source_cdf
+GROUP BY 1, 2, 3, 4""",
+)

@@ -1343,3 +1343,159 @@ FROM cm
 JOIN actual USING (lang)
 JOIN pred USING (predicted_lang)""",
 )
+
+
+# --------------------------------------------------------------------------
+# BPE trainer: iterative greedy merges with compression tracking
+# --------------------------------------------------------------------------
+
+#: number of greedy merge rounds the trainer runs (each round = one pair
+#: census + one re-segmentation of the word-type table).
+BPE_ROUNDS = 5
+#: merged symbols are single private-use-area codepoints so symbol count
+#: stays length() on both engines (U+E001, U+E002, ... per round).
+BPE_MERGE_BASE = 0xE000
+
+
+def _bpe_census(wc):
+    """Adjacent symbol-pair census over the word-type table."""
+    return (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+            F.col("word"),
+        )
+        .select(F.expr("substr(word, i, 2)").alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+
+
+@model("bpe_train_merges", layer="operators", materialization="view")
+def bpe_train_merges(ctx):
+    """Greedy BPE training, the real loop (Sennrich et al., ACL'16): per
+    round, census adjacent symbol pairs over the word-type table weighted
+    by occurrence count, merge the most frequent pair (ties broken
+    lexicographically) into a fresh private-use codepoint, re-segment, and
+    record the corpus compression achieved. ``doc_bpe_merges`` is the
+    single-round census; this runs the actual merge iteration and reports
+    the learning curve — merged pair, its frequency at selection time, and
+    total corpus symbols / compression ratio after each merge.
+
+    Scale shape: the corpus collapses ONCE to the word-type table (the one
+    corpus-sized shuffle, map-side combined) and every round after runs on
+    that vocabulary-grain frame — pair census (alphabet²-bounded output),
+    a 1-row top-1 (TakeOrderedAndProject), a broadcast of that single merge
+    rule, and a re-segmentation projection. Each round's word table is
+    checkpointed (the pagerank rounds-as-jobs discipline) so lineage does
+    not compound. This is exactly how you'd train BPE on 100 TB: the
+    corpus pass is once; the loop is vocab-sized."""
+    d = ctx.source("documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
+    )
+    wc = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    syms_of = lambda t: t.agg(  # noqa: E731
+        F.sum(F.length("word").cast("long") * F.col("n")).cast("long").alias("syms")
+    )
+    base = syms_of(wc).withColumnRenamed("syms", "base_syms")
+    rounds = []
+    cur = wc
+    for i in range(1, BPE_ROUNDS + 1):
+        best = (
+            _bpe_census(cur)
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .select(
+                F.col("pair").alias("merged_pair"),
+                F.col("cnt").alias("n_occurrences"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    f"replace(word, merged_pair, chr({BPE_MERGE_BASE + i}))"
+                ).alias("word"),
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            best.crossJoin(syms_of(cur))
+            .select(
+                F.lit(i).cast("long").alias("round"),
+                "merged_pair",
+                "n_occurrences",
+                F.col("syms").alias("total_symbols"),
+            )
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.crossJoin(F.broadcast(base)).select(
+        "round",
+        "merged_pair",
+        "n_occurrences",
+        "total_symbols",
+        rnd(F.col("total_symbols") / F.col("base_syms"), 6).alias(
+            "compression_ratio"
+        ),
+    )
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        """words AS (
+    SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+    FROM documents
+),
+wc0 AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY 1
+),
+base AS (
+    SELECT CAST(SUM(length(word) * n) AS BIGINT) AS base_syms FROM wc0
+)"""
+    ]
+    selects = []
+    for i in range(1, BPE_ROUNDS + 1):
+        prev = f"wc{i - 1}"
+        parts.append(
+            f"""c{i} AS (
+    SELECT substr(word, CAST(i AS INTEGER), 2) AS pair,
+           CAST(SUM(n) AS BIGINT) AS cnt
+    FROM (
+        SELECT word, n, unnest(range(1, length(word))) AS i
+        FROM {prev} WHERE length(word) >= 2
+    )
+    GROUP BY 1
+),
+m{i} AS (
+    SELECT pair AS merged_pair, cnt AS n_occurrences
+    FROM c{i} ORDER BY cnt DESC, pair LIMIT 1
+),
+wc{i} AS (
+    SELECT replace(word, (SELECT merged_pair FROM m{i}),
+                   chr({BPE_MERGE_BASE + i})) AS word, n
+    FROM {prev}
+),
+s{i} AS (
+    SELECT CAST(SUM(length(word) * n) AS BIGINT) AS total_symbols FROM wc{i}
+)"""
+        )
+        selects.append(
+            f"""SELECT CAST({i} AS BIGINT) AS round, m{i}.merged_pair,
+       m{i}.n_occurrences, s{i}.total_symbols,
+       {rnd_sql(f'CAST(s{i}.total_symbols AS DOUBLE) / base.base_syms', 6)}
+           AS compression_ratio
+FROM m{i}, s{i}, base"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+oracle("bpe_train_merges", ("documents",), _bpe_oracle())

