@@ -1240,3 +1240,101 @@ oracle(
 SELECT source, slot, doc_id, lang, n_chars
 FROM r WHERE slot <= {RESERVOIR_K}""",
 )
+
+
+# --------------------------------------------------------------------------
+# leave-one-source-out impact: what does each source do to corpus quality?
+# --------------------------------------------------------------------------
+
+
+@model("source_loo_impact", layer="operators", materialization="view")
+def source_loo_impact(ctx):
+    """Leave-one-source-out influence: for each source, the corpus mean
+    quality WITHOUT that source and the delta vs the full-corpus mean — a
+    positive delta means dropping the source would raise average quality
+    (it drags the mix down). The cheap, exact form of data valuation a
+    mixture decision actually needs: because the mean is algebraic,
+    "recompute the corpus N_sources times" collapses to one pass —
+    mean_loo = (Q_total − Q_s) / (N − n_s).
+
+    Scale shape: ONE corpus pass to per-source sufficient statistics
+    (count, token sum, decimal-exact quality sum); the global totals are
+    re-sums of that bounded frame kept in DECIMAL so addition order can
+    never leak into the doubles; everything downstream is a broadcast of
+    a 1-row frame. Zero joins against the corpus."""
+    from dbt_tpch_spark.operators.text import doc_quality_cols
+
+    c = doc_quality_cols()
+    per_doc = ctx.source("documents").select(
+        "source",
+        c["n_tokens"].alias("n_tokens"),
+        c["quality_prob"].alias("q"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("q").cast("decimal(27,6)")).alias("q_dec"),
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("n_tokens").cast("long").alias("tok_total"),
+        F.sum("q_dec").alias("q_total"),
+    )
+    mean_all = F.col("q_total").cast("double") / F.col("n_total")
+    mean_loo = (F.col("q_total") - F.col("q_dec")).cast("double") / (
+        F.col("n_total") - F.col("n_docs")
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        rnd(F.col("n_tokens").cast("double") / F.col("tok_total"), 6).alias(
+            "token_share"
+        ),
+        rnd(mean_all, 6).alias("mean_quality"),
+        rnd(mean_loo, 6).alias("mean_quality_loo"),
+        rnd(mean_loo - mean_all, 6).alias("delta_quality"),
+    )
+
+
+_LOO_MEAN_ALL = "CAST(t.q_total AS DOUBLE) / t.n_total"
+_LOO_MEAN_LOO = "CAST(t.q_total - s.q_dec AS DOUBLE) / (t.n_total - s.n_docs)"
+
+oracle(
+    "source_loo_impact",
+    ("documents", "doc_quality_classifier"),
+    """WITH per_doc AS (
+    SELECT d.source,
+           CAST(len(string_split(lower(trim(d.text)), ' ')) AS BIGINT)
+               AS n_tokens,
+           c.quality_prob AS q
+    FROM documents d JOIN doc_quality_classifier c USING (doc_id)
+),
+per_source AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           SUM(CAST(q AS DECIMAL(27,6))) AS q_dec
+    FROM per_doc GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+           SUM(q_dec) AS q_total
+    FROM per_source
+)
+SELECT
+    s.source,
+    s.n_docs,
+    s.n_tokens,
+    {ts} AS token_share,
+    {mq} AS mean_quality,
+    {ml} AS mean_quality_loo,
+    {dq} AS delta_quality
+FROM per_source s CROSS JOIN tot t""".format(
+        ts=rnd_sql("CAST(s.n_tokens AS DOUBLE) / t.tok_total", 6),
+        mq=rnd_sql(_LOO_MEAN_ALL, 6),
+        ml=rnd_sql(_LOO_MEAN_LOO, 6),
+        dq=rnd_sql(f"({_LOO_MEAN_LOO}) - ({_LOO_MEAN_ALL})", 6),
+    ),
+)

@@ -1092,3 +1092,171 @@ SELECT n_l, n_o, ndv_l_orderkey, ndv_o_orderkey, ndv_l_partkey,
         ' / exact_self', 6)} AS err_self
 FROM s1 CROSS JOIN s2 CROSS JOIN efk CROSS JOIN esj""",
 )
+
+
+# --------------------------------------------------------------------------
+# sliding-window distinct users from merged HLL panes
+# --------------------------------------------------------------------------
+
+#: sliding window width in hours (panes merged per window-end).
+HLL_WINDOW_HOURS = 6
+
+
+@model("events_hll_sliding_users", layer="operators", materialization="view")
+def events_hll_sliding_users(ctx):
+    """Sliding 6-hour distinct-user estimates from MERGED per-hour HLL
+    panes, with the exact sliding count and realized error beside them.
+    This is THE reason sketches earn their keep at 100 TB: per-hour
+    register panes are computed from the raw data ONCE (bounded —
+    hours × 256 rows); after that, ANY window over the timeline is a
+    register-max merge over the pane table, while the exact count must
+    re-touch every raw event for every window it participates in (the
+    6× explode the exact side below pays is the honest price tag).
+
+    Scale shape: one corpus-grain shuffle to (hour, bucket) panes; the
+    densified hours × 256 grid is calendar-bounded, the per-bucket RANGE
+    window runs over that bounded grid, and the estimate is a bounded
+    rollup. The exact side (error harness) is the only corpus×window-width
+    cost, kept to quantify what the sketch saves."""
+    from pyspark.sql import Window
+
+    e = ctx.source("events")
+    hour_idx = F.floor(F.col("ts").cast("long") / 3600).cast("long")
+    hashed = e.select(
+        hour_idx.alias("hour_idx"),
+        F.md5(
+            F.concat(F.lit(HLL_SALT), F.col("user_id").cast("string"))
+        ).alias("h"),
+        "user_id",
+    )
+    panes = (
+        hashed.select("hour_idx", *_spark_register_cols())
+        .groupBy("hour_idx", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .localCheckpoint(eager=True)
+    )
+    hours = panes.select("hour_idx").distinct()
+    grid = hours.select(
+        "hour_idx", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket")
+    ).join(panes, ["hour_idx", "bucket"], "left")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("hour_idx")
+        .rangeBetween(-(HLL_WINDOW_HOURS - 1), 0)
+    )
+    merged = grid.withColumn("mj_win", F.max("m_j").over(w))
+    contrib = F.when(
+        F.col("mj_win").isNull(), F.lit(1.0).cast("decimal(38,18)")
+    ).otherwise(
+        F.pow(F.lit(2.0), -F.col("mj_win").cast("double")).cast("decimal(38,18)")
+    )
+    sketch = merged.groupBy("hour_idx").agg(
+        F.sum(contrib).cast("double").alias("z"),
+        F.count("mj_win").cast("long").alias("n_active_buckets"),
+    )
+    m = float(HLL_M)
+    e_raw = F.lit(HLL_ALPHA * m * m) / F.col("z")
+    v = F.lit(m) - F.col("n_active_buckets")
+    small = (e_raw <= 2.5 * m) & (v > 0)
+    estimate = F.when(small, rnd(F.lit(m) * F.log(F.lit(m) / v), 4)).otherwise(
+        rnd(e_raw, 4)
+    )
+    # exact harness: every event contributes to the <= 6 window-ends it
+    # falls in; anchor only at observed hours
+    ends = (
+        hashed.select(
+            "user_id",
+            "hour_idx",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(HLL_WINDOW_HOURS - 1))
+            ).alias("o"),
+        )
+        .select("user_id", (F.col("hour_idx") + F.col("o")).alias("hour_idx"))
+        .join(hours, "hour_idx", "left_semi")
+    )
+    exact = ends.groupBy("hour_idx").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        sketch.join(exact, "hour_idx")
+        .withColumn("hll_estimate", estimate)
+        .select(
+            F.timestamp_seconds(F.col("hour_idx") * 3600).alias("window_end_hour"),
+            "n_active_buckets",
+            "hll_estimate",
+            "exact_users",
+            rnd(
+                F.abs(F.col("hll_estimate") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
+oracle(
+    "events_hll_sliding_users",
+    ("events",),
+    f"""WITH hashed AS (
+    SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+           md5('{HLL_SALT}' || CAST(user_id AS VARCHAR)) AS h,
+           user_id
+    FROM events
+),
+regs AS (
+    SELECT hour_idx, user_id, {_register_sql()}
+    FROM hashed
+),
+panes AS (
+    SELECT hour_idx, bucket, MAX(rho) AS m_j
+    FROM regs GROUP BY 1, 2
+),
+hours AS (
+    SELECT DISTINCT hour_idx FROM panes
+),
+grid AS (
+    SELECT h.hour_idx, b.bucket, p.m_j
+    FROM hours h
+    CROSS JOIN (SELECT UNNEST(range(0, {HLL_M})) AS bucket) b
+    LEFT JOIN panes p ON p.hour_idx = h.hour_idx AND p.bucket = b.bucket
+),
+merged AS (
+    SELECT hour_idx, bucket,
+           MAX(m_j) OVER (PARTITION BY bucket ORDER BY hour_idx
+                RANGE BETWEEN {HLL_WINDOW_HOURS - 1} PRECEDING AND CURRENT ROW)
+               AS mj_win
+    FROM grid
+),
+sketch AS (
+    SELECT hour_idx,
+           CAST(SUM(CASE WHEN mj_win IS NULL THEN CAST(1.0 AS DECIMAL(38,18))
+                ELSE CAST(pow(2.0, -CAST(mj_win AS DOUBLE)) AS DECIMAL(38,18))
+                END) AS DOUBLE) AS z,
+           CAST(COUNT(mj_win) AS BIGINT) AS n_active_buckets
+    FROM merged GROUP BY 1
+),
+ends AS (
+    SELECT user_id, hour_idx + o AS hour_idx
+    FROM hashed CROSS JOIN (SELECT UNNEST(range(0, {HLL_WINDOW_HOURS})) AS o)
+),
+exact AS (
+    SELECT e.hour_idx, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users
+    FROM ends e SEMI JOIN hours h ON e.hour_idx = h.hour_idx
+    GROUP BY 1
+),
+est AS (
+    SELECT s.hour_idx, s.n_active_buckets, x.exact_users,
+           CASE WHEN ({HLL_ALPHA * HLL_M * HLL_M} / s.z) <= {2.5 * HLL_M}
+                     AND ({HLL_M} - s.n_active_buckets) > 0
+                THEN {rnd_sql(f"{HLL_M} * ln({HLL_M} / ({HLL_M} - s.n_active_buckets))", 4)}
+                ELSE {rnd_sql(f"{HLL_ALPHA * HLL_M * HLL_M} / s.z", 4)}
+           END AS hll_estimate
+    FROM sketch s JOIN exact x ON s.hour_idx = x.hour_idx
+)
+SELECT make_timestamp(hour_idx * 3600 * 1000000) AS window_end_hour,
+       n_active_buckets,
+       hll_estimate,
+       exact_users,
+       {rnd_sql('abs(hll_estimate - exact_users) / exact_users', 6)} AS rel_error
+FROM est""",
+)

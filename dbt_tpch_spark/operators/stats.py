@@ -25,8 +25,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dbt_tpch_spark.functions import dsum, global_row_number, global_topk, rnd
-from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
+from dbt_tpch_spark.functions import (
+    dsum,
+    global_row_number,
+    global_topk,
+    isum,
+    rnd,
+)
+from dbt_tpch_spark.models.oracle import dsum_sql, isum_sql, oracle, rnd_sql
 from dbt_tpch_spark.plans import model
 
 #: scale-9 exact accumulator for 9-dp-quantized libm terms (MI/entropy):
@@ -1456,3 +1462,202 @@ SELECT src.source, src.bin AS score_bin, src.n_docs,
 FROM src JOIN gcdf ON gcdf.global_cdf >= src.source_cdf
 GROUP BY 1, 2, 3, 4""",
 )
+
+
+# --------------------------------------------------------------------------
+# five-number summary + Tukey outlier census per event type
+# --------------------------------------------------------------------------
+
+#: Tukey fence multiplier (1.5 × IQR, the boxplot convention).
+TUKEY_K = 1.5
+
+
+@model("events_boxplot_stats", layer="operators", materialization="view")
+def events_boxplot_stats(ctx):
+    """Per-event-type boxplot: exact five-number summary (min, q1, median,
+    q3, max), the Tukey fences q1/q3 ∓ 1.5·IQR, and the count of rows
+    outside them — the distribution-shape gate a pipeline puts on every
+    numeric feed (complements events_mad_anomaly, which judges the
+    day-grain series; this judges the raw value distribution per type).
+
+    Scale shape: quartiles are per-GROUP exact percentiles computed in one
+    hash aggregation over a bounded group domain (|event_type| groups);
+    fences broadcast back (bounded frame) and the outlier census is a
+    second single aggregation. Two passes over the corpus, zero windows —
+    at unbounded group cardinality you'd swap in the sampled-quantile
+    machinery (events_sampled_quantiles)."""
+    e = ctx.source("events").select("event_type", "value")
+    q = e.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        rnd(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
+        rnd(F.percentile("value", F.lit(0.5)), 6).alias("median"),
+        rnd(F.percentile("value", F.lit(0.75)), 6).alias("q3"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fenced = q.select(
+        "*",
+        rnd(F.col("q1") - TUKEY_K * iqr, 6).alias("lo_fence"),
+        rnd(F.col("q3") + TUKEY_K * iqr, 6).alias("hi_fence"),
+    )
+    out = (
+        e.join(F.broadcast(fenced), "event_type")
+        .groupBy(
+            "event_type",
+            "n_rows",
+            "vmin",
+            "q1",
+            "median",
+            "q3",
+            "vmax",
+            "lo_fence",
+            "hi_fence",
+        )
+        .agg(
+            isum(
+                F.when(
+                    (F.col("value") < F.col("lo_fence"))
+                    | (F.col("value") > F.col("hi_fence")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers")
+        )
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        rnd(F.col("vmin"), 6).alias("vmin"),
+        "q1",
+        "median",
+        "q3",
+        rnd(F.col("vmax"), 6).alias("vmax"),
+        "lo_fence",
+        "hi_fence",
+        "n_outliers",
+    )
+
+
+oracle(
+    "events_boxplot_stats",
+    ("events",),
+    f"""WITH q AS (
+    SELECT event_type,
+           MIN(value) AS vmin,
+           {rnd_sql('percentile_cont(0.25) WITHIN GROUP (ORDER BY value)', 6)} AS q1,
+           {rnd_sql('percentile_cont(0.5) WITHIN GROUP (ORDER BY value)', 6)} AS median,
+           {rnd_sql('percentile_cont(0.75) WITHIN GROUP (ORDER BY value)', 6)} AS q3,
+           MAX(value) AS vmax,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+),
+fenced AS (
+    SELECT *,
+           {rnd_sql(f'q1 - {TUKEY_K} * (q3 - q1)', 6)} AS lo_fence,
+           {rnd_sql(f'q3 + {TUKEY_K} * (q3 - q1)', 6)} AS hi_fence
+    FROM q
+)
+SELECT
+    e.event_type,
+    f.n_rows,
+    {rnd_sql('f.vmin', 6)} AS vmin,
+    f.q1,
+    f.median,
+    f.q3,
+    {rnd_sql('f.vmax', 6)} AS vmax,
+    f.lo_fence,
+    f.hi_fence,
+    {isum_sql('CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence THEN 1 ELSE 0 END')} AS n_outliers
+FROM events e JOIN fenced f USING (event_type)
+GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9""",
+)
+
+
+# --------------------------------------------------------------------------
+# functional-dependency discovery census (data profiling)
+# --------------------------------------------------------------------------
+
+#: candidate FDs X -> Y probed over documents. doc_id -> lang is the
+#: positive control (keys determine everything); the cross-attribute pairs
+#: are the profiling targets.
+FD_CANDIDATES: tuple[tuple[str, str, str], ...] = (
+    ("doc_id_to_lang", "CAST(doc_id AS STRING)", "lang"),
+    ("lang_to_source", "lang", "source"),
+    ("source_to_lang", "source", "lang"),
+    ("band_to_lang", "CAST(n_chars DIV 100 AS STRING)", "lang"),
+)
+
+_FD_CANDIDATES_DUCK: tuple[tuple[str, str, str], ...] = (
+    ("doc_id_to_lang", "CAST(doc_id AS VARCHAR)", "lang"),
+    ("lang_to_source", "lang", "source"),
+    ("source_to_lang", "source", "lang"),
+    ("band_to_lang", "CAST(n_chars // 100 AS VARCHAR)", "lang"),
+)
+
+
+@model("docs_fd_violations", layer="operators", materialization="view")
+def docs_fd_violations(ctx):
+    """Functional-dependency discovery census (the TANE/Metanome profiling
+    primitive, reduced to the verification step): for each candidate
+    X -> Y, how many X groups exist, how many have more than one distinct
+    Y (violations), and the worst fan-out. An exact FD has zero violating
+    groups — doc_id -> lang rides along as the positive control a broken
+    census would fail. Schema profiling like this is how a pipeline
+    discovers which columns are safe dedup/partition/join keys.
+
+    Scale shape: one groupBy per candidate at the X grain (the key-grain
+    control is the only corpus-sized one — a plain map-side-combined
+    count-distinct shuffle), then a bounded per-FD rollup; candidates are
+    unioned so the output is |FD_CANDIDATES| rows."""
+    d = ctx.source("documents")
+    parts = []
+    for fd, x, y in FD_CANDIDATES:
+        groups = (
+            d.selectExpr(f"{x} AS x", f"{y} AS y")
+            .groupBy("x")
+            .agg(F.countDistinct("y").cast("long").alias("n_y"))
+        )
+        parts.append(
+            groups.agg(
+                F.lit(fd).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                isum(
+                    F.when(F.col("n_y") > 1, F.lit(1)).otherwise(F.lit(0))
+                ).alias("violating_groups"),
+                F.max("n_y").alias("max_distinct_y"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "fd",
+        "n_groups",
+        "violating_groups",
+        rnd(
+            F.col("violating_groups").cast("double") / F.col("n_groups"), 6
+        ).alias("violation_rate"),
+        "max_distinct_y",
+        (F.col("violating_groups") == 0).alias("holds"),
+    )
+
+
+def _fd_oracle() -> str:
+    selects = []
+    for fd, x, y in _FD_CANDIDATES_DUCK:
+        selects.append(
+            f"""SELECT '{fd}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       {isum_sql('CASE WHEN n_y > 1 THEN 1 ELSE 0 END')} AS violating_groups,
+       {rnd_sql(isum_sql('CASE WHEN n_y > 1 THEN 1 ELSE 0 END') + ' * 1.0 / COUNT(*)', 6)} AS violation_rate,
+       MAX(n_y) AS max_distinct_y,
+       ({isum_sql('CASE WHEN n_y > 1 THEN 1 ELSE 0 END')} = 0) AS holds
+FROM (
+    SELECT {x} AS x, CAST(COUNT(DISTINCT {y}) AS BIGINT) AS n_y
+    FROM documents GROUP BY 1
+)"""
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+oracle("docs_fd_violations", ("documents",), _fd_oracle())

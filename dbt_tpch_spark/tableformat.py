@@ -643,45 +643,18 @@ class TxnTable:
             "files_added": len(only_to),
             "files_unchanged": len(from_files & to_files),
         }
-        old = self._read_files(only_from)
-        new = self._read_files(only_to)
         if not self.key_cols:
+            old = self._read_files(only_from)
+            new = self._read_files(only_to)
             out["rows_in_removed_files"] = old.count() if old is not None else 0
             out["rows_in_added_files"] = new.count() if new is not None else 0
             return out
-        if old is None or new is None:
-            out["rows_inserted"] = new.count() if new is not None else 0
-            out["rows_deleted"] = old.count() if old is not None else 0
-            out["rows_updated"] = 0
-            out["rows_rewritten_unchanged"] = 0
-            return out
         from pyspark.sql import functions as F
 
-        common = [c for c in old.columns if c in set(new.columns)]
-        value_cols = [c for c in common if c not in self.key_cols]
-        o = old.select([F.col(c).alias(f"_o_{c}") for c in common])
-        n = new.select([F.col(c).alias(f"_n_{c}") for c in common])
-        cond = [
-            o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"]) for k in self.key_cols
-        ]
-        j = o.join(n, cond, "full_outer")
-        k0 = self.key_cols[0]
-        in_old = j[f"_o_{k0}"].isNotNull()
-        in_new = j[f"_n_{k0}"].isNotNull()
-        same = F.lit(True)
-        for c in value_cols:
-            same = same & j[f"_o_{c}"].eqNullSafe(j[f"_n_{c}"])
-        changed = ~same
-        kind = (
-            F.when(in_old & ~in_new, F.lit("deleted"))
-            .when(~in_old & in_new, F.lit("inserted"))
-            .when(changed, F.lit("updated"))
-            .otherwise(F.lit("rewritten_unchanged"))
-        )
         counts = {
-            r["kind"]: r["n"]
-            for r in j.select(kind.alias("kind"))
-            .groupBy("kind")
+            r["change_type"]: r["n"]
+            for r in self._diff_frame(v_from, v_to)
+            .groupBy("change_type")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -690,6 +663,78 @@ class TxnTable:
         out["rows_updated"] = counts.get("updated", 0)
         out["rows_rewritten_unchanged"] = counts.get("rewritten_unchanged", 0)
         return out
+
+    def _side(self, files: list[str], version: int) -> DataFrame:
+        """Read a diff side; an empty side becomes an empty frame with the
+        schema the commit log recorded at ``version``."""
+        df = self._read_files(files)
+        if df is not None:
+            return df
+        schema = self.table_schema(version)
+        if not schema:
+            raise SchemaMismatch(
+                f"version {version} has no recorded schema (pre-evolution "
+                "log); cannot synthesize an empty diff side"
+            )
+        return self.spark.createDataFrame(
+            [], ", ".join(f"{n} {t}" for n, t in schema)
+        )
+
+    def _diff_frame(self, v_from: int, v_to: int) -> DataFrame:
+        """Classified row changes over ONLY the files that differ between
+        the snapshots: change_type ('inserted'/'deleted'/'updated'/
+        'rewritten_unchanged'), the key columns (coalesced across sides),
+        then old_<col>/new_<col> for every common value column."""
+        from pyspark.sql import functions as F
+
+        if not self.key_cols:
+            raise ValueError("row-level diff requires key columns")
+        from_files = {a["file"] for a in self.snapshot_files(v_from)}
+        to_files = {a["file"] for a in self.snapshot_files(v_to)}
+        old = self._side(sorted(from_files - to_files), v_from)
+        new = self._side(sorted(to_files - from_files), v_to)
+        common = [c for c in old.columns if c in set(new.columns)]
+        value_cols = [c for c in common if c not in self.key_cols]
+        o = old.select([F.col(c).alias(f"_o_{c}") for c in common])
+        n = new.select([F.col(c).alias(f"_n_{c}") for c in common])
+        cond = [o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"]) for k in self.key_cols]
+        j = o.join(n, cond, "full_outer")
+        k0 = self.key_cols[0]
+        in_old = j[f"_o_{k0}"].isNotNull()
+        in_new = j[f"_n_{k0}"].isNotNull()
+        same = F.lit(True)
+        for c in value_cols:
+            same = same & j[f"_o_{c}"].eqNullSafe(j[f"_n_{c}"])
+        kind = (
+            F.when(in_old & ~in_new, F.lit("deleted"))
+            .when(~in_old & in_new, F.lit("inserted"))
+            .when(~same, F.lit("updated"))
+            .otherwise(F.lit("rewritten_unchanged"))
+        )
+        return j.select(
+            kind.alias("change_type"),
+            *[
+                F.coalesce(j[f"_o_{k}"], j[f"_n_{k}"]).alias(k)
+                for k in self.key_cols
+            ],
+            *[j[f"_o_{c}"].alias(f"old_{c}") for c in value_cols],
+            *[j[f"_n_{c}"].alias(f"new_{c}") for c in value_cols],
+        )
+
+    def read_changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Row-level CDC feed between two snapshots (Delta's
+        table_changes): one row per logical change with change_type
+        'inserted'/'deleted'/'updated', the key, and old_/new_ values.
+        Physical churn (rows rewritten byte-identical by compact/z-order/
+        merge carry-along) is filtered out — it is not a logical change.
+        Reads only the files that differ between the snapshots (see
+        snapshot_diff for why that makes CDC sublinear)."""
+        from pyspark.sql import functions as F
+
+        v_to = self.latest_version() if v_to is None else v_to
+        return self._diff_frame(v_from, v_to).filter(
+            F.col("change_type") != "rewritten_unchanged"
+        )
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files referenced by NONE of the newest

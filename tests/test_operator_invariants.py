@@ -797,3 +797,143 @@ def test_quantile_norm_is_monotone_and_percentile_preserving(spark, sf_dir):
             assert a["normalized_score"] <= b["normalized_score"], (src, a, b)
         # CDF endpoints: last bin maps to the global maximum bin
         assert abs(rs[-1]["source_cdf"] - 1.0) < 1e-6
+
+
+def test_boxplot_fences_and_outlier_census(spark, sf_dir):
+    """Five-number ordering, fence arithmetic, and the outlier count
+    recomputed brute-force from the raw values."""
+    from dbt_tpch_spark.operators.stats import TUKEY_K
+
+    ctx = Context(spark, sf_dir)
+    rows = {r["event_type"]: r for r in ctx.ref("events_boxplot_stats").collect()}
+    assert rows
+    vals: dict = {}
+    for r in ctx.source("events").select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    total = 0
+    for et, r in rows.items():
+        assert r["vmin"] <= r["q1"] <= r["median"] <= r["q3"] <= r["vmax"], r
+        assert abs(r["lo_fence"] - (r["q1"] - TUKEY_K * (r["q3"] - r["q1"]))) < 2e-6
+        assert abs(r["hi_fence"] - (r["q3"] + TUKEY_K * (r["q3"] - r["q1"]))) < 2e-6
+        brute = sum(
+            1 for v in vals[et] if v < r["lo_fence"] or v > r["hi_fence"]
+        )
+        assert r["n_outliers"] == brute, (et, r["n_outliers"], brute)
+        assert r["n_rows"] == len(vals[et])
+        total += r["n_rows"]
+    assert total == sum(len(v) for v in vals.values())
+
+
+def test_loo_impact_is_algebraically_consistent(spark, sf_dir):
+    """Weighted recombination: n_s · mean-contribution must reconstruct the
+    global mean ((N−n_s)·mean_loo + Q_s ≡ Q_total for every source), token
+    shares sum to 1, and the delta's sign matches whether the source's own
+    mean quality is below the corpus mean."""
+    ctx = Context(spark, sf_dir)
+    rows = ctx.ref("source_loo_impact").collect()
+    assert rows
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    n_total = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        # reconstruct Q_total two ways: via mean_quality and via mean_loo
+        q_total = r["mean_quality"] * n_total
+        q_s = q_total - r["mean_quality_loo"] * (n_total - r["n_docs"])
+        own_mean = q_s / r["n_docs"]
+        if r["delta_quality"] > 1e-4:
+            assert own_mean < r["mean_quality"] + 1e-3, r
+        if r["delta_quality"] < -1e-4:
+            assert own_mean > r["mean_quality"] - 1e-3, r
+        assert abs(r["delta_quality"] - (r["mean_quality_loo"] - r["mean_quality"])) < 2e-6, r
+
+
+def test_sliding_hll_merge_is_lossless(spark, sf_dir):
+    """Merging per-hour register panes must give EXACTLY the estimate a
+    fresh HLL over the raw window would give (register max is a lossless
+    union). Recomputed in plain Python (hashlib md5 == engine md5) for
+    five sample window ends; plus the m=256 error bound sanity check."""
+    import hashlib
+    import math
+
+    from dbt_tpch_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_RHO_MAX,
+        HLL_SALT,
+        HLL_WINDOW_HOURS,
+    )
+
+    def rnd4(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    def estimate(users):
+        regs = {}
+        for u in users:
+            h = hashlib.md5(f"{HLL_SALT}{u}".encode()).hexdigest()
+            bucket = int(h[:2], 16)
+            tail = h[2:14]
+            stripped = tail.lstrip("0")
+            zeros = len(tail) - len(stripped)
+            first = stripped[0] if stripped else ""
+            lz = {"": 0, "1": 3, "2": 2, "3": 2}.get(
+                first, 1 if first in "4567" else 0
+            )
+            rho = min(zeros * 4 + lz + 1, HLL_RHO_MAX)
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        z = sum(2.0 ** -v for v in regs.values()) + (HLL_M - len(regs))
+        e_raw = HLL_ALPHA * HLL_M * HLL_M / z
+        v = HLL_M - len(regs)
+        if e_raw <= 2.5 * HLL_M and v > 0:
+            return rnd4(HLL_M * math.log(HLL_M / v))
+        return rnd4(e_raw)
+
+    ctx = Context(spark, sf_dir)
+    rows = sorted(
+        ctx.ref("events_hll_sliding_users").collect(),
+        key=lambda r: r["window_end_hour"],
+    )
+    assert rows
+    assert max(r["rel_error"] for r in rows) < 0.2
+    events = ctx.source("events").select("ts", "user_id").collect()
+    by_hour: dict = {}
+    for r in events:
+        h = int(r["ts"].timestamp() // 3600)
+        by_hour.setdefault(h, []).append(r["user_id"])
+    step = max(1, len(rows) // 5)
+    for row in rows[::step]:
+        end = int(row["window_end_hour"].timestamp() // 3600)
+        users = [
+            u
+            for h in range(end - HLL_WINDOW_HOURS + 1, end + 1)
+            for u in by_hour.get(h, [])
+        ]
+        assert row["exact_users"] == len(set(users)), row
+        assert abs(row["hll_estimate"] - estimate(users)) < 1e-9, row
+
+
+def test_fd_census_matches_bruteforce(spark, sf_dir):
+    """Recompute every candidate FD census in plain Python and compare;
+    the doc_id control must hold exactly (keys determine everything)."""
+    ctx = Context(spark, sf_dir)
+    docs = ctx.source("documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    ).collect()
+    cands = {
+        "doc_id_to_lang": lambda r: (str(r["doc_id"]), r["lang"]),
+        "lang_to_source": lambda r: (r["lang"], r["source"]),
+        "source_to_lang": lambda r: (r["source"], r["lang"]),
+        "band_to_lang": lambda r: (str(r["n_chars"] // 100), r["lang"]),
+    }
+    got = {r["fd"]: r for r in ctx.ref("docs_fd_violations").collect()}
+    assert set(got) == set(cands)
+    for fd, keyfn in cands.items():
+        groups: dict = {}
+        for r in docs:
+            x, y = keyfn(r)
+            groups.setdefault(x, set()).add(y)
+        viol = sum(1 for ys in groups.values() if len(ys) > 1)
+        row = got[fd]
+        assert row["n_groups"] == len(groups), fd
+        assert row["violating_groups"] == viol, fd
+        assert row["max_distinct_y"] == max(len(ys) for ys in groups.values()), fd
+        assert row["holds"] == (viol == 0), fd
+    assert got["doc_id_to_lang"]["holds"] is True

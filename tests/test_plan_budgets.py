@@ -321,6 +321,15 @@ SHUFFLE_BUDGETS = {
     "orders_rollup_revenue": 1,
     # checkpointed (source, bin) grid + source window + bounded CDF join
     "docs_quality_quantile_norm": 3,
+    # per-type quartile agg + broadcast fences + outlier census
+    "events_boxplot_stats": 2,
+    # one corpus pass to per-source sufficient stats + bounded re-sums
+    "source_loo_impact": 3,
+    # checkpointed pane table; grid/window/rollup run on bounded frames,
+    # plus the exact-side 6x explode harness (the cost the sketch saves)
+    "events_hll_sliding_users": 6,
+    # 4 FD candidates x (count-distinct expand + final + scalar reduce)
+    "docs_fd_violations": 12,
 }
 
 

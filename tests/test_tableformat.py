@@ -532,3 +532,31 @@ def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
     assert d["files_unchanged"] == 1  # the v0 file is shared
     assert d["rows_inserted"] == 1 and d["rows_deleted"] == 0
     assert d["rows_updated"] == 0 and d["rows_rewritten_unchanged"] == 0
+
+
+def test_read_changes_emits_logical_changes_only(spark, tmp_path):
+    """The CDC feed must list exactly the logical changes with old/new
+    values, and hide physical churn (carry-along rewrites, compaction)."""
+    p = str(tmp_path / "t")
+    low = _mk(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1)
+    high = _mk(spark, [(100, "x")]).coalesce(1)
+    t = TxnTable.create(spark, p, low, ["k"])
+    t.append(high)  # v1
+    t.merge(_mk(spark, [(2, "B"), (5, "E")]).coalesce(1))  # v2
+
+    changes = {
+        r["k"]: r for r in t.read_changes(1, 2).collect()
+    }
+    assert set(changes) == {2, 5}
+    assert changes[2]["change_type"] == "updated"
+    assert changes[2]["old_v"] == "b" and changes[2]["new_v"] == "B"
+    assert changes[5]["change_type"] == "inserted"
+    assert changes[5]["old_v"] is None and changes[5]["new_v"] == "E"
+
+    t.delete_where("k = 100")  # v3
+    ch = t.read_changes(2, 3).collect()
+    assert len(ch) == 1
+    assert ch[0]["change_type"] == "deleted" and ch[0]["k"] == 100
+    # compaction is pure physical churn: zero logical changes
+    t.compact(target_bytes=1)  # v4 (or no-op commit)
+    assert t.read_changes(3).count() == 0
