@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dbt_tpch_spark.plans import model
-from dbt_tpch_spark.functions import dsum, rnd
+from dbt_tpch_spark.functions import dsum, isum, rnd
 from dbt_tpch_spark.models.oracle import dsum_sql, isum_sql, oracle, rnd_sql
 
 #: per-language keep rates in 1/16ths (hex-digit threshold). The majority
@@ -1337,4 +1337,109 @@ FROM per_source s CROSS JOIN tot t""".format(
         ml=rnd_sql(_LOO_MEAN_LOO, 6),
         dq=rnd_sql(f"({_LOO_MEAN_LOO}) - ({_LOO_MEAN_ALL})", 6),
     ),
+)
+
+
+# --------------------------------------------------------------------------
+# quality-aware dedup survivor election
+# --------------------------------------------------------------------------
+
+
+@model("docs_quality_survivors", layer="operators", materialization="view")
+def docs_quality_survivors(ctx):
+    """Survivor election that keeps the BEST near-duplicate, not the
+    first: within each dedup cluster the survivor is the member with the
+    highest classifier quality (ties to the lowest doc_id), compared in
+    the same report against the naive keep-min-doc_id policy. The output
+    is the one-row policy audit: docs retained, mean quality under each
+    policy, and the quality gain the smarter election buys — the number a
+    curation review actually asks for before a 100 TB dedup pass.
+
+    Scale shape: cluster labels and quality scores join at doc grain (two
+    corpus-grain inputs, one hash join); election is a per-cluster
+    max(struct) aggregation — single shuffle on cluster_id, no windows;
+    the final report is a scalar rollup of the bounded survivor frame.
+    max(struct(quality, -doc_id)) keeps the whole election inside one
+    map-side-combinable aggregate (the dedup_exact survivor trick, with
+    quality promoted above recency)."""
+    from dbt_tpch_spark.operators.text import doc_quality_cols
+
+    c = doc_quality_cols()
+    scored = ctx.source("documents").select(
+        "doc_id", c["quality_prob"].alias("q")
+    )
+    labeled = ctx.ref("dedup_doc_labels").join(scored, "doc_id")
+    elected = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(
+            F.struct(F.col("q"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best"),
+        F.min("doc_id").alias("naive_doc_id"),
+        F.min(F.struct(F.col("doc_id"), F.col("q"))).alias("naive"),
+        F.sum(F.col("q").cast("decimal(27,6)")).alias("q_sum"),
+    )
+    return elected.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n_members").cast("long").alias("n_docs"),
+        isum(F.when(F.col("n_members") > 1, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_dup_clusters"
+        ),
+        rnd(
+            F.sum("q_sum").cast("double") / F.sum("n_members"), 6
+        ).alias("mean_quality_all"),
+        rnd(
+            F.sum(F.col("best.q").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality_best_policy"),
+        rnd(
+            F.sum(F.col("naive.q").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality_naive_policy"),
+        isum(
+            F.when((-F.col("best.neg_id")) != F.col("naive_doc_id"), F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("n_elections_changed"),
+    ).select(
+        "*",
+        rnd(
+            F.col("mean_quality_best_policy")
+            - F.col("mean_quality_naive_policy"),
+            6,
+        ).alias("quality_gain"),
+    )
+
+
+oracle(
+    "docs_quality_survivors",
+    ("dedup_doc_labels", "doc_quality_classifier"),
+    f"""WITH labeled AS (
+    SELECT l.cluster_id, l.doc_id, c.quality_prob AS q
+    FROM dedup_doc_labels l
+    JOIN doc_quality_classifier c USING (doc_id)
+),
+elected AS (
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(struct_pack(q := q, nid := -doc_id)) AS best,
+           MIN(doc_id) AS naive_doc_id,
+           MIN(struct_pack(d := doc_id, q := q)) AS naive,
+           SUM(CAST(q AS DECIMAL(27,6))) AS q_sum
+    FROM labeled GROUP BY 1
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+    CAST(SUM(n_members) AS BIGINT) AS n_docs,
+    {isum_sql('CASE WHEN n_members > 1 THEN 1 ELSE 0 END')} AS n_dup_clusters,
+    {rnd_sql('CAST(SUM(q_sum) AS DOUBLE) / SUM(n_members)', 6)} AS mean_quality_all,
+    {rnd_sql("CAST(SUM(CAST(best['q'] AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)", 6)} AS mean_quality_best_policy,
+    {rnd_sql("CAST(SUM(CAST(naive['q'] AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)", 6)} AS mean_quality_naive_policy,
+    {isum_sql("CASE WHEN -best['nid'] != naive_doc_id THEN 1 ELSE 0 END")} AS n_elections_changed,
+    {rnd_sql(
+        rnd_sql("CAST(SUM(CAST(best['q'] AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)", 6)
+        + " - "
+        + rnd_sql("CAST(SUM(CAST(naive['q'] AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)", 6), 6
+    )} AS quality_gain
+FROM elected""",
 )

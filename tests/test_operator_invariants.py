@@ -937,3 +937,38 @@ def test_fd_census_matches_bruteforce(spark, sf_dir):
         assert row["max_distinct_y"] == max(len(ys) for ys in groups.values()), fd
         assert row["holds"] == (viol == 0), fd
     assert got["doc_id_to_lang"]["holds"] is True
+
+
+def test_quality_survivor_election_matches_bruteforce(spark, sf_dir):
+    """Recompute the election in plain Python from the labels + scores:
+    best-policy mean, naive-policy mean, and the changed-election count
+    must match; the best policy can never be worse than naive."""
+    import math
+
+    ctx = Context(spark, sf_dir)
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in ctx.ref("dedup_doc_labels").collect()
+    }
+    q = {
+        r["doc_id"]: r["quality_prob"]
+        for r in ctx.ref("doc_quality_classifier").collect()
+    }
+    clusters: dict = {}
+    for d, c in labels.items():
+        clusters.setdefault(c, []).append(d)
+    best, naive, changed = [], [], 0
+    for members in clusters.values():
+        b = max(members, key=lambda d: (q[d], -d))
+        n = min(members)
+        best.append(q[b])
+        naive.append(q[n])
+        changed += b != n
+    row = ctx.ref("docs_quality_survivors").head()
+    rnd6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    assert row["n_clusters"] == len(clusters)
+    assert row["n_docs"] == len(labels)
+    assert row["n_elections_changed"] == changed
+    assert abs(row["mean_quality_best_policy"] - rnd6(sum(best) / len(best))) < 2e-6
+    assert abs(row["mean_quality_naive_policy"] - rnd6(sum(naive) / len(naive))) < 2e-6
+    assert row["quality_gain"] >= 0.0

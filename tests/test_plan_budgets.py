@@ -330,6 +330,8 @@ SHUFFLE_BUDGETS = {
     "events_hll_sliding_users": 6,
     # 4 FD candidates x (count-distinct expand + final + scalar reduce)
     "docs_fd_violations": 12,
+    # label fixpoint feedstock + doc-grain join + cluster election agg
+    "docs_quality_survivors": 4,
 }
 
 
