@@ -1102,6 +1102,34 @@ FROM s1 CROSS JOIN s2 CROSS JOIN efk CROSS JOIN esj""",
 HLL_WINDOW_HOURS = 6
 
 
+def _hll_hashed_events(e):
+    """(hour_idx, h, user_id) projection shared by pane building and the
+    exact-side harness."""
+    hour_idx = F.floor(F.col("ts").cast("long") / 3600).cast("long")
+    return e.select(
+        hour_idx.alias("hour_idx"),
+        F.md5(
+            F.concat(F.lit(HLL_SALT), F.col("user_id").cast("string"))
+        ).alias("h"),
+        "user_id",
+    )
+
+
+def hll_hour_panes(events_df):
+    """Per-hour HLL register panes (hour_idx, bucket, m_j) from a raw
+    events frame. Register max is associative and commutative, so panes
+    from ANY partition of the stream — micro-batches, shards, days —
+    union and re-max to exactly the panes of the whole (the property the
+    streaming twin test proves); this is the incremental structure a
+    foreachBatch sink appends to."""
+    return (
+        _hll_hashed_events(events_df)
+        .select("hour_idx", *_spark_register_cols())
+        .groupBy("hour_idx", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
 @model("events_hll_sliding_users", layer="operators", materialization="view")
 def events_hll_sliding_users(ctx):
     """Sliding 6-hour distinct-user estimates from MERGED per-hour HLL
@@ -1121,20 +1149,8 @@ def events_hll_sliding_users(ctx):
     from pyspark.sql import Window
 
     e = ctx.source("events")
-    hour_idx = F.floor(F.col("ts").cast("long") / 3600).cast("long")
-    hashed = e.select(
-        hour_idx.alias("hour_idx"),
-        F.md5(
-            F.concat(F.lit(HLL_SALT), F.col("user_id").cast("string"))
-        ).alias("h"),
-        "user_id",
-    )
-    panes = (
-        hashed.select("hour_idx", *_spark_register_cols())
-        .groupBy("hour_idx", "bucket")
-        .agg(F.max("rho").alias("m_j"))
-        .localCheckpoint(eager=True)
-    )
+    hashed = _hll_hashed_events(e)
+    panes = hll_hour_panes(e).localCheckpoint(eager=True)
     hours = panes.select("hour_idx").distinct()
     grid = hours.select(
         "hour_idx", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("bucket")

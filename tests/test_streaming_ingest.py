@@ -51,3 +51,51 @@ def test_streamed_ingest_verdicts_equal_batch_model(spark, sf_dir, tmp_path):
     batch = canonicalize(ctx.ref("dedup_incremental_ingest").toPandas())
     assert len(streamed) == len(batch) > 0
     assert streamed.equals(batch)
+
+
+def test_streamed_hll_panes_fold_to_batch_panes(spark, sf_dir, tmp_path):
+    """Streaming maintenance of the HLL pane table: events arrive as
+    micro-batches, each batch's panes are APPENDED to a pane log (no
+    read-modify-write needed), and the log folded by register max must
+    equal the panes built from the whole corpus in one pass — register
+    max is associative/commutative, so the pane table is maintainable by
+    a blind foreachBatch append at any scale. The sliding estimates are a
+    pure function of the pane table, so pane equality IS estimate
+    equality."""
+    from dbt_tpch_spark.operators.sketches import hll_hour_panes
+
+    ctx = Context(spark, sf_dir)
+    events = ctx.source("events").select("ts", "user_id")
+
+    in_dir = str(tmp_path / "incoming")
+    events.repartition(3).write.parquet(in_dir)
+    out_dir = str(tmp_path / "panes")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    def sink(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        hll_hour_panes(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    folded = canonicalize(
+        spark.read.parquet(out_dir)
+        .groupBy("hour_idx", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .toPandas()
+    )
+    batch = canonicalize(hll_hour_panes(events).toPandas())
+    assert len(folded) == len(batch) > 0
+    assert folded.equals(batch)
