@@ -38,8 +38,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dbt_tpch_spark.functions import rnd
-from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
+from dbt_tpch_spark.functions import davg, isum, rnd
+from dbt_tpch_spark.models.oracle import (
+    davg_sql,
+    dsum_sql,
+    isum_sql,
+    oracle,
+    rnd_sql,
+)
 from dbt_tpch_spark.operators.dedup import (
     _NORM_TEXT_DUCK,
     _SHINGLE3_DUCK,
@@ -773,4 +779,62 @@ sizes AS (
 SELECT f.customer_key, f.entity_id, s.entity_size,
        s.entity_size = 1 AS is_singleton
 FROM full_frame f JOIN sizes s USING (entity_id)""",
+)
+
+
+# --------------------------------------------------------------------------
+# LSH recall report: banded candidates vs the exact join, as a query
+# --------------------------------------------------------------------------
+
+
+@model("dedup_lsh_recall_report", layer="operators", materialization="view")
+def dedup_lsh_recall_report(ctx):
+    """Measured recall of the production MinHash-LSH detector against the
+    exact PPJoin ground truth at the same Jaccard threshold — the
+    companion number to lsh_band_collision_stats' cost curve: that query
+    prices each (bands, rows) config, this one reports what the deployed
+    config actually catches. Precision is 1 by construction (LSH verifies
+    candidates with exact Jaccard), so the one row here is the complete
+    quality contract of the banded path: exact pairs, LSH pairs, misses,
+    recall, and the mean Jaccard of the missed pairs (banding misses
+    low-similarity pairs first — a mean miss similarity near the
+    threshold is the expected, benign failure mode).
+
+    Scale: both inputs are pair-grain model outputs (already sublinear);
+    the report is one left join + scalar rollup."""
+    exact = ctx.ref("dedup_ppjoin").select("doc_a", "doc_b", "jaccard")
+    lsh = ctx.ref("dedup_minhash_lsh").select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    j = exact.join(lsh, ["doc_a", "doc_b"], "left")
+    missed_jac = F.when(F.col("in_lsh").isNull(), F.col("jaccard"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+        F.count("in_lsh").cast("long").alias("n_lsh_pairs"),
+        isum(
+            F.when(F.col("in_lsh").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_missed"),
+        rnd(
+            F.count("in_lsh").cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall"),
+        rnd(davg(missed_jac), 6).alias("mean_missed_jaccard"),
+    )
+
+
+oracle(
+    "dedup_lsh_recall_report",
+    ("dedup_ppjoin", "dedup_minhash_lsh"),
+    f"""WITH j AS (
+    SELECT e.jaccard, l.doc_a AS hit
+    FROM dedup_ppjoin e
+    LEFT JOIN dedup_minhash_lsh l
+      ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+    CAST(COUNT(hit) AS BIGINT) AS n_lsh_pairs,
+    {isum_sql('CASE WHEN hit IS NULL THEN 1 ELSE 0 END')} AS n_missed,
+    {rnd_sql('CAST(COUNT(hit) AS DOUBLE) / COUNT(*)', 6)} AS recall,
+    {rnd_sql(davg_sql('CASE WHEN hit IS NULL THEN jaccard END'), 6)} AS mean_missed_jaccard
+FROM j""",
 )

@@ -972,3 +972,18 @@ def test_quality_survivor_election_matches_bruteforce(spark, sf_dir):
     assert abs(row["mean_quality_best_policy"] - rnd6(sum(best) / len(best))) < 2e-6
     assert abs(row["mean_quality_naive_policy"] - rnd6(sum(naive) / len(naive))) < 2e-6
     assert row["quality_gain"] >= 0.0
+
+
+def test_lsh_recall_report_counts_are_consistent(spark, sf_dir):
+    """The report's counts must reconcile with the two pair models it
+    composes, and recall must be the exact ratio."""
+    ctx = Context(spark, sf_dir)
+    row = ctx.ref("dedup_lsh_recall_report").head()
+    n_exact = ctx.ref("dedup_ppjoin").count()
+    n_lsh = ctx.ref("dedup_minhash_lsh").count()
+    assert row["n_exact_pairs"] == n_exact
+    assert row["n_lsh_pairs"] == n_lsh  # LSH ⊆ exact, so the join loses none
+    assert row["n_missed"] == n_exact - n_lsh
+    assert abs(row["recall"] - n_lsh / n_exact) < 1e-6
+    if row["n_missed"] == 0:
+        assert row["mean_missed_jaccard"] is None

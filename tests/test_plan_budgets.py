@@ -332,6 +332,8 @@ SHUFFLE_BUDGETS = {
     "docs_fd_violations": 12,
     # label fixpoint feedstock + doc-grain join + cluster election agg
     "docs_quality_survivors": 4,
+    # composes the two pair models (each separately pinned) + join/rollup
+    "dedup_lsh_recall_report": 9,
 }
 
 

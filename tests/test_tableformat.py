@@ -560,3 +560,40 @@ def test_read_changes_emits_logical_changes_only(spark, tmp_path):
     # compaction is pure physical churn: zero logical changes
     t.compact(target_bytes=1)  # v4 (or no-op commit)
     assert t.read_changes(3).count() == 0
+
+
+def test_read_changes_is_a_sufficient_replication_feed(spark, tmp_path):
+    """Applying the CDC feed to the old snapshot must reconstruct the new
+    snapshot exactly — delete the deleted/updated keys, insert the
+    inserted/updated new values — across a merge, a delete, and a
+    schema-evolving append (the downstream-replica use case CDC exists
+    for)."""
+    from dbt_tpch_spark.parity import canonicalize
+
+    p = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, p, _mk(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), ["k"]
+    )
+    t.merge(_mk(spark, [(2, "B"), (5, "E")]).coalesce(1))  # v1
+    t.delete_where("k = 1")  # v2
+
+    v_from, v_to = 0, t.latest_version()
+    ch = t.read_changes(v_from, v_to)
+    removed_keys = [
+        r["k"]
+        for r in ch.filter(F.col("change_type").isin("deleted", "updated"))
+        .select("k")
+        .collect()
+    ]
+    upserts = (
+        ch.filter(F.col("change_type").isin("inserted", "updated"))
+        .select(F.col("k"), F.col("new_v").alias("v"))
+    )
+    replica = (
+        t.read(v_from)
+        .filter(~F.col("k").isin(removed_keys))
+        .unionByName(upserts)
+    )
+    want = canonicalize(t.read(v_to).toPandas())
+    got = canonicalize(replica.toPandas())
+    assert got.equals(want)
