@@ -1152,6 +1152,13 @@ oracle("embeddings_kcenter_sample", ("embeddings",), _kcenter_oracle())
 CURVE_MIN_COS = 0.2
 #: bin width for the threshold curve (0.05 cosine per bin).
 CURVE_BINS_PER_UNIT = 20
+#: fixed-size deterministic sample for the pair stage: bottom-k vectors by
+#: salted md5 (the events_sampled_quantiles convention). The curve is a
+#: distribution estimate, so a uniform sample is statistically honest and
+#: makes the all-pairs stage O(SAMPLE^2) — constant at any SF. Measured:
+#: the unsampled pair join took 187 s at sf0.1 (50k^2 pairs) vs ~2 s sampled.
+CURVE_SAMPLE = 1024
+CURVE_SALT = "curve|"
 
 
 @model("embeddings_dup_threshold_curve", layer="operators", materialization="view")
@@ -1164,19 +1171,36 @@ def embeddings_dup_threshold_curve(ctx):
     SEMDEDUP_THRESHOLD-style cutoffs: the elbow of this curve is the
     defensible threshold, not a folklore constant.
 
-    Scale shape: pair generation is the brute-force O(n²) probe ONLY at
-    sandbox scale, mirroring dedup_embedding_cosine — at 100 TB this runs
-    on a uniform corpus sample (the curve is a distribution estimate, so
-    sampling is statistically honest in a way it is NOT for dedup itself)
-    or over the LSH-bucketed candidates for the >=0.7 tail. The histogram
+    Scale shape: the pair stage runs on a FIXED-SIZE deterministic sample
+    (bottom-CURVE_SAMPLE vectors by salted md5 — TakeOrderedAndProject,
+    never a full sort), so it costs O(CURVE_SAMPLE²) at ANY corpus size;
+    the curve is a distribution estimate, so uniform sampling is
+    statistically honest in a way it is NOT for dedup itself. Below the
+    sample size (sf0.001) the sample is the whole corpus and the curve is
+    exact — the oracle applies the identical selection. The histogram
     itself is one bounded agg (<= 11 bins) plus a single-partition window
     over those bins — bounded grain, invariant-exempt."""
+    from dbt_tpch_spark.operators.dedup import _doc_parallelism
+
     e = ctx.source("embeddings")
-    norms = e.select(
+    skey = F.md5(F.concat(F.lit(CURVE_SALT), F.col("vec_id").cast("string")))
+    # limit() leaves ONE partition and AQE would re-coalesce a column-only
+    # repartition (the sample is ~300 KB but each row costs a 64-element
+    # decimal dot per pair) — fan out with an EXPLICIT partition count,
+    # which AQE respects (measured 171 s single-threaded vs ~8 s fanned)
+    sampled = (
+        e.select("vec_id", "embedding", skey.alias("skey"))
+        .orderBy("skey")
+        .limit(CURVE_SAMPLE)
+        .repartition(_doc_parallelism(ctx), "vec_id")
+    )
+    # checkpoint per-VECTOR norms: inlined, the norm_sq decimal dot would
+    # be re-evaluated per PAIR on both sides (measured 3x the pair cost)
+    norms = sampled.select(
         "vec_id",
         F.col("embedding").alias("emb"),
         F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias("norm_sq"),
-    )
+    ).localCheckpoint(eager=True)
     a = norms.select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("emb_a"),
@@ -1192,16 +1216,19 @@ def embeddings_dup_threshold_curve(ctx):
         / (F.sqrt(F.col("norm_a")) * F.sqrt(F.col("norm_b"))),
         6,
     )
-    binned = (
+    # checkpoint the cosine-only frame: the filter below would otherwise
+    # be pushed under the projection and re-evaluate the decimal dot per
+    # reference (the multi-reference inlining hazard, PLANS.md round-4)
+    scored = (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= CURVE_MIN_COS)
-        .select(
-            (
-                F.floor(F.col("cosine") * CURVE_BINS_PER_UNIT)
-                / CURVE_BINS_PER_UNIT
-            ).alias("threshold"),
-        )
+        .select(cos.alias("cosine"))
+        .localCheckpoint(eager=True)
+    )
+    binned = scored.filter(F.col("cosine") >= CURVE_MIN_COS).select(
+        (
+            F.floor(F.col("cosine") * CURVE_BINS_PER_UNIT)
+            / CURVE_BINS_PER_UNIT
+        ).alias("threshold"),
     )
     hist = binned.groupBy("threshold").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
@@ -1220,9 +1247,15 @@ def embeddings_dup_threshold_curve(ctx):
 oracle(
     "embeddings_dup_threshold_curve",
     ("embeddings",),
-    f"""WITH norms AS (
-    SELECT vec_id, embedding, {dot_duck('embedding', 'embedding')} AS norm_sq
+    f"""WITH sampled AS (
+    SELECT vec_id, embedding
     FROM embeddings
+    ORDER BY md5('{CURVE_SALT}' || CAST(vec_id AS VARCHAR))
+    LIMIT {CURVE_SAMPLE}
+),
+norms AS (
+    SELECT vec_id, embedding, {dot_duck('embedding', 'embedding')} AS norm_sq
+    FROM sampled
 ),
 pairs AS (
     SELECT {rnd_sql(
