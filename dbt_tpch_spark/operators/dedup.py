@@ -579,12 +579,26 @@ def dot_duck(a: str, b: str) -> str:
 @model("dedup_embedding_cosine", layer="operators", materialization="view")
 def dedup_embedding_cosine(ctx):
     """Embedding near-dup: all pairs with cosine >= 0.5. Brute force at test
-    scale; the LSH-bucketed ANN (similarity.py) is the 100 TB path."""
+    scale; the LSH-bucketed ANN (similarity.py) is the 100 TB path.
+
+    Pair-stage constants matter even for a sandbox-scale brute force
+    (measured 279 s → ~20 s at sf0.1): the per-VECTOR norms are
+    checkpointed so multi-reference inlining can't re-evaluate the decimal
+    norm dot per PAIR, the input is fanned out with an explicit partition
+    count AQE won't re-coalesce (small bytes, expensive rows), and the
+    cosine projection gets a barrier so the threshold filter can't push
+    below it and run the pair dot twice."""
     e = ctx.source("embeddings")
-    norms = e.select(
-        "vec_id",
-        F.col("embedding").alias("emb"),
-        F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias("norm_sq"),
+    norms = (
+        e.select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias(
+                "norm_sq"
+            ),
+        )
+        .repartition(_doc_parallelism(ctx), "vec_id")
+        .localCheckpoint(eager=True)
     )
     a = norms.select(
         F.col("vec_id").alias("vec_a"),
@@ -600,11 +614,10 @@ def dedup_embedding_cosine(ctx):
     cos = F.expr(DOT_SPARK.format(a="emb_a", b="emb_b")) / (
         F.sqrt(F.col("norm_a")) * F.sqrt(F.col("norm_b"))
     )
-    return (
-        pairs.withColumn("cosine", rnd(cos, 6))
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    scored = pairs.select(
+        "vec_a", "vec_b", rnd(cos, 6).alias("cosine")
+    ).localCheckpoint(eager=True)
+    return scored.filter(F.col("cosine") >= COSINE_THRESHOLD)
 
 
 oracle(
