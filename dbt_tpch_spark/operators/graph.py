@@ -708,3 +708,126 @@ SELECT
 FROM bidir
 QUALIFY similarity_rank <= {NEIGHBOR_TOP_K}""",
 )
+
+
+# --------------------------------------------------------------------------
+# degree assortativity (Newman 2002): do hubs connect to hubs?
+# --------------------------------------------------------------------------
+
+
+@model("parts_degree_assortativity", layer="operators", materialization="view")
+def parts_degree_assortativity(ctx):
+    """Degree assortativity coefficient of the co-purchase graph (Newman,
+    PRL 2002): the Pearson correlation of endpoint degrees over the
+    symmetric edge list, plus the degree census (nodes, edges, mean/max
+    degree). Negative r = hubs attach to leaves (dissortative, typical of
+    catalogs/baskets); positive = hub-hub cores. This is the one-number
+    topology probe you run before choosing graph-algorithm mitigations
+    (a strongly dissortative graph makes degree-oriented wedge
+    enumeration — parts_triangle_count's trick — maximally effective).
+
+    Determinism and scale: degrees are integers, so every sufficient
+    statistic (Σx, Σx², Σxy over edges) is an exact BIGINT sum — no float
+    accumulation anywhere; the coefficient is one double expression over
+    those integers. Plan: the degree frame joins the edge list on both
+    endpoints — node-grain hash joins, NOT broadcasts (node state is
+    SF-linear; same discipline as pagerank above the gate), then a single
+    scalar rollup."""
+    # edges feed three consumers (deg + both join probes): checkpoint once
+    # or each re-expands the basket-explode pipeline (measured 21 -> 5
+    # exchanges); partitioned on src so deg and the src-side join reuse it
+    n_part = int(ctx.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = (
+        _edges(ctx)
+        .repartition(n_part, "src")
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    da = deg.select(F.col("src").alias("_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("src").alias("_b"), F.col("deg").alias("db"))
+    scored = (
+        edges.join(da, edges.src == F.col("_a"))
+        .join(db, edges.dst == F.col("_b"))
+        .select("da", "db")
+    )
+    i = lambda c: F.sum(c).cast("long")  # noqa: E731
+    stats = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        i(F.col("da")).alias("sx"),
+        i(F.col("db")).alias("sy"),
+        i(F.col("da") * F.col("da")).alias("sxx"),
+        i(F.col("db") * F.col("db")).alias("syy"),
+        i(F.col("da") * F.col("db")).alias("sxy"),
+    )
+    census = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("deg").alias("max_degree"),
+        F.sum("deg").cast("long").alias("_degsum"),
+    )
+    m = F.col("m").cast("double")
+    num = m * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        m * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(m * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return stats.crossJoin(F.broadcast(census)).select(
+        "n_nodes",
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        rnd(F.col("_degsum").cast("double") / F.col("n_nodes"), 6).alias(
+            "avg_degree"
+        ),
+        "max_degree",
+        rnd(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
+    )
+
+
+oracle(
+    "parts_degree_assortativity",
+    ("lineitem",),
+    f"""WITH op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pairs AS (
+    SELECT DISTINCT a.p AS src, b.p AS dst
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+edges AS (
+    SELECT src, dst FROM pairs
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM pairs
+),
+deg AS (
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+scored AS (
+    SELECT x.deg AS da, y.deg AS db
+    FROM edges e
+    JOIN deg x ON e.src = x.src
+    JOIN deg y ON e.dst = y.src
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(da) AS BIGINT) AS sx,
+           CAST(SUM(db) AS BIGINT) AS sy,
+           CAST(SUM(da * da) AS BIGINT) AS sxx,
+           CAST(SUM(db * db) AS BIGINT) AS syy,
+           CAST(SUM(da * db) AS BIGINT) AS sxy
+    FROM scored
+),
+census AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MAX(deg) AS max_degree,
+           CAST(SUM(deg) AS BIGINT) AS degsum
+    FROM deg
+)
+SELECT
+    c.n_nodes,
+    CAST(s.m // 2 AS BIGINT) AS n_edges,
+    {rnd_sql('CAST(c.degsum AS DOUBLE) / c.n_nodes', 6)} AS avg_degree,
+    c.max_degree,
+    {rnd_sql(
+        '(CAST(s.m AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy)'
+        ' / nullif(sqrt(CAST(s.m AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx)'
+        ' * sqrt(CAST(s.m AS DOUBLE) * s.syy - CAST(s.sy AS DOUBLE) * s.sy), 0.0)', 6
+    )} AS assortativity
+FROM stats s CROSS JOIN census c""",
+)

@@ -987,3 +987,43 @@ def test_lsh_recall_report_counts_are_consistent(spark, sf_dir):
     assert abs(row["recall"] - n_lsh / n_exact) < 1e-6
     if row["n_missed"] == 0:
         assert row["mean_missed_jaccard"] is None
+
+
+def test_assortativity_matches_bruteforce(spark, sf_dir):
+    """Recompute degrees and the Pearson coefficient over the symmetric
+    edge list in plain Python (exact integer sums, one double formula)."""
+    import math
+
+    ctx = Context(spark, sf_dir)
+    li = ctx.source("lineitem").select("l_orderkey", "l_partkey").collect()
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pairs = set()
+    for ps in baskets.values():
+        ps = sorted(ps)
+        for ii in range(len(ps)):
+            for jj in range(ii + 1, len(ps)):
+                pairs.add((ps[ii], ps[jj]))
+    deg: dict = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in pairs:  # symmetric edges = both orientations
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    r_num = m * sxy - sx * sy
+    r_den = math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    rnd6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    row = ctx.ref("parts_degree_assortativity").head()
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(pairs)
+    assert row["max_degree"] == max(deg.values())
+    assert abs(row["avg_degree"] - rnd6(sum(deg.values()) / len(deg))) < 2e-6
+    assert abs(row["assortativity"] - rnd6(r_num / r_den)) < 2e-6

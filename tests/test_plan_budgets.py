@@ -334,6 +334,8 @@ SHUFFLE_BUDGETS = {
     "docs_quality_survivors": 4,
     # composes the two pair models (each separately pinned) + join/rollup
     "dedup_lsh_recall_report": 9,
+    # checkpointed edge list + degree agg + two co-partitioned joins
+    "parts_degree_assortativity": 5,
 }
 
 
