@@ -597,3 +597,72 @@ def test_read_changes_is_a_sufficient_replication_feed(spark, tmp_path):
     want = canonicalize(t.read(v_to).toPandas())
     got = canonicalize(replica.toPandas())
     assert got.equals(want)
+
+
+def test_cdc_replication_holds_across_random_op_sequences(spark, tmp_path):
+    """Seeded-random op-sequence fuzz: after EVERY commit, read_changes of
+    the last step must replicate the previous snapshot into the current
+    one, and snapshot_diff's counts must reconcile with the row-count
+    delta (n_to = n_from + inserted - deleted). Catches halo cases a
+    hand-written scenario misses (delete-then-reinsert of the same key,
+    merges touching every file, back-to-back compactions)."""
+    import random
+
+    from dbt_tpch_spark.parity import canonicalize
+
+    rng = random.Random(42)
+    p = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, p, _mk(spark, [(k, f"v{k}") for k in range(6)]).coalesce(2), ["k"]
+    )
+    live = set(range(6))
+    nxt = 100
+    for step in range(12):
+        op = rng.choice(["append", "merge", "delete", "compact"])
+        v_from = t.latest_version()
+        if op == "append" or not live:
+            rows = [(nxt + i, f"a{step}") for i in range(rng.randint(1, 3))]
+            nxt += 10
+            t.append(_mk(spark, rows).coalesce(1))
+            live |= {k for k, _ in rows}
+        elif op == "merge":
+            upd = [(k, f"m{step}") for k in rng.sample(sorted(live), 1)]
+            new = [(nxt, f"m{step}")]
+            nxt += 10
+            t.merge(_mk(spark, upd + new).coalesce(1))
+            live |= {k for k, _ in new}
+        elif op == "delete":
+            victim = rng.choice(sorted(live))
+            t.delete_where(f"k = {victim}")
+            live.discard(victim)
+        else:
+            t.compact(target_bytes=1 << 20)
+        v_to = t.latest_version()
+        if v_to == v_from:  # metadata no-op (e.g. compact of one file)
+            continue
+        d = t.snapshot_diff(v_from, v_to)
+        n_from = t.read(v_from).count()
+        n_to = t.read(v_to).count()
+        assert n_to == n_from + d["rows_inserted"] - d["rows_deleted"], (
+            step,
+            op,
+            d,
+        )
+        ch = t.read_changes(v_from, v_to)
+        removed = [
+            r["k"]
+            for r in ch.filter(
+                F.col("change_type").isin("deleted", "updated")
+            ).collect()
+        ]
+        upserts = ch.filter(
+            F.col("change_type").isin("inserted", "updated")
+        ).select("k", F.col("new_v").alias("v"))
+        replica = (
+            t.read(v_from).filter(~F.col("k").isin(removed or [-1]))
+            .unionByName(upserts)
+        )
+        assert canonicalize(replica.toPandas()).equals(
+            canonicalize(t.read(v_to).toPandas())
+        ), (step, op)
+        assert live == {r["k"] for r in t.read().select("k").collect()}
