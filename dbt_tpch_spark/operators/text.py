@@ -1372,6 +1372,67 @@ def _bpe_census(wc):
     )
 
 
+def _bpe_train_loop(wc):
+    """Run the greedy merge loop over a ``(word, n)`` word-type frame.
+
+    Factored out of :func:`bpe_train_merges` so tests can drive it with a
+    corpus whose round-2 winning pair CONTAINS the round-1 merge symbol
+    (the chained-merge case where a mod-256 ``chr`` would diverge from the
+    DuckDB oracle's codepoint ``chr``)."""
+    syms_of = lambda t: t.agg(  # noqa: E731
+        F.sum(F.length("word").cast("long") * F.col("n")).cast("long").alias("syms")
+    )
+    base = syms_of(wc).withColumnRenamed("syms", "base_syms")
+    rounds = []
+    cur = wc
+    for i in range(1, BPE_ROUNDS + 1):
+        best = (
+            _bpe_census(cur)
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .select(
+                F.col("pair").alias("merged_pair"),
+                F.col("cnt").alias("n_occurrences"),
+            )
+        )
+        # Spark's SQL chr() is mod-256 ASCII (chr(57345) == '\x01') while
+        # DuckDB's is codepoint-based (U+E001); embed the private-use
+        # codepoint as a Python-side literal so both engines use the SAME
+        # merge symbol and chained merges stay parity-identical.
+        merge_sym = chr(BPE_MERGE_BASE + i)
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("word"), F.col("merged_pair"), F.lit(merge_sym)
+                ).alias("word"),
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            best.crossJoin(syms_of(cur))
+            .select(
+                F.lit(i).cast("long").alias("round"),
+                "merged_pair",
+                "n_occurrences",
+                F.col("syms").alias("total_symbols"),
+            )
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.crossJoin(F.broadcast(base)).select(
+        "round",
+        "merged_pair",
+        "n_occurrences",
+        "total_symbols",
+        rnd(F.col("total_symbols") / F.col("base_syms"), 6).alias(
+            "compression_ratio"
+        ),
+    )
+
+
 @model("bpe_train_merges", layer="operators", materialization="view")
 def bpe_train_merges(ctx):
     """Greedy BPE training, the real loop (Sennrich et al., ACL'16): per
@@ -1400,53 +1461,7 @@ def bpe_train_merges(ctx):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .localCheckpoint(eager=True)
     )
-    syms_of = lambda t: t.agg(  # noqa: E731
-        F.sum(F.length("word").cast("long") * F.col("n")).cast("long").alias("syms")
-    )
-    base = syms_of(wc).withColumnRenamed("syms", "base_syms")
-    rounds = []
-    cur = wc
-    for i in range(1, BPE_ROUNDS + 1):
-        best = (
-            _bpe_census(cur)
-            .orderBy(F.desc("cnt"), "pair")
-            .limit(1)
-            .select(
-                F.col("pair").alias("merged_pair"),
-                F.col("cnt").alias("n_occurrences"),
-            )
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(best))
-            .select(
-                F.expr(
-                    f"replace(word, merged_pair, chr({BPE_MERGE_BASE + i}))"
-                ).alias("word"),
-                "n",
-            )
-            .localCheckpoint(eager=True)
-        )
-        rounds.append(
-            best.crossJoin(syms_of(cur))
-            .select(
-                F.lit(i).cast("long").alias("round"),
-                "merged_pair",
-                "n_occurrences",
-                F.col("syms").alias("total_symbols"),
-            )
-        )
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionByName(r)
-    return out.crossJoin(F.broadcast(base)).select(
-        "round",
-        "merged_pair",
-        "n_occurrences",
-        "total_symbols",
-        rnd(F.col("total_symbols") / F.col("base_syms"), 6).alias(
-            "compression_ratio"
-        ),
-    )
+    return _bpe_train_loop(wc)
 
 
 def _bpe_oracle() -> str:

@@ -632,6 +632,7 @@ class TxnTable:
         ``rows_rewritten_unchanged`` (key rewritten byte-equal — compact /
         z-order churn, logically a no-op)."""
         v_to = self.latest_version() if v_to is None else v_to
+        self._validate_diff_versions(v_from, v_to)
         from_files = {a["file"] for a in self.snapshot_files(v_from)}
         to_files = {a["file"] for a in self.snapshot_files(v_to)}
         only_from = sorted(from_files - to_files)
@@ -664,20 +665,51 @@ class TxnTable:
         out["rows_rewritten_unchanged"] = counts.get("rewritten_unchanged", 0)
         return out
 
-    def _side(self, files: list[str], version: int) -> DataFrame:
-        """Read a diff side; an empty side becomes an empty frame with the
-        schema the commit log recorded at ``version``."""
-        df = self._read_files(files)
-        if df is not None:
-            return df
-        schema = self.table_schema(version)
-        if not schema:
-            raise SchemaMismatch(
-                f"version {version} has no recorded schema (pre-evolution "
-                "log); cannot synthesize an empty diff side"
+    def _validate_diff_versions(self, v_from: int, v_to: int) -> None:
+        """Reject reversed or unknown version ranges: a silently-swapped
+        (v_from, v_to) would invert inserted/deleted semantics in an audit
+        feed, which is worse than an error."""
+        vs = set(self.versions())
+        for v in (v_from, v_to):
+            if v not in vs:
+                raise ValueError(
+                    f"version {v} not in commit log (have {sorted(vs)})"
+                )
+        if v_from > v_to:
+            raise ValueError(
+                f"v_from={v_from} > v_to={v_to}; a reversed range would "
+                "silently swap inserted/deleted — pass them in order"
             )
-        return self.spark.createDataFrame(
-            [], ", ".join(f"{n} {t}" for n, t in schema)
+
+    def _side(self, files: list[str], version: int) -> DataFrame:
+        """Read a diff side, conformed to the schema the commit log
+        recorded at ``version``: columns in the recorded schema that are
+        absent from every file on this side (additive evolution) are
+        backfilled as typed NULLs, so evolved columns participate in the
+        updated/unchanged split instead of being silently excluded. An
+        empty side becomes an empty frame with the recorded schema."""
+        from pyspark.sql import functions as F
+
+        schema = self.table_schema(version)
+        df = self._read_files(files)
+        if df is None:
+            if not schema:
+                raise SchemaMismatch(
+                    f"version {version} has no recorded schema "
+                    "(pre-evolution log); cannot synthesize an empty diff "
+                    "side"
+                )
+            return self.spark.createDataFrame(
+                [], ", ".join(f"{n} {t}" for n, t in schema)
+            )
+        if not schema:  # pre-evolution log: observed file columns only
+            return df
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(n) if n in have else F.lit(None).cast(t).alias(n)
+                for n, t in schema
+            ]
         )
 
     def _diff_frame(self, v_from: int, v_to: int) -> DataFrame:
@@ -689,19 +721,27 @@ class TxnTable:
 
         if not self.key_cols:
             raise ValueError("row-level diff requires key columns")
+        self._validate_diff_versions(v_from, v_to)
         from_files = {a["file"] for a in self.snapshot_files(v_from)}
         to_files = {a["file"] for a in self.snapshot_files(v_to)}
         old = self._side(sorted(from_files - to_files), v_from)
         new = self._side(sorted(to_files - from_files), v_to)
         common = [c for c in old.columns if c in set(new.columns)]
         value_cols = [c for c in common if c not in self.key_cols]
-        o = old.select([F.col(c).alias(f"_o_{c}") for c in common])
-        n = new.select([F.col(c).alias(f"_n_{c}") for c in common])
+        # explicit presence markers: the join keys use eqNullSafe, so a
+        # NULL key column would make isNotNull() misreport side presence
+        o = old.select(
+            F.lit(True).alias("_o_present"),
+            *[F.col(c).alias(f"_o_{c}") for c in common],
+        )
+        n = new.select(
+            F.lit(True).alias("_n_present"),
+            *[F.col(c).alias(f"_n_{c}") for c in common],
+        )
         cond = [o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"]) for k in self.key_cols]
         j = o.join(n, cond, "full_outer")
-        k0 = self.key_cols[0]
-        in_old = j[f"_o_{k0}"].isNotNull()
-        in_new = j[f"_n_{k0}"].isNotNull()
+        in_old = j["_o_present"].isNotNull()
+        in_new = j["_n_present"].isNotNull()
         same = F.lit(True)
         for c in value_cols:
             same = same & j[f"_o_{c}"].eqNullSafe(j[f"_n_{c}"])

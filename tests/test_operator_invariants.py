@@ -759,6 +759,54 @@ def test_bpe_merges_match_bruteforce_trainer(spark, sf_dir):
     assert got == expect
 
 
+def test_bpe_chained_merge_uses_codepoint_symbols(spark, sf_dir):
+    """Regression for the mod-256 chr() divergence: a corpus where round
+    2's winning pair CONTAINS the round-1 merge symbol. With Spark SQL
+    chr() the round-1 symbol would be '\\x01' instead of U+E001 and every
+    subsequent round's merged_pair / tie-break ordering would diverge from
+    the codepoint-based oracle. Drives the same Spark loop directly and
+    compares against a plain-Python trainer."""
+    from collections import Counter
+
+    from dbt_tpch_spark.operators.text import (
+        BPE_MERGE_BASE,
+        BPE_ROUNDS,
+        _bpe_train_loop,
+    )
+
+    # 'abc' dominates: round 1 merges 'ab' (ties with 'bc' broken lexi),
+    # round 2 merges '<s1>c' — the chained case. Filler words keep later
+    # rounds non-degenerate.
+    corpus = {"abc": 50, "abd": 10, "xyz": 7, "wxyz": 5, "qq": 3}
+    wc_df = spark.createDataFrame(
+        [(w, n) for w, n in corpus.items()], "word string, n long"
+    )
+    got = sorted(
+        (r["round"], r["merged_pair"], r["n_occurrences"], r["total_symbols"])
+        for r in _bpe_train_loop(wc_df).collect()
+    )
+
+    wc: Counter = Counter(corpus)
+    expect = []
+    for i in range(1, BPE_ROUNDS + 1):
+        census: Counter = Counter()
+        for w, n in wc.items():
+            for j in range(len(w) - 1):
+                census[w[j : j + 2]] += n
+        pair = min(census, key=lambda p: (-census[p], p))
+        merged = chr(BPE_MERGE_BASE + i)
+        nxt: Counter = Counter()
+        for w, n in wc.items():
+            nxt[w.replace(pair, merged)] += n
+        cnt = census[pair]
+        wc = nxt
+        syms = sum(len(w) * n for w, n in wc.items())
+        expect.append((i, pair, cnt, syms))
+    assert got == expect
+    # the chain actually happened: round 2's pair contains round 1's symbol
+    assert chr(BPE_MERGE_BASE + 1) in expect[1][1]
+
+
 def test_rollup_subtotals_are_consistent(spark, sf_dir):
     """Detail rows must sum to their status subtotal, subtotals to the
     grand total, and grouping flags must partition the output."""

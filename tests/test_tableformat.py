@@ -534,6 +534,69 @@ def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
     assert d["rows_updated"] == 0 and d["rows_rewritten_unchanged"] == 0
 
 
+def test_cdc_sees_change_confined_to_evolved_column(spark, tmp_path):
+    """Regression: a MERGE that changes ONLY a column added by schema
+    evolution must classify as 'updated' even when the old side's files
+    predate the column (the recorded table schema, not the observed file
+    columns, decides the comparison set — old side backfills typed NULL)."""
+    p = str(tmp_path / "t")
+    t = TxnTable.create(spark, p, _mk(spark, [(1, "a")]).coalesce(1), ["k"])
+    wide = spark.createDataFrame([(2, "b", 7.5)], "k long, v string, w double")
+    t.append(wide.coalesce(1))  # v1 adds column w
+    # v2: merge touches only k=1's w (NULL -> 3.25); v unchanged
+    t.merge(
+        spark.createDataFrame([(1, "a", 3.25)], "k long, v string, w double")
+        .coalesce(1)
+    )
+    d = t.snapshot_diff(1, 2)
+    assert d["rows_updated"] == 1 and d["rows_rewritten_unchanged"] == 0
+    ch = t.read_changes(1, 2).collect()
+    assert len(ch) == 1
+    r = ch[0]
+    assert r["change_type"] == "updated" and r["k"] == 1
+    assert r["old_w"] is None and r["new_w"] == 3.25
+    assert r["old_v"] == "a" and r["new_v"] == "a"
+
+
+def test_cdc_null_key_rows_use_presence_markers(spark, tmp_path):
+    """Regression: a row whose (first) key column is NULL must still be
+    classified by side presence — isNotNull() on the key would misreport
+    it as absent from both sides and call an insert an update."""
+    p = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    t = TxnTable.create(spark, p, df0.coalesce(1), ["k"])
+    df1 = spark.createDataFrame([(1, "a"), (None, "z")], "k long, v string")
+    t.overwrite(df1.coalesce(1))  # v1: inserts the NULL-key row
+    d = t.snapshot_diff(0, 1)
+    assert d["rows_inserted"] == 1
+    assert d["rows_updated"] == 0 and d["rows_deleted"] == 0
+    assert d["rows_rewritten_unchanged"] == 1  # k=1 rewritten byte-equal
+    ins = t.read_changes(0, 1).collect()
+    assert len(ins) == 1
+    assert ins[0]["change_type"] == "inserted" and ins[0]["k"] is None
+    # and the reverse direction deletes it
+    t.overwrite(df0.coalesce(1))  # v2
+    dele = t.read_changes(1, 2).collect()
+    assert len(dele) == 1
+    assert dele[0]["change_type"] == "deleted" and dele[0]["k"] is None
+
+
+def test_diff_rejects_reversed_or_unknown_versions(spark, tmp_path):
+    """A reversed (v_from, v_to) silently swaps inserted/deleted semantics
+    in an audit feed — must raise, as must versions not in the log."""
+    import pytest
+
+    p = str(tmp_path / "t")
+    t = TxnTable.create(spark, p, _mk(spark, [(1, "a")]).coalesce(1), ["k"])
+    t.append(_mk(spark, [(2, "b")]).coalesce(1))  # v1
+    with pytest.raises(ValueError, match="reversed"):
+        t.snapshot_diff(1, 0)
+    with pytest.raises(ValueError, match="reversed"):
+        t.read_changes(1, 0).collect()
+    with pytest.raises(ValueError, match="not in commit log"):
+        t.snapshot_diff(0, 99)
+
+
 def test_read_changes_emits_logical_changes_only(spark, tmp_path):
     """The CDC feed must list exactly the logical changes with old/new
     values, and hide physical churn (carry-along rewrites, compaction)."""
