@@ -39,72 +39,71 @@ NO_ORACLE: tuple[str, ...] = ()
 #: or more representatives of each LLM-pipeline/streaming/sketch family.
 #: Everything else follows in registry order (and stays oracle-checked by
 #: the repo's own parity sweep, tests/test_parity.py).
-#: Round-5 rotation (VERDICT r4 #1): 83 of 194 queries still had no
-#: driver row after r4 (cumulative union 111). This window keeps a
-#: 15-query stable anchor core (one per operator family, comparable
-#: across rounds), re-verifies the two graph queries whose broadcast
-#: plans were gated/rewritten this round, and fills the remaining 33
-#: slots with queries that have NEVER had a driver row, in the r4
-#: verdict's priority order: the r4 additions that shipped without a
-#: driver row (ppjoin/SNM/editdist, chi-square/corr/MI/quantiles,
-#: hll_type_overlap/bottomk, neighbor_similarity, cluster-aware splits,
-#: dataset card, centroid similarity, minhash error gate), then the
-#: streaming-batch family, ANN variants, and TPC-H Q6/Q7/Q8/Q14/Q15/Q17.
+#: Round-6 rotation (VERDICT r5 #3): 108 of 253 queries still had no
+#: driver row after r5 (cumulative union 145). This window keeps an
+#: 11-query stable anchor core (one per operator family, comparable
+#: across rounds — the 4 dropped anchors each have 2+ green driver rows
+#: already), re-witnesses the three pair-stage queries whose plans were
+#: bounded this round plus the two new queries (CDC audit, LSH recall
+#: harness), and fills the rest with never-driver-verified queries in
+#: the r5 verdict's priority order: the modeleval family, the r5 stats
+#: additions, rank statistics, BPE, LSH planner, ROLLUP, survival,
+#: perplexity.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # stable anchor core (P/F/J/A/W + one head per pipeline family)
     "ods_orders",
-    "orders_items",
     "fct_orders",
-    "dim_customer",
     "rpt_pricing_summary",
     "int_market_basket",
-    "metrics_top_parts_trending",
     "customer_churn_risk",
-    "monthly_revenue_kpis",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "events_hll_users",
     "events_session_30m",
     "docs_bm25_topk",
     "parts_pagerank",
-    # plan-rewritten this round (gated broadcasts, oriented wedges):
-    # re-witness under the new plans
-    "parts_triangle_count",
-    "parts_neighbor_similarity",
-    # never-driver-verified rotation (33)
-    "dedup_ppjoin",
-    "dedup_sorted_neighborhood",
-    "dedup_editdist_pairs",
-    "events_chi_square",
-    "lineitem_corr_matrix",
-    "events_mutual_information",
-    "events_sampled_quantiles",
-    "events_hll_type_overlap",
-    "events_bottomk_merge_check",
-    "docs_split_by_cluster",
-    "docs_split_leakage",
-    "docs_shard_by_cluster",
-    "docs_dataset_card",
-    "embeddings_centroid_similarity",
-    "minhash_estimate_error",
-    "events_tumbling_10m",
-    "events_sliding_10m_5m",
-    "events_json_props",
-    "events_props_schema",
-    "events_value_histogram",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_lsh_multiprobe_topk",
-    "tpch_q06_forecast_revenue",
-    "tpch_q07_volume_shipping",
-    "tpch_q08_market_share",
-    "tpch_q14_promotion_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "docs_dedup_survivors",
-    "dedup_method_agreement",
-    "doc_text_stats",
-    "docs_clean_corpus",
+    # pair-stage plans bounded this round: re-witness, plus the two new
+    # queries (table-format CDC audit, embedding-LSH recall harness)
+    "dedup_embedding_cosine",
+    "embeddings_xlabel_margin",
+    "embeddings_dup_threshold_curve",
+    "txn_snapshot_diff",
+    "dedup_embedding_lsh_recall",
+    # never-driver-verified rotation (34)
+    "doc_quality_auc",
+    "doc_quality_pr_auc",
+    "doc_quality_calibration",
+    "doc_quality_mcnemar",
+    "doc_langid_kappa",
+    "vocab_zipf_fit",
+    "vocab_heaps_fit",
+    "events_user_spearman",
+    "events_ab_welch",
+    "events_ab_cuped",
+    "events_ab_srm_check",
+    "order_mean_jackknife_ci",
+    "events_ratio_metric_ci",
+    "bpe_train_merges",
+    "lsh_band_collision_stats",
+    "orders_rollup_revenue",
+    "docs_quality_quantile_norm",
+    "docs_l_diversity",
+    "events_mad_anomaly",
+    "events_boxplot_stats",
+    "events_hll_sliding_users",
+    "docs_fd_violations",
+    "source_loo_impact",
+    "docs_quality_survivors",
+    "dedup_lsh_recall_report",
+    "parts_degree_assortativity",
+    "user_survival_km",
+    "lm_heldout_perplexity",
+    "events_ks_test",
+    "events_mannwhitney",
+    "events_benford",
+    "customer_gini",
+    "order_trimmed_mean",
+    "docs_token_waterfill",
 )
 
 

@@ -42,6 +42,47 @@ def _cpu_total_ns(spark):
         return None
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute host load — recorded before/after the run so a
+    contended record is visibly contended instead of silently slow."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except Exception:
+        return None
+
+
+def _best_known(sf: float) -> dict[str, float]:
+    """Per-query best wall seconds across every recorded bench round at
+    this SF (BENCH_r*.json next to this file). The burst-vs-quiet A/B
+    (PLANS.md round 5) showed identical plans differing up to 10x under
+    host bursts — the recorded best is the adjudication baseline: a run
+    >2x its best is re-measured once before the number is accepted."""
+    import glob
+
+    best: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except Exception:
+            continue
+        if rec.get("sf") != sf:
+            continue
+        for name, sec in (rec.get("queries") or {}).items():
+            if isinstance(sec, (int, float)) and (
+                name not in best or sec < best[name]
+            ):
+                best[name] = float(sec)
+    return best
+
+
+#: a query slower than RERUN_FACTOR x its recorded best is re-run once and
+#: the faster of the two measurements is kept (with both recorded) — the
+#: mechanical form of the round-5 burst-vs-quiet adjudication.
+RERUN_FACTOR = 2.0
+
 #: corpus tables worth re-laying-out before timing (see _presplit_corpus)
 SPLIT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer", "part")
 
@@ -158,11 +199,10 @@ def main() -> None:
         # warm the JVM + parquet footers once with the cheapest model
         Context(spark, data_dir).ref("ods_orders").count()
 
-        timings: dict[str, float] = {}
-        cpu_secs: dict[str, float] = {}
-        total = 0.0
-        cpu_before = _cpu_total_ns(spark)
-        for name in names:
+        best = _best_known(sf)
+        load_before = _loadavg()
+
+        def run_once(name: str) -> float | None:
             start = time.perf_counter()
             try:
                 if name in extra:
@@ -173,14 +213,36 @@ def main() -> None:
                 # would let Catalyst prune the plan down to nothing)
                 df.agg(F.max(F.xxhash64(*df.columns))).collect()
             except Exception:
-                # one broken query must not zero the whole bench record
                 errors[name] = traceback.format_exc()[-500:]
+                return None
+            return time.perf_counter() - start
+
+        timings: dict[str, float] = {}
+        cpu_secs: dict[str, float] = {}
+        inflation: dict[str, float] = {}
+        reruns: dict[str, list[float]] = {}
+        total = 0.0
+        cpu_before = _cpu_total_ns(spark)
+        for name in names:
+            elapsed = run_once(name)
+            if elapsed is None:
+                # one broken query must not zero the whole bench record
                 cpu_before = _cpu_total_ns(spark)
                 continue
-            elapsed = time.perf_counter() - start
+            cpu_after = _cpu_total_ns(spark)
+            # contention adjudication: a measurement >RERUN_FACTOR x the
+            # recorded best at this SF is re-taken once; keep the faster
+            # (a host burst inflates one sample, not both) and record both
+            if name in best and elapsed > RERUN_FACTOR * best[name]:
+                second = run_once(name)
+                cpu_after = _cpu_total_ns(spark)
+                if second is not None:
+                    reruns[name] = [round(elapsed, 3), round(second, 3)]
+                    elapsed = min(elapsed, second)
             timings[name] = round(elapsed, 3)
             total += elapsed
-            cpu_after = _cpu_total_ns(spark)
+            if name in best and best[name] > 0:
+                inflation[name] = round(elapsed / best[name], 2)
             if cpu_before is not None and cpu_after is not None:
                 cpu_secs[name] = round((cpu_after - cpu_before) / 1e9, 3)
             cpu_before = cpu_after
@@ -234,6 +296,14 @@ def main() -> None:
         "full_dag_build_sec": full_build,
         "full_dag_tables": n_tables,
         "setup_split_sec": round(split_sec, 3),
+        # contention self-adjudication (VERDICT r5 #5): host load before/
+        # after, per-query wall vs the best recorded wall at this SF, and
+        # the both-samples record for any query the >2x rule re-measured
+        # (cpu_sec for a re-measured query spans both samples)
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
+        "inflation_vs_best": inflation,
+        "reruns": reruns,
     }
     if errors:
         record["errors"] = errors

@@ -576,29 +576,230 @@ def dot_duck(a: str, b: str) -> str:
     )
 
 
+#: banded random-hyperplane sign-LSH for embedding dedup: EMB_LSH_BANDS
+#: bands of EMB_LSH_BITS sign bits each (OR-construction — a pair is a
+#: candidate if it collides in ANY band). At the 0.5 cosine threshold the
+#: per-bit collision probability is 1 - arccos(0.5)/pi = 2/3, so candidate
+#: recall is 1-(1-(2/3)^4)^8 ≈ 0.83 at the threshold edge and ≥ 0.99 for
+#: cosine ≥ 0.9 (true near-dups). Band width/count trade recall against
+#: bucket size exactly like the MinHash (b, r) planner (lshplan.py).
+EMB_LSH_BANDS = 8
+EMB_LSH_BITS = 4
+#: embedding dimensionality of the corpus (TESTDATA.md: array<float>[64]).
+EMB_DIM = 64
+#: hot-bucket valve for the embedding band join — same quadratic-blowup
+#: guard as MAX_BAND_BUCKET on the MinHash path.
+MAX_EMB_BUCKET = 512
+_EMB_PLANE_SALT = "ed"
+
+
+def emb_planes() -> list[list[float]]:
+    """Deterministic md5-derived hyperplanes in [-1, 1) for the dedup
+    sign-LSH — same construction as similarity.hyperplanes() but a
+    disjoint salt so the two hash families are independent."""
+    import hashlib
+
+    planes = []
+    for i in range(EMB_LSH_BANDS * EMB_LSH_BITS):
+        row = []
+        for d in range(EMB_DIM):
+            h = hashlib.md5(
+                f"{_EMB_PLANE_SALT}|{i}|{d}".encode()
+            ).hexdigest()[:8]
+            row.append(round(int(h, 16) / 2**32 * 2 - 1, 6))
+        planes.append(row)
+    return planes
+
+
+_EMB_PLANES = emb_planes()
+
+
+def _emb_band_spark(b: int) -> str:
+    """Sign-bit string of band ``b`` (EMB_LSH_BITS chars)."""
+    signs = []
+    for r in range(EMB_LSH_BITS):
+        plane = _EMB_PLANES[b * EMB_LSH_BITS + r]
+        arr = "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
+        dot = DOT_SPARK.format(a="embedding", b=arr)
+        signs.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(signs) + ")"
+
+
+def _emb_band_duck(b: int) -> str:
+    signs = []
+    for r in range(EMB_LSH_BITS):
+        plane = _EMB_PLANES[b * EMB_LSH_BITS + r]
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        dot = dot_duck("embedding", arr)
+        signs.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(signs) + ")"
+
+
 @model("dedup_embedding_cosine", layer="operators", materialization="view")
 def dedup_embedding_cosine(ctx):
-    """Embedding near-dup: all pairs with cosine >= 0.5. Brute force at test
-    scale; the LSH-bucketed ANN (similarity.py) is the 100 TB path.
+    """Embedding near-dup at cosine >= 0.5, candidate-bounded: banded
+    random-hyperplane sign-LSH generates candidates (pairs colliding in
+    any of EMB_LSH_BANDS bands), exact-decimal cosine verifies them.
+    This replaces the former all-pairs theta join — the pair stage is now
+    a band-key equi-join with a hot-bucket valve, the same production
+    shape as dedup_minhash_lsh, so it never materializes O(n²) pairs at
+    any corpus size. Recall vs brute force is measured by
+    ``dedup_embedding_lsh_recall`` on a fixed-size sample.
 
-    Pair-stage constants matter even for a sandbox-scale brute force
-    (measured 279 s → ~20 s at sf0.1): the per-VECTOR norms are
-    checkpointed so multi-reference inlining can't re-evaluate the decimal
-    norm dot per PAIR, the input is fanned out with an explicit partition
-    count AQE won't re-coalesce (small bytes, expensive rows), and the
+    Pair-stage constants (kept from the measured 279 s → 20 s incident):
+    per-VECTOR norms are checkpointed so multi-reference inlining can't
+    re-evaluate the decimal norm dot per PAIR, the input is fanned out
+    with an explicit partition count AQE won't re-coalesce, and the
     cosine projection gets a barrier so the threshold filter can't push
     below it and run the pair dot twice."""
+    e = ctx.source("embeddings").repartition(_doc_parallelism(ctx), "vec_id")
+    norms = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias(
+            "norm_sq"
+        ),
+    ).localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    bands = e.selectExpr(
+        "vec_id",
+        *[f"{_emb_band_spark(b)} AS eband{b}" for b in range(EMB_LSH_BANDS)],
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"eband{b}") for b in range(EMB_LSH_BANDS)])
+        ).alias("band_idx", "band_hash"),
+    )
+    # hot-bucket valve: one window count on the same key the join shuffles
+    # on (partitioning reused), drop degenerate buckets before pairing
+    w_bucket = Window.partitionBy("band_idx", "band_hash")
+    bands = (
+        bands.withColumn("bsize", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("bsize") <= MAX_EMB_BUCKET)
+        .drop("bsize")
+    )
+    a = bands.withColumnsRenamed({"vec_id": "vec_a"})
+    b = bands.withColumnsRenamed({"vec_id": "vec_b"})
+    cands = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    na = norms.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm_sq").alias("norm_a"),
+    )
+    nb = norms.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm_sq").alias("norm_b"),
+    )
+    cos = F.expr(DOT_SPARK.format(a="emb_a", b="emb_b")) / (
+        F.sqrt(F.col("norm_a")) * F.sqrt(F.col("norm_b"))
+    )
+    scored = (
+        cands.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select("vec_a", "vec_b", rnd(cos, 6).alias("cosine"))
+        .localCheckpoint(eager=True)
+    )
+    return scored.filter(F.col("cosine") >= COSINE_THRESHOLD)
+
+
+def _emb_cosine_oracle() -> str:
+    band_cases = " ".join(
+        f"WHEN {b} THEN eband{b}" for b in range(EMB_LSH_BANDS)
+    )
+    band_defs = ", ".join(
+        f"{_emb_band_duck(b)} AS eband{b}" for b in range(EMB_LSH_BANDS)
+    )
+    ks = ", ".join(str(b) for b in range(EMB_LSH_BANDS))
+    return f"""WITH banded AS (
+    SELECT vec_id, {band_defs} FROM embeddings
+),
+bands_all AS (
+    SELECT vec_id, k.k AS band_idx,
+        CASE k.k {band_cases} END AS band_hash
+    FROM banded CROSS JOIN (SELECT UNNEST([{ks}]) AS k) k
+),
+bands AS (
+    SELECT vec_id, band_idx, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsize
+        FROM bands_all
+    ) WHERE bsize <= {MAX_EMB_BUCKET}
+),
+cands AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.vec_id < b.vec_id
+),
+norms AS (
+    SELECT vec_id, embedding, {dot_duck('embedding', 'embedding')} AS norm_sq
+    FROM embeddings
+),
+scored AS (
+    SELECT
+        c.vec_a,
+        c.vec_b,
+        {rnd_sql(f"{dot_duck('a.embedding', 'b.embedding')} / (sqrt(a.norm_sq) * sqrt(b.norm_sq))", 6)} AS cosine
+    FROM cands c
+    JOIN norms a ON c.vec_a = a.vec_id
+    JOIN norms b ON c.vec_b = b.vec_id
+)
+SELECT vec_a, vec_b, cosine
+FROM scored
+WHERE cosine >= {COSINE_THRESHOLD}"""
+
+
+oracle("dedup_embedding_cosine", ("embeddings",), _emb_cosine_oracle())
+
+
+#: fixed-size deterministic sample for the recall harness: bottom-k vectors
+#: by salted md5 (the sampled-quantiles convention) — the brute-force ground
+#: truth runs on O(SAMPLE²) pairs at ANY corpus size.
+EMB_RECALL_SAMPLE = 512
+_EMB_RECALL_SALT = "edrecall|"
+
+
+@model(
+    "dedup_embedding_lsh_recall", layer="operators", materialization="view"
+)
+def dedup_embedding_lsh_recall(ctx):
+    """Measured recall of the banded sign-LSH candidate generation against
+    brute-force ground truth, on a fixed-size deterministic sample
+    (bottom-EMB_RECALL_SAMPLE vectors by salted md5 — TakeOrderedAndProject,
+    never a full sort). The brute all-pairs stage only ever sees the
+    GlobalLimit-bounded sample, so the harness costs O(SAMPLE²) at any SF;
+    the production query (dedup_embedding_cosine) never runs brute force.
+    One row: sample size, true near-dup pairs in the sample, LSH-surviving
+    pairs, and recall = survivors / truth (LSH output is a subset of truth
+    because the verify stage is exact)."""
+    from pyspark.sql import Window
+
+    from dbt_tpch_spark.plans.audit import bounded_checkpoint
+
     e = ctx.source("embeddings")
-    norms = (
-        e.select(
+    skey = F.md5(
+        F.concat(F.lit(_EMB_RECALL_SALT), F.col("vec_id").cast("string"))
+    )
+    sampled = bounded_checkpoint(
+        e.select("vec_id", "embedding", skey.alias("skey"))
+        .orderBy("skey")
+        .limit(EMB_RECALL_SAMPLE)
+        .repartition(_doc_parallelism(ctx), "vec_id")
+    )
+    norms = bounded_checkpoint(
+        sampled.select(
             "vec_id",
             F.col("embedding").alias("emb"),
             F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias(
                 "norm_sq"
             ),
         )
-        .repartition(_doc_parallelism(ctx), "vec_id")
-        .localCheckpoint(eager=True)
     )
     a = norms.select(
         F.col("vec_id").alias("vec_a"),
@@ -610,33 +811,127 @@ def dedup_embedding_cosine(ctx):
         F.col("emb").alias("emb_b"),
         F.col("norm_sq").alias("norm_b"),
     )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     cos = F.expr(DOT_SPARK.format(a="emb_a", b="emb_b")) / (
         F.sqrt(F.col("norm_a")) * F.sqrt(F.col("norm_b"))
     )
-    scored = pairs.select(
-        "vec_a", "vec_b", rnd(cos, 6).alias("cosine")
-    ).localCheckpoint(eager=True)
-    return scored.filter(F.col("cosine") >= COSINE_THRESHOLD)
+    truth = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", rnd(cos, 6).alias("cosine"))
+        .localCheckpoint(eager=True)
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+    bands = sampled.selectExpr(
+        "vec_id",
+        *[f"{_emb_band_spark(b)} AS eband{b}" for b in range(EMB_LSH_BANDS)],
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"eband{b}") for b in range(EMB_LSH_BANDS)])
+        ).alias("band_idx", "band_hash"),
+    )
+    w_bucket = Window.partitionBy("band_idx", "band_hash")
+    bands = (
+        bands.withColumn("bsize", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("bsize") <= MAX_EMB_BUCKET)
+        .drop("bsize")
+    )
+    ba = bands.withColumnsRenamed({"vec_id": "vec_a"})
+    bb = bands.withColumnsRenamed({"vec_id": "vec_b"})
+    cands = (
+        ba.join(bb, ["band_idx", "band_hash"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    n_sample = sampled.agg(
+        F.count(F.lit(1)).cast("long").alias("sample_size")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_cands = cands.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+    )
+    n_hit = (
+        truth.join(cands, ["vec_a", "vec_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lsh_pairs"))
+    )
+    return (
+        n_sample.crossJoin(n_truth)
+        .crossJoin(n_cands)
+        .crossJoin(n_hit)
+        .select(
+            "sample_size",
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_lsh_pairs",
+            rnd(
+                F.col("n_lsh_pairs")
+                / F.nullif(F.col("n_true_pairs"), F.lit(0)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _emb_recall_oracle() -> str:
+    band_cases = " ".join(
+        f"WHEN {b} THEN eband{b}" for b in range(EMB_LSH_BANDS)
+    )
+    band_defs = ", ".join(
+        f"{_emb_band_duck(b)} AS eband{b}" for b in range(EMB_LSH_BANDS)
+    )
+    ks = ", ".join(str(b) for b in range(EMB_LSH_BANDS))
+    return f"""WITH sampled AS (
+    SELECT vec_id, embedding
+    FROM embeddings
+    ORDER BY md5('{_EMB_RECALL_SALT}' || CAST(vec_id AS VARCHAR))
+    LIMIT {EMB_RECALL_SAMPLE}
+),
+norms AS (
+    SELECT vec_id, embedding, {dot_duck('embedding', 'embedding')} AS norm_sq
+    FROM sampled
+),
+truth AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+    WHERE {rnd_sql(f"{dot_duck('a.embedding', 'b.embedding')} / (sqrt(a.norm_sq) * sqrt(b.norm_sq))", 6)} >= {COSINE_THRESHOLD}
+),
+banded AS (
+    SELECT vec_id, {band_defs} FROM sampled
+),
+bands_all AS (
+    SELECT vec_id, k.k AS band_idx,
+        CASE k.k {band_cases} END AS band_hash
+    FROM banded CROSS JOIN (SELECT UNNEST([{ks}]) AS k) k
+),
+bands AS (
+    SELECT vec_id, band_idx, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsize
+        FROM bands_all
+    ) WHERE bsize <= {MAX_EMB_BUCKET}
+),
+cands AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.vec_id < b.vec_id
+),
+counts AS (
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM sampled) AS sample_size,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_candidate_pairs,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+          WHERE EXISTS (SELECT 1 FROM cands c
+                        WHERE c.vec_a = t.vec_a AND c.vec_b = t.vec_b))
+            AS n_lsh_pairs
+)
+SELECT sample_size, n_true_pairs, n_candidate_pairs, n_lsh_pairs,
+    {rnd_sql('CAST(n_lsh_pairs AS DOUBLE) / NULLIF(n_true_pairs, 0)', 6)} AS recall
+FROM counts"""
 
 
 oracle(
-    "dedup_embedding_cosine",
-    ("embeddings",),
-    f"""WITH norms AS (
-    SELECT vec_id, embedding, {dot_duck('embedding', 'embedding')} AS norm_sq
-    FROM embeddings
-),
-pairs AS (
-    SELECT
-        a.vec_id AS vec_a,
-        b.vec_id AS vec_b,
-        {rnd_sql(f"{dot_duck('a.embedding', 'b.embedding')} / (sqrt(a.norm_sq) * sqrt(b.norm_sq))", 6)} AS cosine
-    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
-)
-SELECT vec_a, vec_b, cosine
-FROM pairs
-WHERE cosine >= {COSINE_THRESHOLD}""",
+    "dedup_embedding_lsh_recall", ("embeddings",), _emb_recall_oracle()
 )
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from dbt_tpch_spark.functions import dsum, global_topk, rnd
 from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.plans.audit import bounded_checkpoint
 from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
 from dbt_tpch_spark.operators.dedup import DOT_SPARK, dot_duck
 from dbt_tpch_spark.operators.similarity import N_QUERIES, TOP_K
@@ -88,13 +89,14 @@ def _fit(ctx):
     )
     # global_topk: md5-prefix-grouped parallel rank + tiny candidate merge —
     # replaces the old whole-corpus single-partition Window.orderBy("sk")
-    cents = (
-        global_topk(seeds, "sk", K_CELLS, ["embedding"])
-        .select(
+    # bounded_checkpoint: the centroid state is K_CELLS rows at any SF —
+    # register it so the pair-stage invariant sees the crossJoin as a
+    # bounded-grid broadcast, not an all-pairs stage
+    cents = bounded_checkpoint(
+        global_topk(seeds, "sk", K_CELLS, ["embedding"]).select(
             (F.col("rn") - 1).cast("long").alias("cell_id"),
             F.col("embedding").alias("cent"),
         )
-        .localCheckpoint(eager=True)
     )
     for _ in range(ITERS):
         # argmin as an aggregation, not a rank window: min(struct(d2,
@@ -119,7 +121,7 @@ def _fit(ctx):
             )
             .select("vec_id", F.col("a.cell_id").alias("cell_id"), "emb")
         )
-        cents = (
+        cents = bounded_checkpoint(
             assigned.select("cell_id", F.posexplode("emb").alias("pos", "val"))
             .groupBy("cell_id", "pos")
             .agg(
@@ -132,7 +134,6 @@ def _fit(ctx):
                     lambda s: s["m"],
                 ).alias("cent")
             )
-            .localCheckpoint(eager=True)
         )
     return v, cents.withColumn("cc", F.expr(DOT_SPARK.format(a="cent", b="cent")))
 

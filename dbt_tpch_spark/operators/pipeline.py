@@ -253,3 +253,80 @@ SELECT
     {rnd_sql('CAST(nd.near_dup_docs AS DOUBLE) / core.n_docs', 6)} AS near_dup_rate
 FROM core CROSS JOIN ex CROSS JOIN np CROSS JOIN nd""",
 )
+
+
+# --------------------------------------------------------------------------
+# transactional table format: CDC audit as an oracle-checked query
+# --------------------------------------------------------------------------
+
+
+@model("txn_snapshot_diff", layer="operators", materialization="view")
+def txn_snapshot_diff(ctx):
+    """Change-data audit of a deterministic TxnTable build: CREATE a
+    keyed table from a fixed slice of ``orders``, MERGE an overlapping
+    upsert batch, copy-on-write DELETE a key class, then report
+    ``snapshot_diff`` row counts for each transition — the table-format
+    CDC machinery (dbt_tpch_spark/tableformat.py) exercised end-to-end
+    against a pure-SQL oracle that derives the same insert/update/delete
+    counts from the raw source (so a misclassification anywhere in the
+    log replay, file diffing, or row classification breaks the hash).
+
+    Build (all key sets are modulo classes of the dense o_orderkey):
+      v0 CREATE  keys with k%10 in 0..4
+      v1 MERGE   keys with k%10 in 3..6, o_totalprice shifted +1
+                 (3,4 update in place; 5,6 insert)
+      v2 DELETE  WHERE k%10 = 0
+
+    Scale shape: snapshot_diff reads only files that differ between the
+    snapshots (shared files cancel by log reference); the query output is
+    two rows of counts."""
+    import shutil
+    import tempfile
+
+    from dbt_tpch_spark.tableformat import TxnTable
+
+    o = ctx.source("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 10 < 5)
+    upsert = o.filter(
+        (F.col("o_orderkey") % 10 >= 3) & (F.col("o_orderkey") % 10 <= 6)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    path = tempfile.mkdtemp(prefix="txn_snapshot_diff_")
+    try:
+        t = TxnTable.create(ctx.spark, f"{path}/t", base, ["o_orderkey"])
+        t.merge(upsert)  # v1
+        t.delete_where("o_orderkey % 10 = 0")  # v2
+        d1 = t.snapshot_diff(0, 1)
+        d2 = t.snapshot_diff(1, 2)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    rows = [
+        (0, 1, d1["rows_inserted"], d1["rows_deleted"], d1["rows_updated"]),
+        (1, 2, d2["rows_inserted"], d2["rows_deleted"], d2["rows_updated"]),
+    ]
+    return ctx.spark.createDataFrame(
+        rows,
+        "v_from long, v_to long, rows_inserted long, rows_deleted long,"
+        " rows_updated long",
+    )
+
+
+oracle(
+    "txn_snapshot_diff",
+    ("orders",),
+    """SELECT
+    CAST(0 AS BIGINT) AS v_from,
+    CAST(1 AS BIGINT) AS v_to,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      WHERE o_orderkey % 10 IN (5, 6)) AS rows_inserted,
+    CAST(0 AS BIGINT) AS rows_deleted,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      WHERE o_orderkey % 10 IN (3, 4)) AS rows_updated
+UNION ALL
+SELECT
+    CAST(1 AS BIGINT),
+    CAST(2 AS BIGINT),
+    CAST(0 AS BIGINT),
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      WHERE o_orderkey % 10 = 0),
+    CAST(0 AS BIGINT)""",
+)

@@ -873,6 +873,15 @@ XL_SRC_LABEL = 0
 XL_DST_LABEL = 1
 #: neighborhood size for the margin denominator
 XL_K = 4
+#: fixed-size deterministic per-side sample (bottom-k by salted md5, the
+#: sampled-quantiles convention): bounds the A x B stage at O(XL_SAMPLE²)
+#: at ANY corpus size. Test corpora have <= ~1000 vectors per label, so at
+#: every test SF the sample IS the side and the mining is exact; at 100 TB
+#: the sample is the statistically-honest bounded form (or swap the
+#: candidate stage for the IVF/LSH bucketing — the margin math is
+#: candidate-source-agnostic).
+XL_SAMPLE = 1024
+_XL_SALT = "xlm|"
 
 
 @model("embeddings_xlabel_margin", layer="operators", materialization="view")
@@ -890,22 +899,36 @@ def embeddings_xlabel_margin(ctx):
     source vector: its argmax-margin match, the raw cosine, both
     neighborhood means, and the margin.
 
-    This is the exactness baseline (full A x B scoring, like
-    ann_cosine_topk): at 100 TB the candidate set comes from the
-    IVF/LSH bucketing alongside and only candidates are margin-scored;
-    the scoring math is unchanged. Neighborhood means are exact decimal
-    sums of 6-dp cosines divided by the true neighborhood size, so both
-    engines accumulate identically."""
+    Each side is a fixed-size deterministic sample (bottom-XL_SAMPLE by
+    salted md5 — TakeOrderedAndProject, never a full sort), so the A x B
+    stage is O(XL_SAMPLE²) at ANY corpus size; every test SF has fewer
+    vectors per label than the sample, so the mining is exact there. At
+    100 TB either accept the sampled estimate or feed candidates from the
+    IVF/LSH bucketing alongside — the margin math is unchanged either
+    way. Neighborhood means are exact decimal sums of 6-dp cosines
+    divided by the true neighborhood size, so both engines accumulate
+    identically."""
     from dbt_tpch_spark.functions import dsum
+    from dbt_tpch_spark.operators.dedup import _doc_parallelism
 
     e = ctx.source("embeddings")
-    n = _norms(e)
-    a = n.filter(F.col("label") == XL_SRC_LABEL).select(
+    skey = F.md5(F.concat(F.lit(_XL_SALT), F.col("vec_id").cast("string")))
+    side = lambda lbl: (  # noqa: E731
+        _norms(
+            e.filter(F.col("label") == lbl)
+            .select("vec_id", "label", "embedding", skey.alias("skey"))
+            .orderBy("skey")
+            .limit(XL_SAMPLE)
+            .drop("skey")
+            .repartition(_doc_parallelism(ctx), "vec_id")
+        )
+    )
+    a = side(XL_SRC_LABEL).select(
         F.col("vec_id").alias("src_id"),
         F.col("emb").alias("a_emb"),
         F.col("norm").alias("a_norm"),
     )
-    b = n.filter(F.col("label") == XL_DST_LABEL).select(
+    b = side(XL_DST_LABEL).select(
         F.col("vec_id").alias("dst_id"),
         F.col("emb").alias("b_emb"),
         F.col("norm").alias("b_norm"),
@@ -971,13 +994,25 @@ oracle(
            sqrt({dot_duck('embedding', 'embedding')}) AS norm
     FROM embeddings
 ),
+src AS (
+    SELECT vec_id, embedding, norm FROM norms
+    WHERE label = {XL_SRC_LABEL}
+    ORDER BY md5('{_XL_SALT}' || CAST(vec_id AS VARCHAR))
+    LIMIT {XL_SAMPLE}
+),
+dst AS (
+    SELECT vec_id, embedding, norm FROM norms
+    WHERE label = {XL_DST_LABEL}
+    ORDER BY md5('{_XL_SALT}' || CAST(vec_id AS VARCHAR))
+    LIMIT {XL_SAMPLE}
+),
 scored AS (
     SELECT
         a.vec_id AS src_id,
         b.vec_id AS dst_id,
         {rnd_sql(f"{dot_duck('a.embedding', 'b.embedding')} / (a.norm * b.norm)", 6)} AS cosine
-    FROM norms a
-    JOIN norms b ON a.label = {XL_SRC_LABEL} AND b.label = {XL_DST_LABEL}
+    FROM src a
+    CROSS JOIN dst b
 ),
 r AS (
     SELECT *,
@@ -1195,12 +1230,21 @@ def embeddings_dup_threshold_curve(ctx):
         .repartition(_doc_parallelism(ctx), "vec_id")
     )
     # checkpoint per-VECTOR norms: inlined, the norm_sq decimal dot would
-    # be re-evaluated per PAIR on both sides (measured 3x the pair cost)
-    norms = sampled.select(
-        "vec_id",
-        F.col("embedding").alias("emb"),
-        F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias("norm_sq"),
-    ).localCheckpoint(eager=True)
+    # be re-evaluated per PAIR on both sides (measured 3x the pair cost).
+    # bounded_checkpoint registers the frame as fixed-size (it descends
+    # from the CURVE_SAMPLE limit) so the pair-stage invariant can see
+    # through the checkpoint's provenance erasure.
+    from dbt_tpch_spark.plans.audit import bounded_checkpoint
+
+    norms = bounded_checkpoint(
+        sampled.select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias(
+                "norm_sq"
+            ),
+        )
+    )
     a = norms.select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("emb_a"),

@@ -1997,15 +1997,19 @@ def daily_revenue_theilsen(ctx):
     (a century is ~36.5K days) — so the pairwise O(days^2) frame and its
     rank are bounded regardless of corpus size; the one corpus-sized
     operation is the initial day aggregation."""
+    from dbt_tpch_spark.plans.audit import bounded_checkpoint
+
     o = ctx.source("orders")
-    series = (
+    # bounded_checkpoint: the series is day-grain (calendar-bounded, not
+    # SF-linear) — register it so the pairwise-slope theta join is seen as
+    # a bounded pair stage, not an all-pairs scale killer
+    series = bounded_checkpoint(
         o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(dsum(F.col("o_totalprice")).alias("rev"))
         .select(
             F.datediff(F.col("day"), F.lit(TS_EPOCH).cast("date")).alias("dn"),
             "rev",
         )
-        .localCheckpoint(eager=True)
     )
     a = series.withColumnsRenamed({"dn": "dn_i", "rev": "rev_i"})
     b = series.withColumnsRenamed({"dn": "dn_j", "rev": "rev_j"})

@@ -147,6 +147,112 @@ def broadcast_hint_offenders(df: DataFrame) -> list:
     return bad
 
 
+#: JVM RDD ids of checkpointed frames the engine has PROVEN bounded (built
+#: from a GlobalLimit/fixed-size sample before the checkpoint erased the
+#: provenance). localCheckpoint replaces the subtree with an opaque
+#: LogicalRDD, so without this registry the pair-stage invariant could not
+#: distinguish a checkpointed 512-row sample from a checkpointed corpus.
+_BOUNDED_RDD_IDS: set[int] = set()
+
+
+def _logical_rdd_ids(df: DataFrame) -> list[int]:
+    ids = []
+    for n in _walk(df._jdf.queryExecution().optimizedPlan()):
+        if n.nodeName() == "LogicalRDD":
+            ids.append(n.rdd().id())
+    return ids
+
+
+def mark_bounded(df: DataFrame) -> DataFrame:
+    """Record that ``df`` (typically a just-checkpointed frame) has a
+    fixed, SF-independent row bound — e.g. it was built from an
+    ``orderBy(...).limit(K)`` sample or an iteratively-capped state frame.
+    The pair-stage invariant treats its LogicalRDD leaves as bounded."""
+    _BOUNDED_RDD_IDS.update(_logical_rdd_ids(df))
+    return df
+
+
+def bounded_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` + :func:`mark_bounded` — the checkpoint used for
+    provably fixed-size frames (samples, scalar state) whose boundedness
+    must survive the checkpoint's provenance erasure."""
+    return mark_bounded(df.localCheckpoint(eager=eager))
+
+
+_BOUNDED_LEAVES = {
+    "GlobalLimit",
+    "WindowGroupLimit",
+    "LocalRelation",
+    "OneRowRelation",
+    "Range",
+}
+
+#: a Filter like ``vec_id#12L < 32`` on a dense key column is a fixed
+#: id-prefix sample (keys are dense 1..N, FIXTURES.md) — SF-independent.
+_ID_PREFIX_FILTER = re.compile(r"\b(\w+)#\d+L? <=? \d+")
+
+
+def _subtree_bounded(node) -> bool:
+    """True if the subtree's row count has an SF-independent bound:
+    a GlobalLimit/WindowGroupLimit cap, a literal relation, an Aggregate
+    at bounded-domain grain (or scalar), or a checkpointed frame the
+    engine registered via :func:`mark_bounded`."""
+    for m in _walk(node):
+        nn = m.nodeName()
+        if nn in _BOUNDED_LEAVES:
+            return True
+        if nn == "LogicalRDD" and m.rdd().id() in _BOUNDED_RDD_IDS:
+            return True
+        if nn == "Filter":
+            cond = m.condition().toString()
+            if any(
+                _UNBOUNDED_KEY.search(c.lower())
+                for c in _ID_PREFIX_FILTER.findall(cond)
+            ):
+                return True
+        if nn == "Aggregate":
+            exprs = m.groupingExpressions()
+            names = []
+            for i in range(exprs.size()):
+                s = exprs.apply(i).toString()
+                names.append(s.split("#")[0].split(".")[-1].strip("'`"))
+            if not any(
+                _UNBOUNDED_KEY.search(g.lower()) or _VOCAB_KEY.search(g.lower())
+                for g in names
+            ):
+                return True
+    return False
+
+
+def pair_stage_offenders(df: DataFrame) -> list:
+    """Join nodes with NO equality conjunct (cartesian / pure theta) where
+    NEITHER input subtree is provably bounded — the all-pairs scale-killer
+    class (round-5 verdict): output grows O(n·m) with the corpus, unlike an
+    equi-join whose output is bounded by key-collision structure. A join
+    passes if either side carries a GlobalLimit / fixed-size sample /
+    bounded-grain aggregate / registered bounded checkpoint (then output
+    is O(n·S) with S fixed — ordinary SF-linear cost)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad = []
+    for n in _walk(plan):
+        if n.nodeName() != "Join":
+            continue
+        cond = n.condition()
+        s = cond.get().toString() if cond.isDefined() else ""
+        # " = " catches equality conjuncts; "<=>" the null-safe form.
+        # ("<=", ">=", "!=" render without a space before '=')
+        if " = " in s or "<=>" in s:
+            continue
+        left = n.children().apply(0)
+        right = n.children().apply(1)
+        if _subtree_bounded(left) or _subtree_bounded(right):
+            continue
+        bad.append(
+            ["unbounded-pair-join", n.joinType().toString(), s[:100]]
+        )
+    return bad
+
+
 def audit_plan(df: DataFrame) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()

@@ -336,6 +336,16 @@ SHUFFLE_BUDGETS = {
     "dedup_lsh_recall_report": 9,
     # checkpointed edge list + degree agg + two co-partitioned joins
     "parts_degree_assortativity": 5,
+    # round 6: banded sign-LSH replaces the all-pairs theta join; the band
+    # window/join/distinct/verify all run pre-checkpoint (the final frame
+    # is a filter over the checkpointed scores — 0 visible exchanges)
+    "dedup_embedding_cosine": 0,
+    # recall harness: sample limit + band machinery + brute truth on the
+    # 512-row sample + 4 scalar-agg crossJoins
+    "dedup_embedding_lsh_recall": 11,
+    # CDC audit: the TxnTable build runs as side jobs; the query result is
+    # a 2-row local relation
+    "txn_snapshot_diff": 0,
 }
 
 
@@ -404,6 +414,7 @@ def test_topk_rank_filter_avoids_global_sort(spark, sf_dir, name):
 # users get the same checks the CI invariant runs
 from dbt_tpch_spark.plans.audit import (  # noqa: E402
     broadcast_hint_offenders as _broadcast_hint_offenders,
+    pair_stage_offenders as _pair_stage_offenders,
     unpartitioned_window_offenders as _unpartitioned_window_offenders,
 )
 
@@ -417,7 +428,11 @@ def test_no_scale_killer_plan_shapes(spark, sf_dir):
     - no explicit ``F.broadcast`` hint on a key-grain frame (the hard-hint
       OOM class the round-4 verdict found in operators/graph.py — gated
       sites must route through _node_state/gated_broadcast, which this
-      sweep closes, so any hint that survives is ungated by construction).
+      sweep closes, so any hint that survives is ungated by construction);
+    - no Join without an equality conjunct where neither side is provably
+      bounded (the all-pairs cartesian/theta scale killer, round-5
+      verdict class — the shape the former brute-force
+      dedup_embedding_cosine had).
     """
     import __spark_entry__ as entrymod
     import dbt_tpch_spark.functions as fx
@@ -436,6 +451,9 @@ def test_no_scale_killer_plan_shapes(spark, sf_dir):
             hinted = _broadcast_hint_offenders(df)
             if hinted:
                 offenders.setdefault(name, []).append(["broadcast"] + hinted)
+            pairs = _pair_stage_offenders(df)
+            if pairs:
+                offenders.setdefault(name, []).append(["pair-stage"] + pairs)
     finally:
         fx.BROADCAST_STATE_MAX_ROWS, g.BROADCAST_STATE_MAX_NODES = saved
     assert not offenders, offenders
@@ -460,6 +478,48 @@ def test_broadcast_invariant_catches_hinted_key_grain_frame(spark, sf_dir):
     capped = per_key.orderBy(F.col("n").desc()).limit(10)
     ok2 = c.join(F.broadcast(capped.withColumnRenamed("n", "cnt")), "c_custkey")
     assert not _broadcast_hint_offenders(ok2)
+
+
+def test_pair_stage_invariant_catches_unbounded_theta_join(spark, sf_dir):
+    """The exact pre-fix shape from round 5 (dedup_embedding_cosine): an
+    all-pairs theta join over the raw corpus must flag; the same join over
+    a GlobalLimit-bounded side, an id-prefix-filtered side, or a
+    registered bounded checkpoint must pass."""
+    from pyspark.sql import functions as F
+
+    from dbt_tpch_spark.plans.audit import bounded_checkpoint
+
+    e = Context(spark, sf_dir).source("embeddings").select("vec_id")
+    a = e.withColumnRenamed("vec_id", "vec_a")
+    b = e.withColumnRenamed("vec_id", "vec_b")
+    bad = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    assert _pair_stage_offenders(bad), "unbounded theta pair join not caught"
+    # unconditioned cross of two corpus frames flags too
+    assert _pair_stage_offenders(a.crossJoin(b))
+    # equi-join over the same frames: exempt (key-collision bounded)
+    assert not _pair_stage_offenders(
+        a.join(b, F.col("vec_a") == F.col("vec_b"))
+    )
+    # one side capped by a fixed-size sample: exempt
+    capped = b.orderBy("vec_b").limit(16)
+    assert not _pair_stage_offenders(
+        a.join(capped, F.col("vec_a") < F.col("vec_b"))
+    )
+    # one side a fixed id-prefix filter: exempt
+    prefix = b.filter(F.col("vec_b") < 32)
+    assert not _pair_stage_offenders(
+        a.join(prefix, F.col("vec_a") < F.col("vec_b"))
+    )
+    # a checkpoint erases the cap's provenance: flags again ...
+    opaque = capped.localCheckpoint(eager=True)
+    assert _pair_stage_offenders(
+        a.join(opaque, F.col("vec_a") < F.col("vec_b"))
+    )
+    # ... unless the engine registered it as bounded
+    registered = bounded_checkpoint(b.orderBy("vec_b").limit(16))
+    assert not _pair_stage_offenders(
+        a.join(registered, F.col("vec_a") < F.col("vec_b"))
+    )
 
 
 def test_window_invariant_flags_vocab_grain(spark, sf_dir):
