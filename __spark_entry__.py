@@ -40,8 +40,8 @@ NO_ORACLE: tuple[str, ...] = ()
 #: Everything else follows in registry order (and stays oracle-checked by
 #: the repo's own parity sweep, tests/test_parity.py).
 #: Round-6 rotation (VERDICT r5 #3): 108 of 253 queries still had no
-#: driver row after r5 (cumulative union 145). This window keeps an
-#: 11-query stable anchor core (one per operator family, comparable
+#: driver row after r5 (cumulative union 145). This window keeps a
+#: 12-query stable anchor core (one per operator family, comparable
 #: across rounds — the 4 dropped anchors each have 2+ green driver rows
 #: already), re-witnesses the three pair-stage queries whose plans were
 #: bounded this round plus the two new queries (CDC audit, LSH recall
@@ -62,6 +62,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_session_30m",
     "docs_bm25_topk",
     "parts_pagerank",
+    "tpch_q06_forecast_revenue",
     # pair-stage plans bounded this round: re-witness, plus the two new
     # queries (table-format CDC audit, embedding-LSH recall harness)
     "dedup_embedding_cosine",
@@ -69,7 +70,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "embeddings_dup_threshold_curve",
     "txn_snapshot_diff",
     "dedup_embedding_lsh_recall",
-    # never-driver-verified rotation (34)
+    # never-driver-verified rotation (33)
     "doc_quality_auc",
     "doc_quality_pr_auc",
     "doc_quality_calibration",
@@ -103,7 +104,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_benford",
     "customer_gini",
     "order_trimmed_mean",
-    "docs_token_waterfill",
 )
 
 

@@ -935,6 +935,95 @@ oracle(
 )
 
 
+@model("emb_lsh_band_stats", layer="operators", materialization="view")
+def emb_lsh_band_stats(ctx):
+    """Cost/recall planner for the banded sign-LSH dedup path: per band,
+    the bucket census (bucket count, max bucket, implied candidate pairs
+    Σ s·(s−1)/2) computed WITHOUT materializing a single pair — the
+    number that decides whether a (bands, bits) config is affordable at
+    the current corpus — plus the theoretical OR-construction recall of
+    the whole config at cosine 0.5 and 0.9 (per-bit collision probability
+    1 − arccos(c)/π, Charikar STOC'02). The lshplan.py analog for the
+    embedding path: run this before committing EMB_LSH_BANDS/EMB_LSH_BITS
+    at a new corpus scale.
+
+    Scale shape: one corpus projection + two bounded aggregations (bucket
+    grain, then the 8-row band grain); the recall formulas are constant
+    expressions."""
+    e = ctx.source("embeddings").repartition(_doc_parallelism(ctx), "vec_id")
+    bands = e.selectExpr(
+        "vec_id",
+        *[f"{_emb_band_spark(b)} AS eband{b}" for b in range(EMB_LSH_BANDS)],
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"eband{b}") for b in range(EMB_LSH_BANDS)])
+        ).alias("band_idx", "band_hash"),
+    )
+    sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    r, b = EMB_LSH_BITS, EMB_LSH_BANDS
+    recall = (
+        f"1.0 - POWER(1.0 - POWER(1.0 - ACOS({{c}})/PI(), {r}), {b})"
+    )
+    return sizes.groupBy("band_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("s").cast("long").alias("n_vectors"),
+        F.max("s").cast("long").alias("max_bucket_size"),
+        F.sum(F.expr("(s * (s - 1)) DIV 2")).cast("long").alias(
+            "candidate_pairs"
+        ),
+    ).select(
+        "band_idx",
+        "n_buckets",
+        "n_vectors",
+        "max_bucket_size",
+        "candidate_pairs",
+        rnd(F.expr(recall.format(c=0.5)), 6).alias("config_recall_at_05"),
+        rnd(F.expr(recall.format(c=0.9)), 6).alias("config_recall_at_09"),
+    )
+
+
+def _emb_band_stats_oracle() -> str:
+    band_cases = " ".join(
+        f"WHEN {b} THEN eband{b}" for b in range(EMB_LSH_BANDS)
+    )
+    band_defs = ", ".join(
+        f"{_emb_band_duck(b)} AS eband{b}" for b in range(EMB_LSH_BANDS)
+    )
+    ks = ", ".join(str(b) for b in range(EMB_LSH_BANDS))
+    r, b = EMB_LSH_BITS, EMB_LSH_BANDS
+    recall = (
+        f"1.0 - POWER(1.0 - POWER(1.0 - ACOS({{c}})/PI(), {r}), {b})"
+    )
+    return f"""WITH banded AS (
+    SELECT vec_id, {band_defs} FROM embeddings
+),
+bands_all AS (
+    SELECT vec_id, k.k AS band_idx,
+        CASE k.k {band_cases} END AS band_hash
+    FROM banded CROSS JOIN (SELECT UNNEST([{ks}]) AS k) k
+),
+sizes AS (
+    SELECT band_idx, band_hash, CAST(COUNT(*) AS BIGINT) AS s
+    FROM bands_all GROUP BY 1, 2
+)
+SELECT
+    band_idx,
+    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+    CAST(SUM(s) AS BIGINT) AS n_vectors,
+    CAST(MAX(s) AS BIGINT) AS max_bucket_size,
+    CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS candidate_pairs,
+    {rnd_sql(recall.format(c=0.5), 6)} AS config_recall_at_05,
+    {rnd_sql(recall.format(c=0.9), 6)} AS config_recall_at_09
+FROM sizes
+GROUP BY 1"""
+
+
+oracle("emb_lsh_band_stats", ("embeddings",), _emb_band_stats_oracle())
+
+
 # --------------------------------------------------------------------------
 # dedup clusters (connected components over verified near-dup pairs)
 # --------------------------------------------------------------------------

@@ -365,17 +365,20 @@ def dedup_semantic_pairs(ctx):
     """SemDeDup: semantic near-dup pairs found WITHIN learned k-means
     cells only — pairwise cosine runs per cell, never across the corpus.
     This is the scale story that makes semantic dedup tractable at 100 TB:
-    `dedup_embedding_cosine` (the all-pairs exactness baseline) is O(n²);
-    here candidate generation is the k-means assignment (a broadcast
-    linear scan) and the quadratic step is bounded by max cell size. The
+    candidate generation is the k-means assignment (a broadcast linear
+    scan) and the quadratic step is bounded by max cell size — the
+    cell-scoped counterpart of `dedup_embedding_cosine`'s banded sign-LSH
+    (round 6: that query is candidate-bounded too; no registered query
+    runs corpus-grain all-pairs anymore). The
     deterministic keep/drop verdict keeps the lower vec_id — the paper
     keeps the point farthest from the centroid; with the corpus's exact-
     decimal distances either rule is deterministic, the simpler one reads
     cleaner cross-engine.
 
-    Recall caveat vs the baseline: pairs straddling a cell boundary are
-    missed (measurable by diffing with dedup_embedding_cosine) — the
-    standard SemDeDup trade."""
+    Recall caveat: pairs straddling a cell boundary are missed
+    (measurable by diffing with dedup_embedding_cosine, whose band-OR
+    construction catches most boundary-straddlers) — the standard
+    SemDeDup trade."""
     v, cents = _fit(ctx)
     # both pair sides consume the assignment; materialize it once (a
     # deployment persists cell assignments next to the index anyway)

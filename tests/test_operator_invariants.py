@@ -1037,6 +1037,90 @@ def test_lsh_recall_report_counts_are_consistent(spark, sf_dir):
         assert row["mean_missed_jaccard"] is None
 
 
+def test_embedding_lsh_is_subset_of_bruteforce_and_recall_consistent(
+    spark, sf_dir
+):
+    """The banded sign-LSH dedup output must be a SUBSET of the brute-force
+    threshold set (the verify stage is exact, so LSH can only miss, never
+    invent), and the recall harness's counts must reconcile: lsh ≤ truth,
+    candidates ≤ C(sample, 2), recall the exact ratio."""
+    from dbt_tpch_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        DOT_SPARK,
+        EMB_RECALL_SAMPLE,
+    )
+    from dbt_tpch_spark.functions import rnd as _rnd
+
+    ctx = Context(spark, sf_dir)
+    lsh_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in ctx.ref("dedup_embedding_cosine").collect()
+    }
+    # brute-force truth over the whole corpus (test scale only)
+    e = ctx.source("embeddings")
+    norms = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.expr(DOT_SPARK.format(a="embedding", b="embedding")).alias("nn"),
+    ).localCheckpoint(eager=True)
+    a = norms.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    cos = F.expr(DOT_SPARK.format(a="ea", b="eb")) / (
+        F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
+    )
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", _rnd(cos, 6).alias("c"))
+        .filter(F.col("c") >= COSINE_THRESHOLD)
+        .collect()
+    }
+    assert lsh_pairs <= truth, lsh_pairs - truth
+    row = ctx.ref("dedup_embedding_lsh_recall").head()
+    s = row["sample_size"]
+    assert s <= EMB_RECALL_SAMPLE
+    assert row["n_lsh_pairs"] <= row["n_true_pairs"]
+    assert row["n_candidate_pairs"] <= s * (s - 1) // 2
+    if row["n_true_pairs"]:
+        assert (
+            abs(row["recall"] - row["n_lsh_pairs"] / row["n_true_pairs"])
+            < 1e-6
+        )
+    else:
+        assert row["recall"] is None
+
+
+def test_emb_band_stats_reconcile_with_corpus(spark, sf_dir):
+    """Every band's bucket census must cover the whole corpus exactly
+    once, candidate pairs must be bounded by C(n, 2), and the theoretical
+    config recall must match the closed form."""
+    import math
+
+    from dbt_tpch_spark.operators.dedup import EMB_LSH_BANDS, EMB_LSH_BITS
+
+    ctx = Context(spark, sf_dir)
+    n = ctx.source("embeddings").count()
+    rows = ctx.ref("emb_lsh_band_stats").collect()
+    assert len(rows) == EMB_LSH_BANDS
+    p_bit = lambda c: 1 - math.acos(c) / math.pi  # noqa: E731
+    for r in rows:
+        assert r["n_vectors"] == n, r
+        assert r["max_bucket_size"] <= n
+        assert r["n_buckets"] <= 2**EMB_LSH_BITS
+        assert 0 < r["candidate_pairs"] <= n * (n - 1) // 2
+        for col, c in (("config_recall_at_05", 0.5), ("config_recall_at_09", 0.9)):
+            want = 1 - (1 - p_bit(c) ** EMB_LSH_BITS) ** EMB_LSH_BANDS
+            assert abs(r[col] - want) < 1e-5, (col, r[col], want)
+
+
 def test_assortativity_matches_bruteforce(spark, sf_dir):
     """Recompute degrees and the Pearson coefficient over the symmetric
     edge list in plain Python (exact integer sums, one double formula)."""

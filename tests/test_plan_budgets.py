@@ -346,6 +346,8 @@ SHUFFLE_BUDGETS = {
     # CDC audit: the TxnTable build runs as side jobs; the query result is
     # a 2-row local relation
     "txn_snapshot_diff": 0,
+    # sign-LSH planner: corpus fan-out + bucket-grain agg + 8-row band agg
+    "emb_lsh_band_stats": 3,
 }
 
 
