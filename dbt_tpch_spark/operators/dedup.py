@@ -660,6 +660,13 @@ def dedup_embedding_cosine(ctx):
             "norm_sq"
         ),
     ).localCheckpoint(eager=True)
+    # the checkpoint erased norms' size stats, so the verify joins below
+    # would default to sort-merge (two full sorts of the candidate set);
+    # gate on the MEASURED row count — broadcast when vector-table-sized,
+    # co-partitioned shuffle-hash when corpus-sized at 100 TB
+    from dbt_tpch_spark.functions import gated_broadcast
+
+    n_vecs = norms.count()
     from pyspark.sql import Window
 
     bands = e.selectExpr(
@@ -679,12 +686,20 @@ def dedup_embedding_cosine(ctx):
         .filter(F.col("bsize") <= MAX_EMB_BUCKET)
         .drop("bsize")
     )
-    a = bands.withColumnsRenamed({"vec_id": "vec_a"})
-    b = bands.withColumnsRenamed({"vec_id": "vec_b"})
+    # the band table is tiny in BYTES but the join it feeds fans out to
+    # ~bucket² pair rows — AQE would coalesce the window/join exchanges to
+    # one partition (small-bytes/expensive-rows, the threshold-curve
+    # incident); explicit partition counts are respected (measured 12.7 s
+    # → ~3 s for the candidate stage at sf0.1)
+    par = _doc_parallelism(ctx)
+    banded = bands.repartition(par, "band_idx", "band_hash")
+    a = banded.withColumnsRenamed({"vec_id": "vec_a"})
+    b = banded.withColumnsRenamed({"vec_id": "vec_b"})
     cands = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
+        .repartition(par, "vec_a", "vec_b")
         .distinct()
     )
     na = norms.select(
@@ -701,8 +716,8 @@ def dedup_embedding_cosine(ctx):
         F.sqrt(F.col("norm_a")) * F.sqrt(F.col("norm_b"))
     )
     scored = (
-        cands.join(na, "vec_a")
-        .join(nb, "vec_b")
+        cands.join(gated_broadcast(na, n_vecs), "vec_a")
+        .join(gated_broadcast(nb, n_vecs), "vec_b")
         .select("vec_a", "vec_b", rnd(cos, 6).alias("cosine"))
         .localCheckpoint(eager=True)
     )
