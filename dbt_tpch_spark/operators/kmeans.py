@@ -348,6 +348,143 @@ FROM ranked WHERE rank <= {TOP_K}""",
 )
 
 
+#: fixed-size deterministic sample for the silhouette report (bottom-k by
+#: salted md5) — the pairwise stage is O(SIL_SAMPLE²) at ANY corpus size.
+SIL_SAMPLE = 256
+_SIL_SALT = "sil|"
+
+
+@model(
+    "kmeans_silhouette_sample", layer="operators", materialization="view"
+)
+def kmeans_silhouette_sample(ctx):
+    """Clustering-quality report: silhouette coefficient (Rousseeuw '87)
+    of the learned k-means cells, measured on a fixed-size deterministic
+    sample — s(i) = (b−a)/max(a,b) with a = mean distance to same-cell
+    sampled vectors, b = the nearest other cell's mean distance. The
+    number that tells you whether K_CELLS fits the corpus before you
+    trust SemDeDup/IVF built on those cells. Vectors that are their
+    cell's only sampled member have no a(i) and are excluded (the
+    standard convention), so per-cell n_scored can be < n_sampled.
+
+    Scale shape: assignment is the existing broadcast-centroid scan; the
+    pairwise stage runs ONLY on the bottom-SIL_SAMPLE-by-md5 sample
+    (bounded_checkpoint-registered, O(SIL_SAMPLE²) anywhere); distances
+    are 6-dp-quantized exact-decimal means so both engines agree."""
+    from dbt_tpch_spark.plans.audit import bounded_checkpoint
+
+    v, cents = _fit(ctx)
+    assign = _assign_ranked(v, cents, 1).filter(F.col("rn") == 1)
+    skey = F.md5(
+        F.concat(F.lit(_SIL_SALT), F.col("vec_id").cast("string"))
+    )
+    sample = bounded_checkpoint(
+        assign.select("vec_id", "emb", "vv", "cell_id", skey.alias("sk"))
+        .orderBy("sk")
+        .limit(SIL_SAMPLE)
+        .drop("sk")
+    )
+    a_side = sample.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("vv").alias("vv_a"),
+        F.col("cell_id").alias("cell_a"),
+    )
+    b_side = sample.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("vv").alias("vv_b"),
+        F.col("cell_id").alias("cell_b"),
+    )
+    d2 = (
+        F.col("vv_a")
+        - F.lit(2.0) * F.expr(DOT_SPARK.format(a="emb_a", b="emb_b"))
+        + F.col("vv_b")
+    )
+    pairs = (
+        a_side.join(b_side, F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a",
+            "cell_a",
+            "cell_b",
+            rnd(F.sqrt(F.greatest(d2, F.lit(0.0))), 6).alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a_tbl = (
+        pairs.filter(F.col("cell_a") == F.col("cell_b"))
+        .groupBy("vec_a", "cell_a")
+        .agg(rnd(dsum(F.col("dist")) / F.count(F.lit(1)), 6).alias("a_mean"))
+    )
+    b_tbl = (
+        pairs.filter(F.col("cell_a") != F.col("cell_b"))
+        .groupBy("vec_a", "cell_b")
+        .agg(rnd(dsum(F.col("dist")) / F.count(F.lit(1)), 6).alias("cmean"))
+        .groupBy("vec_a")
+        .agg(F.min("cmean").alias("b_mean"))
+    )
+    s = a_tbl.join(b_tbl, "vec_a").select(
+        "vec_a",
+        "cell_a",
+        rnd(
+            (F.col("b_mean") - F.col("a_mean"))
+            / F.greatest(F.col("a_mean"), F.col("b_mean")),
+            6,
+        ).alias("sil"),
+    )
+    return s.groupBy(F.col("cell_a").alias("cell_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        rnd(dsum(F.col("sil")) / F.count(F.lit(1)), 6).alias(
+            "mean_silhouette"
+        ),
+        rnd(F.min("sil"), 6).alias("min_silhouette"),
+        rnd(F.max("sil"), 6).alias("max_silhouette"),
+    )
+
+
+def _silhouette_oracle() -> str:
+    d2 = f"(a.vv - 2.0 * {dot_duck('a.emb', 'b.emb')} + b.vv)"
+    return f"""WITH {_kmeans_prelude()},
+sample AS (
+    SELECT vec_id, emb, vv, cell_id
+    FROM final_ranked WHERE rn = 1
+    ORDER BY md5('{_SIL_SALT}' || CAST(vec_id AS VARCHAR))
+    LIMIT {SIL_SAMPLE}
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, a.cell_id AS cell_a, b.cell_id AS cell_b,
+        {rnd_sql(f'sqrt(GREATEST({d2}, 0.0))', 6)} AS dist
+    FROM sample a JOIN sample b ON a.vec_id != b.vec_id
+),
+a_tbl AS (
+    SELECT vec_a, cell_a,
+        {rnd_sql(f"{dsum_sql('dist')} / COUNT(*)", 6)} AS a_mean
+    FROM pairs WHERE cell_a = cell_b GROUP BY 1, 2
+),
+b_tbl AS (
+    SELECT vec_a, MIN(cmean) AS b_mean FROM (
+        SELECT vec_a, cell_b,
+            {rnd_sql(f"{dsum_sql('dist')} / COUNT(*)", 6)} AS cmean
+        FROM pairs WHERE cell_a != cell_b GROUP BY 1, 2
+    ) GROUP BY 1
+),
+s AS (
+    SELECT a.vec_a, a.cell_a,
+        {rnd_sql('(b.b_mean - a.a_mean) / GREATEST(a.a_mean, b.b_mean)', 6)} AS sil
+    FROM a_tbl a JOIN b_tbl b ON a.vec_a = b.vec_a
+)
+SELECT cell_a AS cell_id,
+    CAST(COUNT(*) AS BIGINT) AS n_scored,
+    {rnd_sql(f"{dsum_sql('sil')} / COUNT(*)", 6)} AS mean_silhouette,
+    {rnd_sql('MIN(sil)', 6)} AS min_silhouette,
+    {rnd_sql('MAX(sil)', 6)} AS max_silhouette
+FROM s
+GROUP BY 1"""
+
+
+oracle("kmeans_silhouette_sample", ("embeddings",), _silhouette_oracle())
+
+
 # --------------------------------------------------------------------------
 # SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023)
 # --------------------------------------------------------------------------

@@ -1514,3 +1514,89 @@ FROM m{i}, s{i}, base"""
 
 
 oracle("bpe_train_merges", ("documents",), _bpe_oracle())
+
+
+@model("docs_bpe_token_counts", layer="operators", materialization="view")
+def docs_bpe_token_counts(ctx):
+    """APPLY the learned BPE merge table to the corpus (the other half of
+    the train→apply tokenizer loop): each document's text is re-segmented
+    by replaying the ``bpe_train_merges`` rules in round order with the
+    same private-use merge symbols, then per-source symbol counts before/
+    after and the realized compression are reported — what a tokenizer
+    rollout measures before committing a vocabulary.
+
+    Merge pairs never contain spaces (they are within-word bigrams), so
+    replaying replace() over the whole text cannot merge across a word
+    boundary — the word-grain trainer and this text-grain application
+    segment identically. Scale shape: the 5-row merge table broadcasts
+    into one corpus projection; the only shuffle is the source-grain
+    aggregate."""
+    d = ctx.source("documents")
+    merges = ctx.ref("bpe_train_merges").select("round", "merged_pair")
+    mrow = merges.agg(
+        *[
+            F.first(
+                F.when(F.col("round") == i, F.col("merged_pair")),
+                ignorenulls=True,
+            ).alias(f"mp{i}")
+            for i in range(1, BPE_ROUNDS + 1)
+        ]
+    )
+    ltext = F.lower(F.trim(F.col("text")))
+    applied = d.crossJoin(F.broadcast(mrow))
+    expr = ltext
+    for i in range(1, BPE_ROUNDS + 1):
+        expr = F.replace(
+            expr, F.col(f"mp{i}"), F.lit(chr(BPE_MERGE_BASE + i))
+        )
+    nosp_b = F.length(F.replace(ltext, F.lit(" "), F.lit("")))
+    nosp_a = F.length(F.replace(expr, F.lit(" "), F.lit("")))
+    per = applied.select(
+        "source", nosp_b.cast("long").alias("b"), nosp_a.cast("long").alias("a")
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("b").cast("long").alias("symbols_before"),
+            F.sum("a").cast("long").alias("symbols_after"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "symbols_before",
+            "symbols_after",
+            rnd(
+                F.col("symbols_after") / F.col("symbols_before"), 6
+            ).alias("compression_ratio"),
+        )
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    expr = "lower(trim(text))"
+    for i in range(1, BPE_ROUNDS + 1):
+        expr = (
+            f"replace({expr}, (SELECT merged_pair FROM bpe_train_merges"
+            f" WHERE round = {i}), chr({BPE_MERGE_BASE + i}))"
+        )
+    return f"""WITH applied AS (
+    SELECT source,
+        CAST(length(replace(lower(trim(text)), ' ', '')) AS BIGINT) AS b,
+        CAST(length(replace({expr}, ' ', '')) AS BIGINT) AS a
+    FROM documents
+)
+SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(b) AS BIGINT) AS symbols_before,
+    CAST(SUM(a) AS BIGINT) AS symbols_after,
+    {rnd_sql('CAST(SUM(a) AS DOUBLE) / SUM(b)', 6)} AS compression_ratio
+FROM applied
+GROUP BY 1"""
+
+
+oracle(
+    "docs_bpe_token_counts",
+    ("documents", "bpe_train_merges"),
+    _bpe_apply_oracle(),
+)

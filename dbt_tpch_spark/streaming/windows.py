@@ -407,24 +407,6 @@ def stream_events_to_parquet(
     q.awaitTermination()
 
 
-def streaming_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of events_sliding_10m_5m."""
-    e = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    return (
-        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum(F.col("value")).alias("total_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "n_events",
-            "total_value",
-        )
-    )
-
-
 def read_events_kafka(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -726,7 +726,19 @@ class TxnTable:
         to_files = {a["file"] for a in self.snapshot_files(v_to)}
         old = self._side(sorted(from_files - to_files), v_from)
         new = self._side(sorted(to_files - from_files), v_to)
-        common = [c for c in old.columns if c in set(new.columns)]
+        # across a schema-evolving transition the v_to schema is a strict
+        # superset (additive-only evolution): conform the OLD side up to it
+        # with typed NULLs so the feed carries new_<col> for columns born
+        # between the versions (a replica applying the feed needs them)
+        to_schema = self.table_schema(v_to)
+        if to_schema:
+            have = set(old.columns)
+            for cname, ctype in to_schema:
+                if cname not in have:
+                    old = old.withColumn(
+                        cname, F.lit(None).cast(ctype)
+                    )
+        common = [c for c in new.columns if c in set(old.columns)]
         value_cols = [c for c in common if c not in self.key_cols]
         # explicit presence markers: the join keys use eqNullSafe, so a
         # NULL key column would make isNotNull() misreport side presence

@@ -807,6 +807,38 @@ def test_bpe_chained_merge_uses_codepoint_symbols(spark, sf_dir):
     assert chr(BPE_MERGE_BASE + 1) in expect[1][1]
 
 
+def test_bpe_application_matches_python_replay(spark, sf_dir):
+    """Applying the learned merge table to the corpus must reproduce a
+    plain-Python replay exactly: per source, symbol counts before/after
+    and after <= before (a merge never grows text)."""
+    from dbt_tpch_spark.operators.text import BPE_MERGE_BASE, BPE_ROUNDS
+
+    ctx = Context(spark, sf_dir)
+    merges = {
+        r["round"]: r["merged_pair"]
+        for r in ctx.ref("bpe_train_merges").collect()
+    }
+    docs = ctx.source("documents").select("source", "text").collect()
+    expect: dict = {}
+    for r in docs:
+        t = r["text"].strip().lower()
+        before = len(t.replace(" ", ""))
+        for i in range(1, BPE_ROUNDS + 1):
+            t = t.replace(merges[i], chr(BPE_MERGE_BASE + i))
+        after = len(t.replace(" ", ""))
+        e = expect.setdefault(r["source"], [0, 0, 0])
+        e[0] += 1
+        e[1] += before
+        e[2] += after
+    got = {
+        r["source"]: [r["n_docs"], r["symbols_before"], r["symbols_after"]]
+        for r in ctx.ref("docs_bpe_token_counts").collect()
+    }
+    assert got == expect
+    for n, b, a in got.values():
+        assert a <= b
+
+
 def test_rollup_subtotals_are_consistent(spark, sf_dir):
     """Detail rows must sum to their status subtotal, subtotals to the
     grand total, and grouping flags must partition the output."""
@@ -1119,6 +1151,20 @@ def test_emb_band_stats_reconcile_with_corpus(spark, sf_dir):
         for col, c in (("config_recall_at_05", 0.5), ("config_recall_at_09", 0.9)):
             want = 1 - (1 - p_bit(c) ** EMB_LSH_BITS) ** EMB_LSH_BANDS
             assert abs(r[col] - want) < 1e-5, (col, r[col], want)
+
+
+def test_silhouette_sample_is_bounded_and_in_range(spark, sf_dir):
+    """Silhouette values live in [-1, 1] by construction; the scored
+    population is bounded by the fixed sample; per-cell mins/maxes bracket
+    the mean."""
+    from dbt_tpch_spark.operators.kmeans import SIL_SAMPLE
+
+    rows = Context(spark, sf_dir).ref("kmeans_silhouette_sample").collect()
+    assert rows
+    assert sum(r["n_scored"] for r in rows) <= SIL_SAMPLE
+    for r in rows:
+        assert -1.0 <= r["min_silhouette"] <= r["mean_silhouette"], r
+        assert r["mean_silhouette"] <= r["max_silhouette"] <= 1.0, r
 
 
 def test_assortativity_matches_bruteforce(spark, sf_dir):

@@ -348,6 +348,10 @@ SHUFFLE_BUDGETS = {
     "txn_snapshot_diff": 0,
     # sign-LSH planner: corpus fan-out + bucket-grain agg + 8-row band agg
     "emb_lsh_band_stats": 3,
+    # carries the trainer DAG (11, checkpoint-bounded) + one source agg
+    "docs_bpe_token_counts": 12,
+    # silhouette: post-checkpoint pair frame + a/b means + cell rollup
+    "kmeans_silhouette_sample": 4,
 }
 
 

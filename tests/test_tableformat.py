@@ -668,7 +668,10 @@ def test_cdc_replication_holds_across_random_op_sequences(spark, tmp_path):
     one, and snapshot_diff's counts must reconcile with the row-count
     delta (n_to = n_from + inserted - deleted). Catches halo cases a
     hand-written scenario misses (delete-then-reinsert of the same key,
-    merges touching every file, back-to-back compactions)."""
+    merges touching every file, back-to-back compactions). One op mid-
+    sequence ADDS a column (additive schema evolution), after which every
+    batch carries it — so later diffs compare evolved-column values
+    across pre- and post-evolution files (the ADVICE r5 class)."""
     import random
 
     from dbt_tpch_spark.parity import canonicalize
@@ -680,19 +683,39 @@ def test_cdc_replication_holds_across_random_op_sequences(spark, tmp_path):
     )
     live = set(range(6))
     nxt = 100
-    for step in range(12):
-        op = rng.choice(["append", "merge", "delete", "compact"])
+    evolved = False
+
+    def mk(rows_kv, step):
+        # post-evolution batches must carry w (additive-only evolution:
+        # dropping a column raises SchemaMismatch)
+        if evolved:
+            return spark.createDataFrame(
+                [(k, v, float(k % 7) + step / 10.0) for k, v in rows_kv],
+                "k long, v string, w double",
+            )
+        return _mk(spark, rows_kv)
+
+    for step in range(16):
+        op = rng.choice(["append", "merge", "delete", "compact", "evolve"])
         v_from = t.latest_version()
-        if op == "append" or not live:
+        if op == "evolve":
+            if evolved:
+                continue  # evolution happens once
+            evolved = True
+            rows = [(nxt, f"e{step}")]
+            nxt += 10
+            t.append(mk(rows, step).coalesce(1))  # first wide file
+            live |= {k for k, _ in rows}
+        elif op == "append" or not live:
             rows = [(nxt + i, f"a{step}") for i in range(rng.randint(1, 3))]
             nxt += 10
-            t.append(_mk(spark, rows).coalesce(1))
+            t.append(mk(rows, step).coalesce(1))
             live |= {k for k, _ in rows}
         elif op == "merge":
             upd = [(k, f"m{step}") for k in rng.sample(sorted(live), 1)]
             new = [(nxt, f"m{step}")]
             nxt += 10
-            t.merge(_mk(spark, upd + new).coalesce(1))
+            t.merge(mk(upd + new, step).coalesce(1))
             live |= {k for k, _ in new}
         elif op == "delete":
             victim = rng.choice(sorted(live))
@@ -718,14 +741,31 @@ def test_cdc_replication_holds_across_random_op_sequences(spark, tmp_path):
                 F.col("change_type").isin("deleted", "updated")
             ).collect()
         ]
+        # replica build is schema-generic: conform the old snapshot to the
+        # new snapshot's columns (typed-NULL backfill), apply new_* values
+        to_df = t.read(v_to)
+        base = t.read(v_from)
+        for fld in to_df.schema.fields:
+            if fld.name not in base.columns:
+                base = base.withColumn(
+                    fld.name, F.lit(None).cast(fld.dataType)
+                )
+        base = base.select(*to_df.columns)
         upserts = ch.filter(
             F.col("change_type").isin("inserted", "updated")
-        ).select("k", F.col("new_v").alias("v"))
-        replica = (
-            t.read(v_from).filter(~F.col("k").isin(removed or [-1]))
-            .unionByName(upserts)
+        ).select(
+            "k",
+            *[
+                F.col(f"new_{c}").alias(c)
+                for c in to_df.columns
+                if c != "k"
+            ],
+        )
+        replica = base.filter(~F.col("k").isin(removed or [-1])).unionByName(
+            upserts
         )
         assert canonicalize(replica.toPandas()).equals(
-            canonicalize(t.read(v_to).toPandas())
+            canonicalize(to_df.toPandas())
         ), (step, op)
         assert live == {r["k"] for r in t.read().select("k").collect()}
+    assert evolved, "seed never drew the evolve op — pick a new seed"
