@@ -255,6 +255,123 @@ FROM core CROSS JOIN ex CROSS JOIN np CROSS JOIN nd""",
 )
 
 
+@model("docs_pipeline_funnel", layer="operators", materialization="view")
+def docs_pipeline_funnel(ctx):
+    """Stage-by-stage survival funnel of the cleaning pipeline — the
+    observability row a 100 TB data-curation run publishes after every
+    build: raw corpus → quality gate → exact dedup (keep the lowest
+    doc_id among quality-passing members of each content-hash group) →
+    near-dup removal (MinHash doc_b drops, the docs_clean_corpus rule).
+    One row per stage with docs surviving, docs removed at that stage,
+    and the share of the raw corpus still alive.
+
+    Scale shape: one corpus hash projection + one content-hash aggregate
+    + broadcast-able drop list; the funnel itself is a 4-row stack over
+    scalar counts."""
+    from dbt_tpch_spark.operators.dedup import norm_text_col
+
+    d = ctx.source("documents").select(
+        "doc_id", F.md5(norm_text_col()).alias("content_hash")
+    )
+    stats = ctx.ref("doc_text_stats")
+    q = stats.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("quality_score") >= MIN_QUALITY)
+    ).select("doc_id")
+    qh = d.join(q, "doc_id")
+    canon = qh.groupBy("content_hash").agg(F.min("doc_id").alias("keep_id"))
+    e = (
+        qh.join(canon, "content_hash")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id")
+    )
+    drops = (
+        ctx.ref("dedup_minhash_lsh")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    f = e.join(drops, "doc_id", "left_anti")
+    n0 = d.agg(F.count(F.lit(1)).cast("long").alias("n0"))
+    n1 = q.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = e.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    n3 = f.agg(F.count(F.lit(1)).cast("long").alias("n3"))
+    row = n0.crossJoin(n1).crossJoin(n2).crossJoin(n3)
+    funnel = row.selectExpr(
+        "n0",
+        """stack(4,
+            CAST(0 AS BIGINT), 'raw',            n0, CAST(0 AS BIGINT),
+            CAST(1 AS BIGINT), 'quality_filter', n1, n0 - n1,
+            CAST(2 AS BIGINT), 'exact_dedup',    n2, n1 - n2,
+            CAST(3 AS BIGINT), 'near_dedup',     n3, n2 - n3
+        ) AS (stage_order, stage, n_docs, n_removed)""",
+    )
+    return funnel.select(
+        "stage_order",
+        "stage",
+        "n_docs",
+        "n_removed",
+        rnd(F.col("n_docs").cast("double") / F.col("n0"), 6).alias(
+            "pct_of_raw"
+        ),
+    )
+
+
+def _funnel_oracle() -> str:
+    from dbt_tpch_spark.operators.dedup import _NORM_TEXT_DUCK
+
+    return f"""WITH q AS (
+    SELECT doc_id FROM doc_text_stats
+    WHERE n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
+),
+dh AS (
+    SELECT doc_id, md5({_NORM_TEXT_DUCK}) AS content_hash FROM documents
+),
+qh AS (SELECT dh.doc_id, dh.content_hash FROM dh JOIN q USING (doc_id)),
+e AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY content_hash) AS keep_id
+        FROM qh
+    ) WHERE doc_id = keep_id
+),
+f AS (
+    SELECT doc_id FROM e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM dedup_minhash_lsh m WHERE m.doc_b = e.doc_id
+    )
+),
+c AS (
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n0,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n1,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n2,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n3
+)
+SELECT CAST(0 AS BIGINT) AS stage_order, 'raw' AS stage, n0 AS n_docs,
+       CAST(0 AS BIGINT) AS n_removed,
+       {rnd_sql('CAST(n0 AS DOUBLE) / n0', 6)} AS pct_of_raw
+FROM c
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'quality_filter', n1, n0 - n1,
+       {rnd_sql('CAST(n1 AS DOUBLE) / n0', 6)}
+FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'exact_dedup', n2, n1 - n2,
+       {rnd_sql('CAST(n2 AS DOUBLE) / n0', 6)}
+FROM c
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'near_dedup', n3, n2 - n3,
+       {rnd_sql('CAST(n3 AS DOUBLE) / n0', 6)}
+FROM c"""
+
+
+oracle(
+    "docs_pipeline_funnel",
+    ("documents", "doc_text_stats", "dedup_minhash_lsh"),
+    _funnel_oracle(),
+)
+
+
 # --------------------------------------------------------------------------
 # transactional table format: CDC audit as an oracle-checked query
 # --------------------------------------------------------------------------

@@ -1153,6 +1153,34 @@ def test_emb_band_stats_reconcile_with_corpus(spark, sf_dir):
             assert abs(r[col] - want) < 1e-5, (col, r[col], want)
 
 
+def test_pipeline_funnel_reconciles_with_clean_corpus(spark, sf_dir):
+    """The funnel must be monotone non-increasing, each stage's removal
+    must reconcile with the previous stage, and the terminal stage must
+    be >= the docs_clean_corpus population (the funnel's exact-dedup
+    stage can only remove docs clean_corpus keeps, never add)."""
+    ctx = Context(spark, sf_dir)
+    rows = sorted(
+        ctx.ref("docs_pipeline_funnel").collect(),
+        key=lambda r: r["stage_order"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw",
+        "quality_filter",
+        "exact_dedup",
+        "near_dedup",
+    ]
+    raw = rows[0]["n_docs"]
+    assert raw == ctx.source("documents").count()
+    prev = raw
+    for r in rows[1:]:
+        assert r["n_docs"] <= prev
+        assert r["n_removed"] == prev - r["n_docs"], r
+        prev = r["n_docs"]
+    clean = ctx.ref("docs_clean_corpus").count()
+    # clean_corpus applies quality + near-dup but not exact dedup
+    assert rows[3]["n_docs"] <= clean
+
+
 def test_silhouette_sample_is_bounded_and_in_range(spark, sf_dir):
     """Silhouette values live in [-1, 1] by construction; the scored
     population is bounded by the fixed sample; per-cell mins/maxes bracket

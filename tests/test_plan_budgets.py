@@ -352,6 +352,9 @@ SHUFFLE_BUDGETS = {
     "docs_bpe_token_counts": 12,
     # silhouette: post-checkpoint pair frame + a/b means + cell rollup
     "kmeans_silhouette_sample": 4,
+    # funnel composes the minhash DAG (7) + quality stats + the hash
+    # canonical agg + four scalar stage counts
+    "docs_pipeline_funnel": 19,
 }
 
 

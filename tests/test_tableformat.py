@@ -768,4 +768,43 @@ def test_cdc_replication_holds_across_random_op_sequences(spark, tmp_path):
             canonicalize(to_df.toPandas())
         ), (step, op)
         assert live == {r["k"] for r in t.read().select("k").collect()}
+
+        # multi-commit gap: replication must also hold from a RANDOM
+        # earlier snapshot (shared-file cancellation across several
+        # commits, not just the adjacent pair)
+        v_far = rng.choice(t.versions()[:-1])
+        _assert_cdc_replicates(spark, t, v_far, v_to, (step, op, v_far))
     assert evolved, "seed never drew the evolve op — pick a new seed"
+
+
+def _assert_cdc_replicates(spark, t, v_from, v_to, ctx_info):
+    """read_changes(v_from, v_to) applied to snapshot v_from must rebuild
+    snapshot v_to exactly (schema-generic: typed-NULL backfill for columns
+    born between the versions)."""
+    from dbt_tpch_spark.parity import canonicalize
+
+    ch = t.read_changes(v_from, v_to)
+    removed = [
+        r["k"]
+        for r in ch.filter(
+            F.col("change_type").isin("deleted", "updated")
+        ).collect()
+    ]
+    to_df = t.read(v_to)
+    base = t.read(v_from)
+    for fld in to_df.schema.fields:
+        if fld.name not in base.columns:
+            base = base.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    base = base.select(*to_df.columns)
+    upserts = ch.filter(
+        F.col("change_type").isin("inserted", "updated")
+    ).select(
+        "k",
+        *[F.col(f"new_{c}").alias(c) for c in to_df.columns if c != "k"],
+    )
+    replica = base.filter(~F.col("k").isin(removed or [-1])).unionByName(
+        upserts
+    )
+    assert canonicalize(replica.toPandas()).equals(
+        canonicalize(to_df.toPandas())
+    ), ctx_info
