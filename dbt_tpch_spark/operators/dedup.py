@@ -1865,3 +1865,93 @@ oracle(
     ("dedup_minhash_lsh", "documents"),
     _minhash_err_oracle(),
 )
+
+
+# --------------------------------------------------------------------------
+# near-dup cluster purity: crawl echo vs cross-source syndication
+# --------------------------------------------------------------------------
+
+
+@model(
+    "docs_dedup_cluster_purity", layer="operators", materialization="view"
+)
+def docs_dedup_cluster_purity(ctx):
+    """Source composition of each near-dup cluster (size >= 2): member
+    count, distinct sources, the majority source and its share — the
+    report that says whether duplication on THIS corpus is intra-source
+    crawl echo (purity 1.0: fix the crawler) or cross-source syndication
+    (purity < 1: dedup is doing real work). Majority ties break by source
+    name ascending on both engines.
+
+    Scale shape: rides the materialized component labels
+    (dedup_doc_labels), one (cluster, source) aggregate, and a
+    cluster-grain window — no pair-grain work."""
+    from pyspark.sql import Window
+
+    labels = ctx.ref("dedup_doc_labels").select("doc_id", "cluster_id")
+    d = ctx.source("documents").select("doc_id", "source")
+    per_cs = (
+        labels.join(d, "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), "source")
+    top = (
+        per_cs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("source").alias("majority_source"),
+            F.col("n").alias("majority_n"),
+        )
+    )
+    stats = per_cs.groupBy("cluster_id").agg(
+        F.sum("n").cast("long").alias("n_members"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return (
+        stats.join(top, "cluster_id")
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_sources",
+            "majority_source",
+            rnd(
+                F.col("majority_n").cast("double") / F.col("n_members"), 6
+            ).alias("purity"),
+            (F.col("n_sources") > 1).alias("is_cross_source"),
+        )
+    )
+
+
+oracle(
+    "docs_dedup_cluster_purity",
+    ("dedup_doc_labels", "documents"),
+    f"""WITH per_cs AS (
+    SELECT l.cluster_id, d.source, CAST(COUNT(*) AS BIGINT) AS n
+    FROM dedup_doc_labels l
+    JOIN documents d ON l.doc_id = d.doc_id
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT cluster_id, source AS majority_source, n AS majority_n
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cluster_id ORDER BY n DESC, source
+        ) AS rk FROM per_cs
+    ) WHERE rk = 1
+),
+stats AS (
+    SELECT cluster_id,
+        CAST(SUM(n) AS BIGINT) AS n_members,
+        CAST(COUNT(*) AS BIGINT) AS n_sources
+    FROM per_cs GROUP BY 1
+)
+SELECT s.cluster_id, s.n_members, s.n_sources, t.majority_source,
+    {rnd_sql('CAST(t.majority_n AS DOUBLE) / s.n_members', 6)} AS purity,
+    (s.n_sources > 1) AS is_cross_source
+FROM stats s
+JOIN top t ON s.cluster_id = t.cluster_id
+WHERE s.n_members >= 2""",
+)

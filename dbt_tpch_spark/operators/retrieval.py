@@ -1212,3 +1212,87 @@ SELECT
 FROM joined
 GROUP BY source""",
 )
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty of the held-out splits vs the train split
+# --------------------------------------------------------------------------
+
+
+@model("docs_ngram_novelty", layer="operators", materialization="view")
+def docs_ngram_novelty(ctx):
+    """Novelty of the held-out splits: per val/test split, how many of
+    its distinct-per-doc 3-gram shingles never occur in the TRAIN split —
+    the complement of the contamination audit (docs_ngram_decontam flags
+    train docs leaking INTO eval; this measures how much of eval is
+    genuinely unseen, the generalization-vs-memorization denominator an
+    eval harness reports next to its scores). Splits are the engine's
+    deterministic md5 assignment (sampling._split_col), so the metric is
+    stable under corpus growth.
+
+    Scale shape: one corpus shingle explode (checkpointed — it feeds the
+    train vocabulary AND the eval side), a vocabulary-grain distinct, and
+    one hash join on the gram key (the train vocabulary is corpus-growing
+    — Heaps' law — so it is NOT broadcast); the output is 2 rows."""
+    from dbt_tpch_spark.operators.dedup import _shingle3_set_df
+    from dbt_tpch_spark.operators.sampling import _split_col
+
+    toks = _shingle3_set_df(ctx)
+    ex = toks.select(
+        "doc_id",
+        _split_col(F.col("doc_id")).alias("split"),
+        F.explode("words").alias("gram"),
+    ).localCheckpoint(eager=True)
+    train_vocab = (
+        ex.filter(F.col("split") == "train").select("gram").distinct()
+    )
+    ev = ex.filter(F.col("split") != "train")
+    seen = ev.join(
+        train_vocab.withColumn("in_train", F.lit(1)), "gram", "left"
+    )
+    novel = F.sum(
+        F.when(F.col("in_train").isNull(), 1).otherwise(0)
+    ).cast("long")
+    return seen.groupBy("split").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        novel.alias("novel_grams"),
+        rnd(
+            F.sum(F.when(F.col("in_train").isNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
+def _ngram_novelty_oracle() -> str:
+    from dbt_tpch_spark.operators.dedup import _SHINGLE3_DUCK
+    from dbt_tpch_spark.operators.sampling import _split_sql
+
+    return f"""WITH toks AS (
+    SELECT doc_id, {_SHINGLE3_DUCK} AS words FROM documents
+),
+ex AS (
+    SELECT doc_id, {_split_sql('doc_id')} AS split, UNNEST(words) AS gram
+    FROM toks
+),
+tv AS (SELECT DISTINCT gram FROM ex WHERE split = 'train'),
+ev AS (
+    SELECT e.split, e.doc_id,
+        EXISTS (SELECT 1 FROM tv WHERE tv.gram = e.gram) AS in_train
+    FROM ex e WHERE e.split != 'train'
+)
+SELECT split,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(CASE WHEN in_train THEN 0 ELSE 1 END) AS BIGINT)
+        AS novel_grams,
+    {rnd_sql('CAST(SUM(CASE WHEN in_train THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*)', 6)}
+        AS novelty_rate
+FROM ev
+GROUP BY 1"""
+
+
+oracle("docs_ngram_novelty", ("documents",), _ngram_novelty_oracle())

@@ -1153,6 +1153,40 @@ def test_emb_band_stats_reconcile_with_corpus(spark, sf_dir):
             assert abs(r[col] - want) < 1e-5, (col, r[col], want)
 
 
+def test_ngram_novelty_bounds_and_splits(spark, sf_dir):
+    """Novelty rates live in [0, 1], novel <= total, and only the
+    held-out splits appear."""
+    rows = Context(spark, sf_dir).ref("docs_ngram_novelty").collect()
+    assert {r["split"] for r in rows} <= {"val", "test"}
+    for r in rows:
+        assert 0 <= r["novel_grams"] <= r["n_grams"], r
+        assert 0.0 <= r["novelty_rate"] <= 1.0, r
+        assert r["n_docs"] > 0
+
+
+def test_cluster_purity_reconciles_with_labels(spark, sf_dir):
+    """Purity rows must reconcile with the component labels: member
+    counts match the label table's group sizes, purity in (0, 1],
+    majority count integral, cross-source flag consistent."""
+    ctx = Context(spark, sf_dir)
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in ctx.ref("dedup_doc_labels")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["n"] >= 2
+    }
+    rows = ctx.ref("docs_dedup_cluster_purity").collect()
+    assert {r["cluster_id"] for r in rows} == set(sizes)
+    for r in rows:
+        assert r["n_members"] == sizes[r["cluster_id"]], r
+        assert 0.0 < r["purity"] <= 1.0, r
+        maj = r["purity"] * r["n_members"]
+        assert abs(maj - round(maj)) < 1e-3, r
+        assert r["is_cross_source"] == (r["n_sources"] > 1), r
+
+
 def test_pipeline_funnel_reconciles_with_clean_corpus(spark, sf_dir):
     """The funnel must be monotone non-increasing, each stage's removal
     must reconcile with the previous stage, and the terminal stage must

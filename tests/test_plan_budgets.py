@@ -355,6 +355,12 @@ SHUFFLE_BUDGETS = {
     # funnel composes the minhash DAG (7) + quality stats + the hash
     # canonical agg + four scalar stage counts
     "docs_pipeline_funnel": 19,
+    # one checkpointed shingle explode + vocab distinct + gram join +
+    # 2-row split rollup
+    "docs_ngram_novelty": 3,
+    # rides the component-label fixpoint feedstock + (cluster, source)
+    # agg + cluster-grain window + rollup join
+    "docs_dedup_cluster_purity": 8,
 }
 
 
