@@ -1955,3 +1955,70 @@ FROM stats s
 JOIN top t ON s.cluster_id = t.cluster_id
 WHERE s.n_members >= 2""",
 )
+
+
+@model(
+    "docs_quality_by_dup_status", layer="operators", materialization="view"
+)
+def docs_quality_by_dup_status(ctx):
+    """Does near-duplication correlate with quality on THIS corpus? Two
+    rows — documents inside a near-dup cluster (size >= 2) vs uniques —
+    with counts and mean quality score / token count (exact-decimal
+    means). If duplicated docs score LOWER, dedup doubles as a quality
+    filter; if HIGHER, aggressive dedup is deleting good text and the
+    survivor-election policy (docs_quality_survivors) matters more.
+
+    Scale shape: rides the materialized component labels; one cluster-
+    size aggregate + one corpus join + a 2-row rollup."""
+    labels = ctx.ref("dedup_doc_labels").select("doc_id", "cluster_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    flagged = labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        F.when(F.col("csize") >= 2, F.lit("near_dup"))
+        .otherwise(F.lit("unique"))
+        .alias("dup_status"),
+    )
+    stats = ctx.ref("doc_text_stats").select(
+        "doc_id", "quality_score", "n_tokens"
+    )
+    from dbt_tpch_spark.functions import dsum
+
+    return (
+        stats.join(flagged, "doc_id")
+        .groupBy("dup_status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            rnd(
+                dsum(F.col("quality_score")) / F.count(F.lit(1)), 6
+            ).alias("mean_quality"),
+            rnd(
+                dsum(F.col("n_tokens").cast("double")) / F.count(F.lit(1)),
+                6,
+            ).alias("mean_tokens"),
+        )
+    )
+
+
+oracle(
+    "docs_quality_by_dup_status",
+    ("dedup_doc_labels", "doc_text_stats"),
+    f"""WITH sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+    FROM dedup_doc_labels GROUP BY 1
+),
+flagged AS (
+    SELECT l.doc_id,
+        CASE WHEN s.csize >= 2 THEN 'near_dup' ELSE 'unique' END
+            AS dup_status
+    FROM dedup_doc_labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+)
+SELECT f.dup_status,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    {rnd_sql(f"{dsum_sql('t.quality_score')} / COUNT(*)", 6)} AS mean_quality,
+    {rnd_sql(f"{dsum_sql('CAST(t.n_tokens AS DOUBLE)')} / COUNT(*)", 6)} AS mean_tokens
+FROM doc_text_stats t
+JOIN flagged f ON t.doc_id = f.doc_id
+GROUP BY 1""",
+)

@@ -1321,3 +1321,167 @@ SELECT threshold, n_pairs,
            AS pairs_at_or_above
 FROM hist""",
 )
+
+
+# --------------------------------------------------------------------------
+# leave-one-out k-NN label accuracy (embedding-quality gate)
+# --------------------------------------------------------------------------
+
+#: fixed-size deterministic sample for the LOO k-NN report (bottom-k by
+#: salted md5) — the pairwise stage is O(KNN_SAMPLE²) at ANY corpus size.
+KNN_SAMPLE = 256
+KNN_K = 5
+_KNN_SALT = "knn|"
+
+
+@model(
+    "embeddings_knn_label_accuracy",
+    layer="operators",
+    materialization="view",
+)
+def embeddings_knn_label_accuracy(ctx):
+    """Leave-one-out k-NN label accuracy on a fixed-size deterministic
+    sample: each sampled vector is classified by the majority label of
+    its KNN_K nearest sampled neighbors by cosine (ties: higher cosine
+    sum wins, then smaller label) and scored against its own label — the
+    embedding-quality gate that turns label_cohesion's geometry into an
+    accuracy number a model card can state. One row per true label plus
+    counts to compute the overall rate.
+
+    Scale shape: the pairwise stage runs ONLY on the
+    bottom-KNN_SAMPLE-by-md5 sample (bounded_checkpoint-registered); the
+    neighbor rank is a sample-grain window; everything downstream is
+    label-cardinality."""
+    from dbt_tpch_spark.functions import dsum
+    from dbt_tpch_spark.plans.audit import bounded_checkpoint
+
+    e = ctx.source("embeddings")
+    skey = F.md5(
+        F.concat(F.lit(_KNN_SALT), F.col("vec_id").cast("string"))
+    )
+    sample = bounded_checkpoint(
+        _norms(e)
+        .select("vec_id", "label", "emb", "norm", skey.alias("sk"))
+        .orderBy("sk")
+        .limit(KNN_SAMPLE)
+        .drop("sk")
+    )
+    q = sample.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = sample.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("n_label"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = F.expr(DOT_SPARK.format(a="q_emb", b="c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        q.join(c, F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "true_label",
+            "nid",
+            "n_label",
+            rnd(cos, 6).alias("cosine"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    knn = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KNN_K
+    )
+    votes = knn.groupBy("qid", "true_label", "n_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes"),
+        dsum(F.col("cosine")).alias("cos_sum"),
+    )
+    w_v = Window.partitionBy("qid").orderBy(
+        F.desc("n_votes"), F.desc("cos_sum"), "n_label"
+    )
+    pred = (
+        votes.withColumn("vrk", F.row_number().over(w_v))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "qid",
+            "true_label",
+            F.col("n_label").alias("predicted_label"),
+        )
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(
+            F.when(F.col("true_label") == F.col("predicted_label"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        rnd(
+            F.sum(
+                F.when(
+                    F.col("true_label") == F.col("predicted_label"), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def _knn_accuracy_oracle() -> str:
+    from dbt_tpch_spark.models.oracle import dsum_sql
+
+    return f"""WITH sample AS (
+    SELECT vec_id, label, embedding,
+           sqrt({dot_duck('embedding', 'embedding')}) AS norm
+    FROM embeddings
+    ORDER BY md5('{_KNN_SALT}' || CAST(vec_id AS VARCHAR))
+    LIMIT {KNN_SAMPLE}
+),
+scored AS (
+    SELECT
+        q.vec_id AS qid, q.label AS true_label, c.vec_id AS nid,
+        c.label AS n_label,
+        {rnd_sql(f"{dot_duck('q.embedding', 'c.embedding')} / (q.norm * c.norm)", 6)} AS cosine
+    FROM sample q JOIN sample c ON q.vec_id != c.vec_id
+),
+knn AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, nid
+        ) AS rk FROM scored
+    ) WHERE rk <= {KNN_K}
+),
+votes AS (
+    SELECT qid, true_label, n_label,
+        CAST(COUNT(*) AS BIGINT) AS n_votes,
+        {dsum_sql('cosine')} AS cos_sum
+    FROM knn GROUP BY 1, 2, 3
+),
+pred AS (
+    SELECT qid, true_label, n_label AS predicted_label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid
+            ORDER BY n_votes DESC, cos_sum DESC, n_label
+        ) AS vrk FROM votes
+    ) WHERE vrk = 1
+)
+SELECT true_label AS label,
+    CAST(COUNT(*) AS BIGINT) AS n_scored,
+    CAST(SUM(CASE WHEN true_label = predicted_label THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_correct,
+    {rnd_sql('CAST(SUM(CASE WHEN true_label = predicted_label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 6)}
+        AS accuracy
+FROM pred
+GROUP BY 1"""
+
+
+oracle(
+    "embeddings_knn_label_accuracy",
+    ("embeddings",),
+    _knn_accuracy_oracle(),
+)

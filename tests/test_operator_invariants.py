@@ -1153,6 +1153,83 @@ def test_emb_band_stats_reconcile_with_corpus(spark, sf_dir):
             assert abs(r[col] - want) < 1e-5, (col, r[col], want)
 
 
+def test_knn_accuracy_matches_python_loo(spark, sf_dir):
+    """Recompute the LOO k-NN vote in plain Python over the same sample
+    (same md5 sample order, same cosine quantization, same tie-breaks)."""
+    import hashlib
+
+    from dbt_tpch_spark.operators.similarity import (
+        KNN_K,
+        KNN_SAMPLE,
+        _KNN_SALT,
+    )
+
+    ctx = Context(spark, sf_dir)
+    vecs = {
+        r["vec_id"]: (r["label"], r["embedding"])
+        for r in ctx.source("embeddings").collect()
+    }
+    ids = sorted(
+        vecs,
+        key=lambda i: hashlib.md5(f"{_KNN_SALT}{i}".encode()).hexdigest(),
+    )[:KNN_SAMPLE]
+
+    import math
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    norms = {
+        i: math.sqrt(sum(float(x) * float(x) for x in vecs[i][1]))
+        for i in ids
+    }
+    correct: dict = {}
+    totals: dict = {}
+    for qid in ids:
+        scored = []
+        for nid in ids:
+            if nid == qid:
+                continue
+            dot = sum(
+                float(a) * float(b)
+                for a, b in zip(vecs[qid][1], vecs[nid][1])
+            )
+            scored.append(
+                (q6(dot / (norms[qid] * norms[nid])), nid, vecs[nid][0])
+            )
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        top = scored[:KNN_K]
+        votes: dict = {}
+        for cosv, _nid, lab in top:
+            n, s = votes.get(lab, (0, 0.0))
+            votes[lab] = (n + 1, s + cosv)
+        pred = min(votes, key=lambda lb: (-votes[lb][0], -votes[lb][1], lb))
+        lab = vecs[qid][0]
+        totals[lab] = totals.get(lab, 0) + 1
+        if pred == lab:
+            correct[lab] = correct.get(lab, 0) + 1
+    got = {
+        r["label"]: (r["n_scored"], r["n_correct"])
+        for r in ctx.ref("embeddings_knn_label_accuracy").collect()
+    }
+    want = {lb: (totals[lb], correct.get(lb, 0)) for lb in totals}
+    assert got == want
+
+
+def test_quality_by_dup_status_reconciles(spark, sf_dir):
+    """The two dup-status populations must partition the corpus."""
+    ctx = Context(spark, sf_dir)
+    rows = {
+        r["dup_status"]: r
+        for r in ctx.ref("docs_quality_by_dup_status").collect()
+    }
+    assert set(rows) <= {"near_dup", "unique"}
+    n_total = ctx.source("documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_total
+    for r in rows.values():
+        assert r["mean_quality"] is not None and r["mean_tokens"] > 0
+
+
 def test_ngram_novelty_bounds_and_splits(spark, sf_dir):
     """Novelty rates live in [0, 1], novel <= total, and only the
     held-out splits appear."""

@@ -361,6 +361,10 @@ SHUFFLE_BUDGETS = {
     # rides the component-label fixpoint feedstock + (cluster, source)
     # agg + cluster-grain window + rollup join
     "docs_dedup_cluster_purity": 8,
+    # LOO k-NN: post-checkpoint sample-grain window + vote/label aggs
+    "embeddings_knn_label_accuracy": 2,
+    # label feedstock + cluster sizes + corpus join + 2-row rollup
+    "docs_quality_by_dup_status": 7,
 }
 
 
