@@ -1601,8 +1601,14 @@ def dedup_method_agreement(ctx):
     # not from the observed pair set: a detector returning zero pairs must
     # still appear in the agreement matrix with n=0, or the "which detector
     # is loose/tight" report silently drops it
-    methods = ctx.spark.createDataFrame(
-        [(name,) for name, _ in sets], "method string"
+    # createDataFrame of a literal list lands as an opaque LogicalRDD;
+    # mark_bounded records its 3-row bound for the pair-stage invariant
+    from dbt_tpch_spark.plans.audit import mark_bounded
+
+    methods = mark_bounded(
+        ctx.spark.createDataFrame(
+            [(name,) for name, _ in sets], "method string"
+        )
     )
     counted = methods.join(F.broadcast(per_method), "method", "left").select(
         "method", F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs")

@@ -218,6 +218,11 @@ FROM v{PCA_ITERS} v CROSS JOIN lam CROSS JOIN tr""",
 
 RP_DIMS = 16
 RP_SAMPLE_MAX_ID = 32  # distortion report pairs drawn from vec_id < 32
+# a module-constant prefix sample: declare it SF-independent so the
+# pair-stage invariant accepts the all-pairs distortion report over it
+from dbt_tpch_spark.plans.audit import register_bounded_filter  # noqa: E402
+
+register_bounded_filter(f"vec_id < {RP_SAMPLE_MAX_ID}")
 
 
 def _rp_signs() -> list[list[int]]:

@@ -114,8 +114,10 @@ def doc_tfidf_terms(ctx):
         1.0
     )
     tfidf = (F.col("tf").cast("double") / F.col("dl")) * F.col("idf")
+    # termdf is vocab-grain (Heaps-law corpus growth): no hard hint — AQE
+    # broadcasts it while its measured size is small and demotes at scale
     scored = (
-        dtf.join(F.broadcast(termdf), "term")
+        dtf.join(termdf, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("idf", rnd(idf, 6))
         .withColumn("tfidf", rnd(tfidf, 6))
@@ -185,9 +187,11 @@ def docs_bm25_topk(ctx):
         [(qid, t) for qid, terms in QUERIES.items() for t in terms],
         "query_id string, term string",
     )
+    # qterms is a fixed literal set (hard broadcast is safe); termdf is
+    # vocab-grain — hint-free, AQE decides by measured size
     hit = (
         dtf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(termdf), "term")
+        .join(termdf, "term")
         .join(doclens, "doc_id")
         .crossJoin(F.broadcast(totals))
     )
@@ -317,9 +321,10 @@ def doc_bigram_pmi(ctx):
 
     w_rank = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
     return (
+        # unigram tables are vocab-grain: hint-free, AQE decides
         bg.filter(F.col("pair_count") >= PMI_MIN_COUNT)
-        .join(F.broadcast(ug1), "w1")
-        .join(F.broadcast(ug2), "w2")
+        .join(ug1, "w1")
+        .join(ug2, "w2")
         .crossJoin(F.broadcast(totals_src))
         .crossJoin(F.broadcast(u_total))
         .withColumn("pmi", rnd(pmi, 6))
@@ -459,8 +464,9 @@ def source_vocab_divergence(ctx):
     p_s = (F.col("c_sw") + F.lit(1.0)) / (F.col("n_s") + F.col("vocab"))
     p_c = (F.col("c_w") + F.lit(1.0)) / (F.col("n_tokens") + F.col("vocab"))
     contrib = rnd(p_s * F.log(p_s / p_c), 9)
+    # corpus unigram table is vocab-grain: hint-free, AQE decides
     scored = (
-        st.join(F.broadcast(ug), "term")
+        st.join(ug, "term")
         .join(F.broadcast(stot), "source")
         .crossJoin(F.broadcast(tot))
         .withColumn("kl_term", contrib)
@@ -599,8 +605,9 @@ def docs_ngram_decontam(ctx):
     totals = train.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
     )
+    # eval_grams grows with the eval split (Heaps): hint-free, AQE decides
     matched = (
-        train.join(F.broadcast(eval_grams), "gram")
+        train.join(eval_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
     )
@@ -733,9 +740,11 @@ def _tfidf_topk(ctx):
     tscore = rnd(
         F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df")), 6
     )
+    # qterms: fixed literal set (hard hint safe); termdf: vocab-grain,
+    # hint-free so AQE decides by measured size
     scores = (
         dtf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(termdf), "term")
+        .join(termdf, "term")
         .crossJoin(F.broadcast(totals))
         .withColumn("tscore", tscore)
         .groupBy("query_id", "doc_id")

@@ -17,11 +17,16 @@ from pyspark.sql import functions as F
 
 from dbt_tpch_spark.functions import rnd
 from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.plans.audit import register_bounded_filter
 from dbt_tpch_spark.models.oracle import dsum_sql, oracle, rnd_sql
 from dbt_tpch_spark.operators.dedup import DOT_SPARK, dot_duck
 
 TOP_K = 10
 N_QUERIES = 10  # vec_id < 10 act as the query set
+# declare the query-set prefix an SF-independent fixed sample: N_QUERIES is
+# a module constant, never derived from the data, so the pair-stage
+# invariant may treat a side filtered by it as bounded
+register_bounded_filter(f"vec_id < {N_QUERIES}")
 # 8 sign bits -> 256 buckets: sized for the test corpus (500 vectors) so
 # buckets actually collide; a 100 TB deployment raises this with corpus size
 # (and/or multi-probe) to trade recall vs candidate count.
@@ -217,6 +222,9 @@ N_PROBE = 4
 #: deployment would k-means these; the IVF *plan shape* (assign -> probe ->
 #: rank within probed cells) is identical either way.
 CENTROID_LO, CENTROID_HI = 100, 100 + N_CELLS
+# the centroid slice is a fixed N_CELLS-row window of the key space —
+# SF-independent by construction (both bounds are module constants)
+register_bounded_filter(f"vec_id < {CENTROID_HI}")
 
 
 @model("ann_ivf_topk", layer="operators", materialization="view")

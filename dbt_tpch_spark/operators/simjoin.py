@@ -535,11 +535,12 @@ def customers_linkage_scores(ctx):
         return per_v.agg(
             dsum(rnd(p * p, 12)).alias(f"u_{field}")
         )
-    u = (
-        _u("nation")
-        .crossJoin(_u("segment"))
-        .crossJoin(_u("band"))
-        .localCheckpoint(eager=True)
+    # 1-row frame; bounded_checkpoint keeps its SF-independence visible to
+    # the pair-stage invariant after the checkpoint erases provenance
+    from dbt_tpch_spark.plans.audit import bounded_checkpoint
+
+    u = bounded_checkpoint(
+        _u("nation").crossJoin(_u("segment")).crossJoin(_u("band"))
     )
 
     def _w(field):

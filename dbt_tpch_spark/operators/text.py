@@ -272,8 +272,10 @@ def doc_unigram_surprisal(ctx):
     surprisal = -F.log(
         (F.col("c_w") + F.lit(1.0)) / (F.col("n_tokens") + F.col("vocab"))
     )
+    # the unigram LM is vocab-grain (Heaps-law growth): hint-free, AQE
+    # broadcasts it while small and demotes at scale
     scored = (
-        dtf.join(F.broadcast(ug), "term")
+        dtf.join(ug, "term")
         .crossJoin(F.broadcast(totals))
         .withColumn("tok_surprisal", rnd(surprisal, 6))
     )
@@ -792,9 +794,11 @@ def doc_bigram_surprisal(ctx):
     surprisal = -F.log(
         (F.col("c_bg") + F.lit(1.0)) / (F.col("c_prev") + F.col("v"))
     )
+    # bigram/context LMs are vocab-grain (bigram table grows faster than
+    # Heaps): hint-free, AQE decides by measured size; vocab is one row
     scored = (
-        dtf.join(F.broadcast(bc), ["prev", "w"])
-        .join(F.broadcast(cc), "prev")
+        dtf.join(bc, ["prev", "w"])
+        .join(cc, "prev")
         .crossJoin(F.broadcast(vocab))
         .withColumn("tok_surprisal", rnd(surprisal, 9))
     )
@@ -1016,8 +1020,9 @@ def docs_dsir_weights(ctx):
     resampling pass.
 
     Scale shape: one token explode -> (doc, term) aggregate; both LMs are
-    vocabulary-grain aggregates that broadcast (Heaps-law bounded — the
-    documented vocab-broadcast exception); totals ride 1-row broadcasts.
+    vocabulary-grain aggregates joined hint-free (AQE broadcasts them
+    while small; Heaps-law growth rules out a hard hint); totals ride
+    1-row broadcasts.
     Per-token ratios are 6-dp-quantized then decimal-summed so the
     per-doc average is accumulation-order-free."""
     from dbt_tpch_spark.functions import dsum
@@ -1051,9 +1056,11 @@ def docs_dsir_weights(ctx):
         F.col("n_t") + F.col("vocab")
     )
     p_c = (F.col("c_c") + F.lit(1.0)) / (F.col("n_c") + F.col("vocab"))
+    # both unigram LMs are vocab-grain: hint-free, AQE decides by
+    # measured size (Heaps-law growth rules out a hard hint)
     scored = (
-        dtf.join(F.broadcast(ug_c), "term")
-        .join(F.broadcast(ug_t), "term", "left")
+        dtf.join(ug_c, "term")
+        .join(ug_t, "term", "left")
         .crossJoin(F.broadcast(totals))
         .withColumn("tok_lr", rnd(F.log(p_t / p_c), 6))
     )
@@ -1189,10 +1196,11 @@ def lm_heldout_perplexity(ctx):
         (F.coalesce(F.col("c_bg"), F.lit(0)) + F.lit(1.0))
         / (F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v"))
     )
+    # train LMs are vocab-grain: hint-free, AQE decides; vocab is one row
     scored = (
         dtf.filter(~F.col("is_train"))
-        .join(F.broadcast(bc), ["prev", "w"], "left")
-        .join(F.broadcast(cc), "prev", "left")
+        .join(bc, ["prev", "w"], "left")
+        .join(cc, "prev", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn("tok_nll", rnd(nll, 9))
     )

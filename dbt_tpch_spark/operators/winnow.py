@@ -113,8 +113,10 @@ def docs_boilerplate_ngrams(ctx):
     per_doc = ds.groupBy("doc_id", "lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles")
     )
+    # the boilerplate census is shingle-grain (corpus-growing): hint-free,
+    # AQE broadcasts while small and demotes at scale
     boiled = (
-        ds.join(F.broadcast(df_census.select("shingle")), "shingle")
+        ds.join(df_census.select("shingle"), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_boiler"))
     )

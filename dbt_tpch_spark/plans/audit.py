@@ -35,11 +35,11 @@ _UNBOUNDED_KEY = re.compile(
 #: vocabulary grains (shingles, terms, tokens, n-grams) also grow with the
 #: corpus — sub-linearly (Heaps' law), but unboundedly: a window over a
 #: term-grain aggregate still funnels a corpus-growing frame through one
-#: task, so the WINDOW invariant treats them as unbounded.  Broadcasts of
-#: vocab-grain aggregates are the documented exception (a df/vocab lookup
-#: table is tens of MB at web scale — the canonical broadcast-dimension
-#: shape for TF-IDF/BM25/PMI), so broadcast_hint_offenders uses
-#: _UNBOUNDED_KEY alone.
+#: task, so both the WINDOW and the BROADCAST invariants treat them as
+#: unbounded (round-6 verdict #7: a hard-hinted vocab broadcast is the
+#: same OOM class on a Heaps-law curve).  Vocab lookup joins (TF-IDF/
+#: BM25/PMI df tables) route through ``gated_broadcast`` on a measured
+#: count — the gate, not a hard hint, decides.
 _VOCAB_KEY = re.compile(r"(^|_)(shingle|term|token|ngram|gram|bigram)s?$")
 
 
@@ -126,12 +126,17 @@ def broadcast_hint_offenders(df: DataFrame) -> list:
 
     A hinted side flags when its nearest Aggregate below groups by an
     SF-linear grain (``*_key``/``*_id``/graph-node columns — the same
-    _UNBOUNDED_KEY the window invariant uses, round-4 verdict).  Exempt:
-    scalar aggregates (empty grain), bounded-domain grains
+    _UNBOUNDED_KEY the window invariant uses, round-4 verdict) OR a
+    vocabulary grain (shingle/term/token/gram — _VOCAB_KEY): vocab
+    cardinality grows with the corpus under Heaps' law, so a hard-hinted
+    vocab broadcast is the same guaranteed-OOM class, just on a slower
+    curve (round-6 verdict #7; gated sites route through
+    ``gated_broadcast`` on a measured count instead).  Exempt: scalar
+    aggregates (empty grain), bounded-domain grains
     (month/nation/status/bucket…), GlobalLimit/WindowGroupLimit-capped
-    subtrees, vocab grains (see _VOCAB_KEY), and hint-free subtrees (raw
-    dimension broadcasts are selectivity-reviewed case by case; only the
-    aggregate shape is mechanically decidable)."""
+    subtrees, and hint-free subtrees (raw dimension broadcasts are
+    selectivity-reviewed case by case; only the aggregate shape is
+    mechanically decidable)."""
     plan = df._jdf.queryExecution().optimizedPlan()
     bad = []
     for n in _walk(plan):
@@ -141,7 +146,12 @@ def broadcast_hint_offenders(df: DataFrame) -> list:
             grain = _nearest_aggregate_grain(child)
             if grain is None:
                 continue
-            hot = [g for g in grain if _UNBOUNDED_KEY.search(g.lower())]
+            hot = [
+                g
+                for g in grain
+                if _UNBOUNDED_KEY.search(g.lower())
+                or _VOCAB_KEY.search(g.lower())
+            ]
             if hot:
                 bad.append(["sf-linear-broadcast", "LR"[idx]] + hot)
     return bad
@@ -187,40 +197,156 @@ _BOUNDED_LEAVES = {
     "Range",
 }
 
-#: a Filter like ``vec_id#12L < 32`` on a dense key column is a fixed
-#: id-prefix sample (keys are dense 1..N, FIXTURES.md) — SF-independent.
-_ID_PREFIX_FILTER = re.compile(r"\b(\w+)#\d+L? <=? \d+")
+#: single-child operators that never INCREASE cardinality — the bounding
+#: node search may pass through them.  Everything else (Join, Generate/
+#: explode, Expand, unknown nodes) stops the walk: a bounded leaf BELOW a
+#: corpus-multiplying node does not bound the subtree root (round-6
+#: ADVICE — the old whole-subtree walk accepted exactly that shape).
+_CARDINALITY_PRESERVING = {
+    "Project",
+    "Filter",
+    "Sort",
+    "LocalLimit",
+    "Sample",
+    "Deduplicate",
+    "Window",
+    "Repartition",
+    "RepartitionByExpression",
+    "RebalancePartitions",
+    "SubqueryAlias",
+    "Tail",
+    "WithWatermark",
+    "ResolvedHint",
+}
+
+#: grouping-column ALLOWLIST for the pair-stage boundedness walk: an
+#: Aggregate bounds its subtree only when every grouping column is a
+#: known fixed-domain grain (calendar parts, enum-ish dimension
+#: attributes, fixed bucket/cell indices).  Suffix-anchored so e.g.
+#: ``band_idx`` (fixed band count) matches but ``band_hash`` (hash of a
+#: corpus-growing shingle set) does not.  Unknown grains do NOT bound —
+#: they fall through to the aggregate's input chain (round-6 ADVICE: the
+#: old blacklist let ``content_hash``/``word`` grains pass as bounded).
+_BOUNDED_GRAIN = re.compile(
+    r"(^|_)("
+    r"month|year|week|day|dow|hour|date|"  # calendar parts
+    r"lang|language|source|label|status|returnflag|linestatus|flag|"
+    r"segment|mktsegment|priority|mode|type|brand|region|nation|size|"
+    r"bucket|bin|cell|cluster|decile|quartile|ntile|band_idx|probe|grp|"
+    r"method"  # detector/algorithm labels: fixed literal sets
+    r")$"
+)
+
+#: literal filter predicates the engine has DECLARED to be SF-independent
+#: fixed samples (normalized form — see :func:`register_bounded_filter`).
+#: Replaces the round-5 ``col <= N`` regex exemption, which accepted ANY
+#: literal comparison on a key-named column without knowing the literal is
+#: SF-independent (round-6 ADVICE).
+_BOUNDED_FILTER_PREDS: set[str] = set()
+
+_EXPR_ID = re.compile(r"#\d+L?\b")
+
+
+def _norm_pred(s: str) -> str:
+    """Canonical form of a predicate string: expression ids stripped,
+    parens removed, whitespace collapsed, lowercased — so a registered
+    source-code literal (``vec_id < 10``) matches Catalyst's rendering
+    (``(vec_id#12L < 10)``)."""
+    return " ".join(
+        _EXPR_ID.sub("", s).replace("(", " ").replace(")", " ").lower().split()
+    )
+
+
+def register_bounded_filter(predicate: str) -> str:
+    """Declare a literal filter predicate (e.g. ``"vec_id < 10"``) an
+    SF-independent fixed sample: the bound is a module constant, not a
+    scale-dependent value, so a Filter carrying this exact conjunct bounds
+    its subtree for :func:`pair_stage_offenders`.  Registration is the
+    engine author asserting SF-independence — the audit no longer infers
+    it from the filter's shape.  Phrase the predicate on the SOURCE column
+    name: predicate pushdown rewrites filters below rename-Projects before
+    the audit walks the optimized plan.  Returns ``predicate`` unchanged
+    so call sites can register inline."""
+    _BOUNDED_FILTER_PREDS.add(_norm_pred(predicate))
+    return predicate
+
+
+def _conjuncts(expr):
+    """Top-level AND conjuncts of a Catalyst expression, split
+    structurally (not by substring on the rendered string)."""
+    out, stack = [], [expr]
+    while stack:
+        e = stack.pop()
+        if e.getClass().getSimpleName() == "And":
+            stack.append(e.left())
+            stack.append(e.right())
+        else:
+            out.append(e)
+    return out
+
+
+def _has_equality_conjunct(cond_option) -> bool:
+    """True if the (Option-wrapped) join condition has a top-level
+    EqualTo/EqualNullSafe conjunct — checked by Catalyst node class, not
+    by ``' = '`` substring (which a CaseWhen nested inside a pure theta
+    comparison also renders — round-6 ADVICE false-pass)."""
+    if not cond_option.isDefined():
+        return False
+    return any(
+        c.getClass().getSimpleName() in ("EqualTo", "EqualNullSafe")
+        for c in _conjuncts(cond_option.get())
+    )
+
+
+def _grain_names(agg_node) -> list:
+    exprs = agg_node.groupingExpressions()
+    names = []
+    for i in range(exprs.size()):
+        s = exprs.apply(i).toString()
+        names.append(s.split("#")[0].split(".")[-1].strip("'`"))
+    return names
 
 
 def _subtree_bounded(node) -> bool:
-    """True if the subtree's row count has an SF-independent bound:
+    """True if the subtree's row count has an SF-independent bound,
+    established along the cardinality-preserving input chain only:
     a GlobalLimit/WindowGroupLimit cap, a literal relation, an Aggregate
-    at bounded-domain grain (or scalar), or a checkpointed frame the
-    engine registered via :func:`mark_bounded`."""
-    for m in _walk(node):
-        nn = m.nodeName()
-        if nn in _BOUNDED_LEAVES:
+    whose every grouping column is an allowlisted fixed-domain grain
+    (or a scalar aggregate), a Filter carrying a registered
+    fixed-sample predicate, or a checkpointed frame registered via
+    :func:`mark_bounded`.  The walk stops at Join/Generate/Expand and
+    unknown nodes — a bound below a cardinality-multiplying operator
+    does not bound the root."""
+    nn = node.nodeName()
+    if nn in _BOUNDED_LEAVES:
+        return True
+    if nn == "LogicalRDD":
+        return node.rdd().id() in _BOUNDED_RDD_IDS
+    if nn == "Filter":
+        if any(
+            _norm_pred(c.toString()) in _BOUNDED_FILTER_PREDS
+            for c in _conjuncts(node.condition())
+        ):
             return True
-        if nn == "LogicalRDD" and m.rdd().id() in _BOUNDED_RDD_IDS:
+        return _subtree_bounded(node.children().apply(0))
+    if nn == "Aggregate":
+        names = _grain_names(node)
+        # all([]) is True: a scalar aggregate is one row regardless of input
+        if all(_BOUNDED_GRAIN.search(g.lower()) for g in names):
             return True
-        if nn == "Filter":
-            cond = m.condition().toString()
-            if any(
-                _UNBOUNDED_KEY.search(c.lower())
-                for c in _ID_PREFIX_FILTER.findall(cond)
-            ):
-                return True
-        if nn == "Aggregate":
-            exprs = m.groupingExpressions()
-            names = []
-            for i in range(exprs.size()):
-                s = exprs.apply(i).toString()
-                names.append(s.split("#")[0].split(".")[-1].strip("'`"))
-            if not any(
-                _UNBOUNDED_KEY.search(g.lower()) or _VOCAB_KEY.search(g.lower())
-                for g in names
-            ):
-                return True
+        # an aggregate never increases cardinality: a bounded input chain
+        # still bounds it even at an unknown grain
+        return _subtree_bounded(node.children().apply(0))
+    if nn in ("Union", "Join", "Intersect", "Except"):
+        # a union/join of bounded inputs is bounded (|A ⋈ B| ≤ |A|·|B|,
+        # both SF-independent); a join with ONE unbounded side is not —
+        # the walk does not stop here, it demands every input bounded
+        return all(
+            _subtree_bounded(node.children().apply(i))
+            for i in range(node.children().size())
+        )
+    if nn in _CARDINALITY_PRESERVING and node.children().size() == 1:
+        return _subtree_bounded(node.children().apply(0))
     return False
 
 
@@ -229,24 +355,26 @@ def pair_stage_offenders(df: DataFrame) -> list:
     NEITHER input subtree is provably bounded — the all-pairs scale-killer
     class (round-5 verdict): output grows O(n·m) with the corpus, unlike an
     equi-join whose output is bounded by key-collision structure. A join
-    passes if either side carries a GlobalLimit / fixed-size sample /
-    bounded-grain aggregate / registered bounded checkpoint (then output
-    is O(n·S) with S fixed — ordinary SF-linear cost)."""
+    passes if either side carries a GlobalLimit / registered fixed-sample
+    filter / allowlisted-grain aggregate / registered bounded checkpoint
+    (then output is O(n·S) with S fixed — ordinary SF-linear cost).
+    Equality conjuncts are detected structurally (EqualTo/EqualNullSafe
+    node class after a top-level And split), and boundedness is searched
+    only along the cardinality-preserving input chain (round-6 ADVICE
+    closed both false-pass holes of the round-5 version)."""
     plan = df._jdf.queryExecution().optimizedPlan()
     bad = []
     for n in _walk(plan):
         if n.nodeName() != "Join":
             continue
-        cond = n.condition()
-        s = cond.get().toString() if cond.isDefined() else ""
-        # " = " catches equality conjuncts; "<=>" the null-safe form.
-        # ("<=", ">=", "!=" render without a space before '=')
-        if " = " in s or "<=>" in s:
+        if _has_equality_conjunct(n.condition()):
             continue
         left = n.children().apply(0)
         right = n.children().apply(1)
         if _subtree_bounded(left) or _subtree_bounded(right):
             continue
+        cond = n.condition()
+        s = cond.get().toString() if cond.isDefined() else ""
         bad.append(
             ["unbounded-pair-join", n.joinType().toString(), s[:100]]
         )

@@ -20,9 +20,10 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 #: per-query verdicts accumulated across the parametrized sweep; dumped to
-#: PARITY_r{N}.json at interpreter exit so the judge can audit the full
-#: 194-query parity result without re-running the 15-minute pytest session
-#: (round-4 verdict #8). N = 1 + the highest recorded CORRECTNESS round.
+#: PARITY_r{N}.json at interpreter exit so the judge can audit the parity
+#: result for every registered query (trust len(QUERIES), not a hardcoded
+#: count) without re-running the multi-minute pytest session (round-4
+#: verdict #8). N = 1 + the highest recorded CORRECTNESS round.
 _PARITY_RESULTS: dict[str, dict] = {}
 _REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 

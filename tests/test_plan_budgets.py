@@ -524,8 +524,19 @@ def test_pair_stage_invariant_catches_unbounded_theta_join(spark, sf_dir):
     assert not _pair_stage_offenders(
         a.join(capped, F.col("vec_a") < F.col("vec_b"))
     )
-    # one side a fixed id-prefix filter: exempt
-    prefix = b.filter(F.col("vec_b") < 32)
+    # an UNREGISTERED literal prefix filter no longer exempts (round-6
+    # ADVICE: the old regex accepted any ``col <= N`` without knowing N is
+    # SF-independent) ...
+    prefix = b.filter(F.col("vec_b") < 31)
+    assert _pair_stage_offenders(
+        a.join(prefix, F.col("vec_a") < F.col("vec_b"))
+    ), "unregistered prefix filter must not bound"
+    # ... but a predicate the engine DECLARED as a fixed sample does
+    # (registered on the SOURCE column name: predicate pushdown rewrites
+    # the filter below any rename-Project before the audit sees it)
+    from dbt_tpch_spark.plans.audit import register_bounded_filter
+
+    register_bounded_filter("vec_id < 31")
     assert not _pair_stage_offenders(
         a.join(prefix, F.col("vec_a") < F.col("vec_b"))
     )
@@ -560,6 +571,91 @@ def test_window_invariant_flags_vocab_grain(spark, sf_dir):
     assert _unpartitioned_window_offenders(ranked), (
         "term-grain unpartitioned window not caught"
     )
+
+
+def test_pair_stage_boundedness_closes_round6_advice_holes(spark, sf_dir):
+    """The three false-pass holes the round-6 ADVICE found in
+    _subtree_bounded / pair_stage_offenders, each as the exact shape that
+    used to slip through:
+
+    1. an Aggregate grouped on a CONTINUOUS column (SF-linear NDV) above a
+       theta join used to count as bounded (the old blacklist only knew
+       *key/*id/vocab grains);
+    2. a bounded leaf BELOW a corpus-sized join used to bound the whole
+       subtree (the old walk scanned every descendant);
+    3. a ``' = '`` substring inside a nested CaseWhen / NOT(=) used to
+       read as an equality conjunct (now detected structurally)."""
+    from pyspark.sql import functions as F
+
+    e = Context(spark, sf_dir).source("embeddings").select("vec_id")
+    emb = Context(spark, sf_dir).source("embeddings")
+    a = e.withColumnRenamed("vec_id", "vec_a")
+    b = e.withColumnRenamed("vec_id", "vec_b")
+
+    # 1. continuous-double grain is NOT a bounded domain: the aggregate's
+    # NDV grows with SF, so a theta join against it must flag
+    cont = (
+        emb.select((F.col("vec_id") * 1.00001).alias("score"))
+        .groupBy("score")
+        .agg(F.count("*").alias("n"))
+    )
+    assert _pair_stage_offenders(
+        a.join(cont, F.col("vec_a") < F.col("score"))
+    ), "continuous-grain aggregate must not bound a pair join"
+
+    # 2. a GlobalLimit below a corpus-multiplying join does not bound the
+    # join's output: corpus x corpus with a capped side GLUED UNDER one
+    # side via a third join must still flag
+    capped = b.orderBy("vec_b").limit(4)
+    fat = a.crossJoin(capped.withColumnRenamed("vec_b", "vec_c"))
+    assert _pair_stage_offenders(
+        fat.join(b, F.col("vec_a") < F.col("vec_b"))
+    ), "bounded leaf below a join must not bound the subtree root"
+
+    # 3. equality text inside a non-equality condition is not an equality
+    # conjunct: NOT(a = b) and a CaseWhen containing '=' must both flag
+    assert _pair_stage_offenders(
+        a.join(b, ~(F.col("vec_a") == F.col("vec_b")))
+    ), "NOT(=) must not read as an equality conjunct"
+    nested = a.join(
+        b,
+        F.when(F.col("vec_a") % 2 == 0, F.col("vec_a")).otherwise(
+            F.lit(0)
+        )
+        < F.col("vec_b"),
+    )
+    assert _pair_stage_offenders(
+        nested
+    ), "CaseWhen '=' text must not read as an equality conjunct"
+
+    # sanity: a join of two BOUNDED sides (scalar aggregates crossed) is
+    # bounded even though the bounding node is a Join
+    tot_a = a.agg(F.count("*").alias("na"))
+    tot_b = b.agg(F.count("*").alias("nb"))
+    totals = tot_a.crossJoin(tot_b)
+    assert not _pair_stage_offenders(
+        a.crossJoin(totals)
+    ), "a cross of two scalar aggregates is bounded"
+
+
+def test_broadcast_invariant_flags_vocab_grain_hint(spark, sf_dir):
+    """Round-6 verdict #7: a hard ``F.broadcast`` hint on a vocabulary-
+    grain aggregate (distinct grams/terms) must flag — vocab cardinality
+    grows with the corpus under Heaps' law, so the hint is the same
+    guaranteed-OOM class as a key-grain broadcast, just on a slower
+    curve. The hint-free join passes (AQE decides by measured size)."""
+    from pyspark.sql import functions as F
+
+    d = Context(spark, sf_dir).source("documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    grams = toks.groupBy("term").agg(F.count("*").alias("df"))
+    hinted = toks.join(F.broadcast(grams), "term")
+    assert _broadcast_hint_offenders(hinted), (
+        "hinted vocab-grain broadcast not caught"
+    )
+    assert not _broadcast_hint_offenders(toks.join(grams, "term"))
 
 
 def test_pagerank_copartition_mode_has_no_state_broadcast(spark, sf_dir):
