@@ -39,16 +39,15 @@ NO_ORACLE: tuple[str, ...] = ()
 #: or more representatives of each LLM-pipeline/streaming/sketch family.
 #: Everything else follows in registry order (and stays oracle-checked by
 #: the repo's own parity sweep, tests/test_parity.py).
-#: Round-6 rotation (VERDICT r5 #3): 108 of 253 queries still had no
-#: driver row after r5 (cumulative union 145). This window keeps a
-#: 12-query stable anchor core (one per operator family, comparable
-#: across rounds — the 4 dropped anchors each have 2+ green driver rows
-#: already), re-witnesses the three pair-stage queries whose plans were
-#: bounded this round plus the two new queries (CDC audit, LSH recall
-#: harness), and fills the rest with never-driver-verified queries in
-#: the r5 verdict's priority order: the modeleval family, the r5 stats
-#: additions, rank statistics, BPE, LSH planner, ROLLUP, survival,
-#: perplexity.
+#: Round-7 rotation (VERDICT r6 #1): 80 of 263 queries had no driver row
+#: after r6 (cumulative union 183). This window keeps the same 12-query
+#: stable anchor core (one per operator family, comparable across
+#: rounds), then fills every remaining slot with never-driver-verified
+#: queries in the r6 verdict's priority order: the 8 queries added after
+#: the round-6 window froze, the new true-readStream witness (r6 #6),
+#: then the oldest never-witnessed families — simjoin/linkage beyond
+#: PPJoin, sketch variants, the temporal/as-of tails, and the PQ/RP
+#: embedding compression family.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # stable anchor core (P/F/J/A/W + one head per pipeline family)
     "ods_orders",
@@ -63,47 +62,51 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "docs_bm25_topk",
     "parts_pagerank",
     "tpch_q06_forecast_revenue",
-    # pair-stage plans bounded this round: re-witness, plus the two new
-    # queries (table-format CDC audit, embedding-LSH recall harness)
-    "dedup_embedding_cosine",
-    "embeddings_xlabel_margin",
-    "embeddings_dup_threshold_curve",
-    "txn_snapshot_diff",
-    "dedup_embedding_lsh_recall",
-    # never-driver-verified rotation (33)
-    "doc_quality_auc",
-    "doc_quality_pr_auc",
-    "doc_quality_calibration",
-    "doc_quality_mcnemar",
-    "doc_langid_kappa",
-    "vocab_zipf_fit",
-    "vocab_heaps_fit",
-    "events_user_spearman",
-    "events_ab_welch",
-    "events_ab_cuped",
-    "events_ab_srm_check",
-    "order_mean_jackknife_ci",
-    "events_ratio_metric_ci",
-    "bpe_train_merges",
-    "lsh_band_collision_stats",
-    "orders_rollup_revenue",
-    "docs_quality_quantile_norm",
-    "docs_l_diversity",
-    "events_mad_anomaly",
-    "events_boxplot_stats",
-    "events_hll_sliding_users",
-    "docs_fd_violations",
-    "source_loo_impact",
-    "docs_quality_survivors",
-    "dedup_lsh_recall_report",
-    "parts_degree_assortativity",
-    "user_survival_km",
-    "lm_heldout_perplexity",
-    "events_ks_test",
-    "events_mannwhitney",
-    "events_benford",
-    "customer_gini",
-    "order_trimmed_mean",
+    # the 8 round-6 post-freeze additions (VERDICT r6 #1 priority head)
+    "docs_bpe_token_counts",
+    "kmeans_silhouette_sample",
+    "docs_pipeline_funnel",
+    "docs_ngram_novelty",
+    "docs_dedup_cluster_purity",
+    "docs_quality_by_dup_status",
+    "embeddings_knn_label_accuracy",
+    "emb_lsh_band_stats",
+    # the true-readStream witness added this round (VERDICT r6 #6)
+    "events_stream_tumbling_10m",
+    # simjoin / record-linkage / dedup-report family (never witnessed)
+    "customers_linkage_scores",
+    "customers_entity_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_signatures",
+    "dedup_ngram_containment",
+    "dedup_doc_labels",
+    "dedup_source_matrix",
+    "doc_winnow_fingerprints",
+    # sketch variants (never witnessed)
+    "customers_bloom_prune",
+    "lineitem_joinsize_cms",
+    "joinsize_ndv_estimate",
+    "lineitem_skew_report",
+    "events_schema_drift",
+    # temporal / as-of tails (never witnessed)
+    "events_range_context",
+    "events_asof_nearest",
+    "events_time_rollup",
+    "events_seasonal_anomaly",
+    "events_incremental_rollup_check",
+    "events_attribution",
+    "daily_revenue_acf",
+    "daily_revenue_theilsen",
+    "user_interarrival_burstiness",
+    "events_temporal_split_embargo",
+    # embedding compression / projection family (never witnessed)
+    "embeddings_pq_codes",
+    "ann_pq_rotated_topk",
+    "embeddings_random_projection",
+    "embeddings_rp_distortion",
+    # multimodal Arrow path (never witnessed)
+    "multimodal_features",
+    "multimodal_frame_sample",
 )
 
 

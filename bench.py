@@ -221,6 +221,8 @@ def main() -> None:
         cpu_secs: dict[str, float] = {}
         inflation: dict[str, float] = {}
         reruns: dict[str, list[float]] = {}
+        rerun_errors: dict[str, str] = {}
+        needs_adjudication: dict[str, dict] = {}
         total = 0.0
         cpu_before = _cpu_total_ns(spark)
         for name in names:
@@ -230,21 +232,59 @@ def main() -> None:
                 cpu_before = _cpu_total_ns(spark)
                 continue
             cpu_after = _cpu_total_ns(spark)
+            cpu1 = (
+                (cpu_after - cpu_before) / 1e9
+                if cpu_before is not None and cpu_after is not None
+                else None
+            )
+            cpu_sec = cpu1
             # contention adjudication: a measurement >RERUN_FACTOR x the
             # recorded best at this SF is re-taken once; keep the faster
             # (a host burst inflates one sample, not both) and record both
             if name in best and elapsed > RERUN_FACTOR * best[name]:
+                cpu_mid = cpu_after
                 second = run_once(name)
                 cpu_after = _cpu_total_ns(spark)
-                if second is not None:
+                if second is None:
+                    # the FIRST sample succeeded — a failed re-measure is a
+                    # rerun problem, not a broken query: keep the first
+                    # timing + cpu and log the traceback separately so the
+                    # record never shows one query both timed and broken
+                    rerun_errors[name] = errors.pop(name, "")
+                    cpu_after = cpu_mid
+                else:
                     reruns[name] = [round(elapsed, 3), round(second, 3)]
-                    elapsed = min(elapsed, second)
+                    cpu2 = (
+                        (cpu_after - cpu_mid) / 1e9
+                        if cpu_mid is not None and cpu_after is not None
+                        else None
+                    )
+                    if second < elapsed:
+                        elapsed, cpu_sec = second, cpu2
+                    if elapsed > RERUN_FACTOR * best[name]:
+                        # PERSISTENT >2x: the auto-rerun did not absorb it,
+                        # so don't silently accept the number — record the
+                        # adjudication evidence (flat cpu vs best-round cpu
+                        # = host contention; inflated cpu too = plan or
+                        # feedstock regression) for a PLANS.md entry
+                        needs_adjudication[name] = {
+                            "samples_wall_sec": reruns[name],
+                            "samples_cpu_sec": [
+                                round(c, 3) if c is not None else None
+                                for c in (cpu1, cpu2)
+                            ],
+                            "best_wall_sec": round(best[name], 3),
+                            "inflation_vs_best": round(
+                                elapsed / best[name], 2
+                            ),
+                            "loadavg_now": _loadavg(),
+                        }
             timings[name] = round(elapsed, 3)
             total += elapsed
             if name in best and best[name] > 0:
                 inflation[name] = round(elapsed / best[name], 2)
-            if cpu_before is not None and cpu_after is not None:
-                cpu_secs[name] = round((cpu_after - cpu_before) / 1e9, 3)
+            if cpu_sec is not None:
+                cpu_secs[name] = round(cpu_sec, 3)
             cpu_before = cpu_after
 
         # full-DAG warehouse build: the engine analogue of the reference's
@@ -299,12 +339,19 @@ def main() -> None:
         # contention self-adjudication (VERDICT r5 #5): host load before/
         # after, per-query wall vs the best recorded wall at this SF, and
         # the both-samples record for any query the >2x rule re-measured
-        # (cpu_sec for a re-measured query spans both samples)
+        # (cpu_sec reports the KEPT sample). A query still >2x after its
+        # re-measure lands in needs_adjudication with wall+cpu for both
+        # samples (VERDICT r6 #5) — the record self-explains instead of
+        # silently accepting the number.
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
         "inflation_vs_best": inflation,
         "reruns": reruns,
     }
+    if needs_adjudication:
+        record["needs_adjudication"] = needs_adjudication
+    if rerun_errors:
+        record["rerun_errors"] = rerun_errors
     if errors:
         record["errors"] = errors
     print(json.dumps(record))

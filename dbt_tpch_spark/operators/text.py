@@ -1554,9 +1554,13 @@ def docs_bpe_token_counts(ctx):
     applied = d.crossJoin(F.broadcast(mrow))
     expr = ltext
     for i in range(1, BPE_ROUNDS + 1):
-        expr = F.replace(
-            expr, F.col(f"mp{i}"), F.lit(chr(BPE_MERGE_BASE + i))
-        )
+        # a degenerate corpus can exhaust merges before BPE_ROUNDS rounds:
+        # mp{i} is then NULL and replace(text, NULL, ...) would null the
+        # whole text — coalesce the needle to a control-char bigram that
+        # never occurs in text, making the exhausted round a no-op (the
+        # DuckDB oracle applies the same guard)
+        needle = F.coalesce(F.col(f"mp{i}"), F.lit("\x01\x01"))
+        expr = F.replace(expr, needle, F.lit(chr(BPE_MERGE_BASE + i)))
     nosp_b = F.length(F.replace(ltext, F.lit(" "), F.lit("")))
     nosp_a = F.length(F.replace(expr, F.lit(" "), F.lit("")))
     per = applied.select(
@@ -1584,9 +1588,12 @@ def docs_bpe_token_counts(ctx):
 def _bpe_apply_oracle() -> str:
     expr = "lower(trim(text))"
     for i in range(1, BPE_ROUNDS + 1):
+        # same exhausted-round guard as the Spark side: a missing round's
+        # merge pair coalesces to a never-present control-char bigram
         expr = (
-            f"replace({expr}, (SELECT merged_pair FROM bpe_train_merges"
-            f" WHERE round = {i}), chr({BPE_MERGE_BASE + i}))"
+            f"replace({expr}, coalesce((SELECT merged_pair FROM"
+            f" bpe_train_merges WHERE round = {i}), chr(1) || chr(1)),"
+            f" chr({BPE_MERGE_BASE + i}))"
         )
     return f"""WITH applied AS (
     SELECT source,

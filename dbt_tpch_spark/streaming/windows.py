@@ -350,6 +350,60 @@ def streaming_tumbling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: monotone suffix so repeated drains never collide on the memory-sink
+#: table name within one SparkSession
+import itertools as _itertools
+
+_STREAM_DRAIN_SEQ = _itertools.count()
+
+
+@model(
+    "events_stream_tumbling_10m", layer="streaming", materialization="view"
+)
+def events_stream_tumbling_10m(ctx):
+    """TRUE Structured Streaming execution surfaced as an oracle-checked
+    query: the readStream tumbling twin (file source -> 1 h watermark ->
+    10-minute windowed aggregate) runs to completion under
+    ``trigger(availableNow=True)`` into a memory sink, and the drained
+    result is the query output. With a static file source nothing is
+    late, so the result provably equals the batch form — the oracle is
+    the batch twin's SQL, which makes this the driver-checked witness for
+    the streaming engine surface (the pytest twins only assert
+    stream == batch in-process).
+
+    Scale shape: streaming agg state is (window x event_type)-bounded and
+    store-backed; the memory sink holds only the final panes (a
+    deployment writes them via foreachBatch to a real sink — see
+    streaming/stateful.py)."""
+    sdf = streaming_tumbling_10m(ctx.spark, ctx.sf_dir)
+    name = f"stream_tumbling_drain_{next(_STREAM_DRAIN_SEQ)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ctx.spark.table(name).select(
+        "window_start", "window_end", "event_type", "n_events", "total_value"
+    )
+
+
+oracle(
+    "events_stream_tumbling_10m",
+    ("events",),
+    f"""SELECT
+    time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+    time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+    event_type,
+    COUNT(*) AS n_events,
+    {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2, 3""",
+)
+
+
 def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_session_30m (stateful session windows)."""
     e = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")

@@ -61,6 +61,9 @@ SHUFFLE_BUDGETS = {
     "dedup_minhash_lsh": 7,
     "ann_cosine_topk": 1,
     "events_session_30m": 1,
+    # the drained memory-sink result of the TRUE readStream run: the
+    # streaming job already aggregated, the batch-side plan is a pure scan
+    "events_stream_tumbling_10m": 0,
     "doc_text_stats": 0,
     "events_asof_last_click": 2,
     "doc_pack_sequences": 1,
