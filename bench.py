@@ -52,6 +52,69 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+def _cpu_ticks() -> list[int] | None:
+    """Aggregate /proc/stat cpu ticks (user..steal). In a VM guest,
+    loadavg can read idle while the HYPERVISOR starves the vCPUs — steal
+    ticks are the only guest-visible witness. The round-6/7 uniform
+    1.4-1.6x wall+cpu inflation on untouched plans decomposed exactly
+    this way (8.7% instantaneous steal measured under full load on an
+    otherwise-idle guest)."""
+    try:
+        with open("/proc/stat") as fh:
+            return [int(x) for x in fh.readline().split()[1:9]]
+    except Exception:
+        return None
+
+
+def _steal_pct(before: list[int] | None, after: list[int] | None):
+    """Percent of non-idle guest time the hypervisor stole between two
+    _cpu_ticks() snapshots (None when unavailable)."""
+    if before is None or after is None:
+        return None
+    d = [y - x for x, y in zip(before, after)]
+    busy = sum(d) - d[3] - d[4]  # drop idle + iowait
+    return round(d[7] / busy * 100, 2) if busy > 0 else None
+
+
+def _calib_work(_arg=None) -> int:
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    assert x == 199999990000000
+    return x
+
+
+def _calibrate() -> tuple[float, float, float | None]:
+    """(serial_sec, parallel_sec, effective_cores) for a FIXED pure-Python
+    workload — the guest-CPU speedometer. steal_pct only witnesses
+    preemption; a host co-scheduling the guest's vCPU siblings with other
+    tenants halves PARALLEL capacity with steal ~0 and single-thread speed
+    intact (round-7 adjudication: 32 vCPUs delivering 15.4 effective
+    cores while serial calib ran full speed — exactly the uniform 1.5x
+    wall inflation the r6/r7 solo records showed on identical plans).
+    effective_cores = n_procs * serial/parallel; cross-round comparisons
+    should normalize by it before reading anything as a plan regression."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    _calib_work()
+    serial = time.perf_counter() - t0
+    n = min(32, os.cpu_count() or 1)
+    try:
+        with mp.Pool(n) as pool:
+            t0 = time.perf_counter()
+            pool.map(_calib_work, range(n))
+            par = time.perf_counter() - t0
+        eff = round(n * serial / par, 1) if par > 0 else None
+    except Exception:
+        par, eff = None, None
+    return (
+        round(serial, 3),
+        round(par, 3) if par is not None else None,
+        eff,
+    )
+
+
 def _best_known(sf: float) -> dict[str, float]:
     """Per-query best wall seconds across every recorded bench round at
     this SF (BENCH_r*.json next to this file). The burst-vs-quiet A/B
@@ -201,6 +264,8 @@ def main() -> None:
 
         best = _best_known(sf)
         load_before = _loadavg()
+        ticks_before = _cpu_ticks()
+        calib_sec, calib32_sec, effective_cores = _calibrate()
 
         def run_once(name: str) -> float | None:
             start = time.perf_counter()
@@ -278,6 +343,9 @@ def main() -> None:
                                 elapsed / best[name], 2
                             ),
                             "loadavg_now": _loadavg(),
+                            "steal_pct_so_far": _steal_pct(
+                                ticks_before, _cpu_ticks()
+                            ),
                         }
             timings[name] = round(elapsed, 3)
             total += elapsed
@@ -345,6 +413,17 @@ def main() -> None:
         # silently accepting the number.
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
+        # hypervisor steal over the whole run: the guest-invisible
+        # contention channel (loadavg can be ~0 while the host starves
+        # the vCPUs) — >5% here means wall/cpu numbers are host-taxed
+        "steal_pct": _steal_pct(ticks_before, _cpu_ticks()),
+        # guest-CPU speedometer (fixed workload, serial + 32-way): the
+        # host's effective parallel capacity varies (observed 15-32
+        # effective cores on a 32-vCPU guest); normalize cross-round
+        # timings by effective_cores before reading plan regressions
+        "calib_sec": calib_sec,
+        "calib32_sec": calib32_sec,
+        "effective_cores": effective_cores,
         "inflation_vs_best": inflation,
         "reruns": reruns,
     }
