@@ -651,7 +651,13 @@ def dedup_embedding_cosine(ctx):
     re-evaluate the decimal norm dot per PAIR, the input is fanned out
     with an explicit partition count AQE won't re-coalesce, and the
     cosine projection gets a barrier so the threshold filter can't push
-    below it and run the pair dot twice."""
+    below it and run the pair dot twice.
+
+    API note: ``ref()`` on this model is NOT lazy — the eager norm
+    checkpoint and the ``count()`` that gates the verify-join strategy
+    (the checkpoint erases size stats) run Spark jobs at BUILD time, a
+    deliberate trade documented in PLANS.md (round-6). The streaming
+    witnesses (events_stream_*) share this build-time-job property."""
     e = ctx.source("embeddings").repartition(_doc_parallelism(ctx), "vec_id")
     norms = e.select(
         "vec_id",

@@ -1276,3 +1276,153 @@ SELECT make_timestamp(hour_idx * 3600 * 1000000) AS window_end_hour,
        {rnd_sql('abs(hll_estimate - exact_users) / exact_users', 6)} AS rel_error
 FROM est""",
 )
+
+
+# --------------------------------------------------------------------------
+# Mergeable log-histogram quantile sketch (DDSketch-style fixed buckets)
+# --------------------------------------------------------------------------
+
+#: relative-accuracy knob: bucket edges are gamma^k, so any estimate is
+#: within ~(gamma-1)/2 ≈ 1% of the true value's bucket. gamma=1.02 puts
+#: the whole positive range of ``events.value`` (0.01..~500) into ~550
+#: buckets — the sketch is a <=buckets-row frame at ANY corpus size.
+QSK_GAMMA = 1.02
+#: ln(QSK_GAMMA) precomputed in Python so BOTH engines share the exact
+#: double literal (libm ln(1.02) could round differently).
+QSK_LN_GAMMA = 0.01980262729617973
+QSK_QUANTILES = (0.5, 0.9, 0.99)
+
+
+@model("events_quantile_sketch", layer="operators", materialization="view")
+def events_quantile_sketch(ctx):
+    """DDSketch-style quantile estimation (Masson, Rim & Lee, VLDB'19:
+    "DDSketch: a fast and fully-mergeable quantile sketch with
+    relative-error guarantees") next to the exact answer: values land in
+    log-scale buckets k = ceil(ln(v)/ln(gamma)); the per-bucket count
+    table IS the sketch (mergeable by addition across shards/days), and
+    the q-quantile estimate is the value midpoint of the first bucket
+    whose cumulative count reaches ceil(q*N). One row per q in
+    {0.5, 0.9, 0.99}: estimate, exact percentile, and realized relative
+    error (guaranteed <= (gamma-1)/(gamma+1) by construction).
+
+    Why it matters at 100 TB: the exact side needs a full sort or
+    percentile aggregation per query, while the sketch is one map-side
+    combinable aggregation into <=550 rows that answers EVERY quantile
+    afterwards — the p99-latency / value-distribution primitive.
+
+    Determinism: ln(v)/ln(gamma) is rnd-quantized at 9 dp before ceil
+    (the repo's quantized-libm convention) and gamma^k at 6 dp, so both
+    engines bucket and estimate bit-identically. Scale shape: one
+    aggregation at bucket grain, cumulative window over the <=550-row
+    sketch, zero joins at corpus grain."""
+    e = ctx.source("events").select("value")
+    k = F.ceil(rnd(F.log("value") / F.lit(QSK_LN_GAMMA), 9)).cast("long")
+    sketch = e.groupBy(k.alias("qbucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("qbucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sketch.select(
+        "qbucket",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("qbucket")
+            )
+        ).alias(f"k{int(q * 100)}")
+        for q in QSK_QUANTILES
+    ]
+    picked = cum.agg(*picks, F.max("n").alias("n_rows"))
+    exact = e.agg(
+        *[
+            rnd(F.percentile("value", F.lit(q)), 6).alias(
+                f"exact{int(q * 100)}"
+            )
+            for q in QSK_QUANTILES
+        ]
+    )
+    est = lambda kc: rnd(  # noqa: E731
+        F.lit(2.0) * F.pow(F.lit(QSK_GAMMA), kc) / F.lit(QSK_GAMMA + 1.0), 6
+    )
+    # unpivot the single joined row with stack() — a UNION of per-q
+    # selects would re-execute the corpus aggregations once per quantile
+    one = picked.crossJoin(exact).select(
+        "n_rows",
+        *[
+            est(F.col(f"k{int(q * 100)}")).alias(f"est{int(q * 100)}")
+            for q in QSK_QUANTILES
+        ],
+        *[F.col(f"exact{int(q * 100)}") for q in QSK_QUANTILES],
+    )
+    stack_args = ", ".join(
+        f"{q}D, est{int(q * 100)}, exact{int(q * 100)}"
+        for q in QSK_QUANTILES
+    )
+    out = one.selectExpr(
+        "n_rows",
+        f"stack({len(QSK_QUANTILES)}, {stack_args})"
+        " as (q, estimate, exact)",
+    )
+    return out.select(
+        "q",
+        "n_rows",
+        "estimate",
+        "exact",
+        rnd(F.abs(F.col("estimate") - F.col("exact")) / F.col("exact"), 6).alias(
+            "rel_error"
+        ),
+    )
+
+
+def _qsk_oracle() -> str:
+    ks = ", ".join(
+        f"MIN(CASE WHEN cum >= CAST(ceil({q} * n) AS BIGINT)"
+        f" THEN qbucket END) AS k{int(q * 100)}"
+        for q in QSK_QUANTILES
+    )
+    exacts = ", ".join(
+        rnd_sql(
+            f"percentile_cont({q}) WITHIN GROUP (ORDER BY value)", 6
+        )
+        + f" AS exact{int(q * 100)}"
+        for q in QSK_QUANTILES
+    )
+    def est(tag: int) -> str:
+        return rnd_sql(
+            f"2.0 * power({QSK_GAMMA}, k{tag}) / {QSK_GAMMA + 1.0}", 6
+        )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT {q} AS q, p.n_rows,
+       {est(int(q * 100))} AS estimate,
+       x.exact{int(q * 100)} AS exact,
+       {rnd_sql(f"abs({est(int(q * 100))} - x.exact{int(q * 100)}) / x.exact{int(q * 100)}", 6)} AS rel_error
+FROM picked p CROSS JOIN exact x"""
+        for q in QSK_QUANTILES
+    )
+    return f"""WITH sk AS (
+    SELECT CAST(ceil({rnd_sql(f'ln(value) / {QSK_LN_GAMMA}', 9)}) AS BIGINT) AS qbucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+),
+cum AS (
+    SELECT qbucket,
+           CAST(SUM(cnt) OVER (ORDER BY qbucket) AS BIGINT) AS cum,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS n
+    FROM sk
+),
+picked AS (
+    SELECT {ks}, CAST(MAX(n) AS BIGINT) AS n_rows FROM cum
+),
+exact AS (
+    SELECT {exacts} FROM events
+)
+{selects}"""
+
+
+oracle("events_quantile_sketch", ("events",), _qsk_oracle())

@@ -2343,3 +2343,112 @@ SELECT day,
        (abs(robust_z) > {MAD_Z_CUT}) AS is_anomaly
 FROM scored""",
 )
+
+
+# --------------------------------------------------------------------------
+# Watermark lateness profile
+# --------------------------------------------------------------------------
+
+#: lateness histogram edges in MICROSECONDS: in-order, <=1 min, <=10 min,
+#: <=1 h, >1 h — the bands a watermark policy chooses between.
+_LATE_EDGES = ((0, "0_in_order"), (60_000_000, "1_under_1m"),
+               (600_000_000, "2_under_10m"), (3_600_000_000, "3_under_1h"))
+_LATE_OVER = "4_over_1h"
+
+
+@model(
+    "events_watermark_lateness_profile",
+    layer="operators",
+    materialization="view",
+)
+def events_watermark_lateness_profile(ctx):
+    """How late does this feed actually arrive? Per event, lateness =
+    (max event-time seen at or before it in INGEST order, i.e. event_id)
+    minus its own event-time, bucketed into the bands a
+    ``withWatermark`` policy chooses between. This is the measurement a
+    streaming deployment takes BEFORE sizing its watermark: the
+    histogram's tail mass is exactly the data a candidate watermark
+    would drop (streaming/windows.py twins use 1 h — this profiles
+    whether that holds).
+
+    Scale shape: the running max over ingest order is the tera-sort
+    bucketing pattern (functions.range_bucket_expr): range-bucket on
+    event_id, per-bucket running max in parallel (window partitioned on
+    the bucket), then lift with a <=32-row prefix-max offset frame — the
+    only unpartitioned window runs over the bucket-grain aggregate.
+    One corpus pass, one bounded broadcast join."""
+    from dbt_tpch_spark.functions import range_bucket_expr
+
+    e = ctx.source("events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    b = range_bucket_expr(e, "event_id", True, 32)
+    base = e.withColumn("_b", b).localCheckpoint(eager=False)
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("run_us", F.max("us").over(w_local))
+    offs = base.groupBy("_b").agg(F.max("us").alias("bmax"))
+    w_prev = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = offs.select(
+        "_b", F.max("bmax").over(w_prev).alias("prev_max")
+    )
+    late = (
+        local.join(F.broadcast(offs), "_b")
+        .select(
+            (
+                F.greatest(
+                    F.col("run_us"), F.coalesce(F.col("prev_max"), F.lit(0))
+                )
+                - F.col("us")
+            ).alias("late_us")
+        )
+    )
+    label = F.lit(_LATE_OVER)
+    for edge, name in reversed(_LATE_EDGES):
+        label = F.when(F.col("late_us") <= F.lit(edge), F.lit(name)).otherwise(
+            label
+        )
+    hist = late.select(label.alias("lateness_band")).groupBy(
+        "lateness_band"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    total = F.sum("n_events").over(Window.partitionBy())
+    return hist.select(
+        "lateness_band",
+        "n_events",
+        rnd(F.col("n_events") / total.cast("double"), 6).alias("pct"),
+    )
+
+
+def _lateness_oracle() -> str:
+    cases = " ".join(
+        f"WHEN late_us <= {edge} THEN '{name}'"
+        for edge, name in _LATE_EDGES
+    )
+    return f"""WITH base AS (
+    SELECT epoch_us(ts) AS us,
+           MAX(epoch_us(ts)) OVER (
+               ORDER BY event_id ROWS UNBOUNDED PRECEDING
+           ) AS run_us
+    FROM events
+),
+late AS (
+    SELECT run_us - us AS late_us FROM base
+),
+hist AS (
+    SELECT CASE {cases} ELSE '{_LATE_OVER}' END AS lateness_band,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM late GROUP BY 1
+)
+SELECT lateness_band, n_events,
+       {rnd_sql('CAST(n_events AS DOUBLE) / SUM(n_events) OVER ()', 6)} AS pct
+FROM hist"""
+
+
+oracle(
+    "events_watermark_lateness_profile", ("events",), _lateness_oracle()
+)

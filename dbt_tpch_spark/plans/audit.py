@@ -46,7 +46,11 @@ _VOCAB_KEY = re.compile(r"(^|_)(shingle|term|token|ngram|gram|bigram)s?$")
 def _nearest_aggregate_grain(node):
     """Grouping-column names of the aggregate nearest below ``node``
     (BFS — the node that determines the window input's cardinality), or
-    None if no Aggregate exists in the subtree."""
+    None if no Aggregate exists in the subtree.  Continuous floating-point
+    grouping columns are surfaced under the sentinel name
+    ``<continuous:NAME>`` regardless of NAME: their NDV grows with SF, so
+    a name-based bounded-domain read would be a false exemption (the same
+    precision hole the round-6 ADVICE found in the pair-stage walk)."""
     frontier = [node]
     while frontier:
         nxt = []
@@ -69,8 +73,22 @@ def _nearest_aggregate_grain(node):
                 exprs = n.groupingExpressions()
                 names = []
                 for i in range(exprs.size()):
-                    s = exprs.apply(i).toString()
-                    names.append(s.split("#")[0].split(".")[-1].strip("'`"))
+                    e = exprs.apply(i)
+                    s = e.toString()
+                    name = s.split("#")[0].split(".")[-1].strip("'`")
+                    try:
+                        dt = e.dataType().typeName()
+                    except Exception:
+                        dt = ""
+                    if dt in ("double", "float") and not _BOUNDED_GRAIN.search(
+                        name.lower()
+                    ):
+                        # a double grain bounds only when its NAME vouches
+                        # for a fixed grid/quantization (threshold curve,
+                        # quantile bin); any other floating grain is
+                        # SF-linear NDV
+                        name = f"<continuous:{name}>"
+                    names.append(name)
                 return names
             for i in range(n.children().size()):
                 nxt.append(n.children().apply(i))
@@ -98,7 +116,8 @@ def unpartitioned_window_offenders(df: DataFrame) -> list:
                 hot = [
                     g
                     for g in grain
-                    if _UNBOUNDED_KEY.search(g.lower())
+                    if g.startswith("<continuous:")
+                    or _UNBOUNDED_KEY.search(g.lower())
                     or _VOCAB_KEY.search(g.lower())
                 ]
                 if hot:
@@ -149,7 +168,8 @@ def broadcast_hint_offenders(df: DataFrame) -> list:
             hot = [
                 g
                 for g in grain
-                if _UNBOUNDED_KEY.search(g.lower())
+                if g.startswith("<continuous:")
+                or _UNBOUNDED_KEY.search(g.lower())
                 or _VOCAB_KEY.search(g.lower())
             ]
             if hot:
@@ -233,7 +253,8 @@ _BOUNDED_GRAIN = re.compile(
     r"lang|language|source|label|status|returnflag|linestatus|flag|"
     r"segment|mktsegment|priority|mode|type|brand|region|nation|size|"
     r"bucket|bin|cell|cluster|decile|quartile|ntile|band_idx|probe|grp|"
-    r"method"  # detector/algorithm labels: fixed literal sets
+    r"method|"  # detector/algorithm labels: fixed literal sets
+    r"threshold"  # literal threshold grids (dup-threshold curve)
     r")$"
 )
 

@@ -419,6 +419,64 @@ def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@model(
+    "events_stream_session_30m", layer="streaming", materialization="view"
+)
+def events_stream_session_30m(ctx):
+    """TRUE stateful Structured Streaming surfaced as an oracle-checked
+    query: Spark's native ``session_window`` state store builds per-user
+    30-minute-gap sessions from a readStream source (availableNow, memory
+    sink) — the STATEFUL counterpart of the tumbling witness
+    (events_stream_tumbling_10m): session windows grow/merge in the state
+    store rather than being pure key hashing, so this drives the state
+    machinery end-to-end under the driver's hash gate. Oracle: the
+    gaps-and-islands rewrite (same as the batch twin's, projected to the
+    streaming twin's columns)."""
+    sdf = streaming_session_30m(ctx.spark, ctx.sf_dir)
+    name = f"stream_session_drain_{next(_STREAM_DRAIN_SEQ)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ctx.spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+oracle(
+    "events_stream_session_30m",
+    ("events",),
+    """WITH flagged AS (
+    SELECT
+        user_id,
+        ts,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '30 minutes'
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT
+        *,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT
+    user_id,
+    MIN(ts) AS session_start,
+    MAX(ts) + INTERVAL '30 minutes' AS session_end,
+    COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id""",
+)
+
+
 def streaming_dedup_by_event_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup: dropDuplicatesWithinWatermark on event_id —
     the streaming counterpart of the batch dedup operators."""

@@ -1472,3 +1472,57 @@ def test_embedding_lsh_recall_floor(spark, sf_dir, tmp_path):
         "the floor must be able to fail: 2 bands should shed recall "
         f"but measured {detuned['recall']}"
     )
+
+
+def test_watermark_lateness_profile_bands(spark, sf_dir, tmp_path):
+    """The driver corpus arrives fully ordered (every SF: zero late rows),
+    so the hash gate only ever exercises the in-order band — this test
+    feeds an engineered out-of-order corpus and pins every band: one
+    event 30 s late, one 5 min, one 30 min, one 2 h."""
+    import numpy as np
+    import pandas as pd
+
+    n = 100
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    ts = [base + pd.Timedelta(minutes=i) for i in range(n)]
+    # lateness = prev running max (event i-1, one minute earlier) minus
+    # own ts, so a band-b lateness needs a (b + 1-minute-spacing) shift
+    ts[10] -= pd.Timedelta(seconds=90)       # late 30 s  -> 1_under_1m
+    ts[20] -= pd.Timedelta(minutes=6)        # late 5 min -> 2_under_10m
+    ts[30] -= pd.Timedelta(minutes=31)       # late 30 min-> 3_under_1h
+    ts[40] -= pd.Timedelta(minutes=121)      # late 2 h   -> 4_over_1h
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Series(ts).astype("datetime64[us]"),
+            "user_id": np.arange(n, dtype=np.int64) % 7,
+            "event_type": ["view"] * n,
+            "value": np.ones(n),
+            "props": ["{}"] * n,
+        }
+    )
+    d = _mini_corpus(tmp_path, sf_dir, events=ev)
+    rows = {
+        r["lateness_band"]: r["n_events"]
+        for r in Context(spark, d)
+        .ref("events_watermark_lateness_profile")
+        .collect()
+    }
+    assert rows == {
+        "0_in_order": 96,
+        "1_under_1m": 1,
+        "2_under_10m": 1,
+        "3_under_1h": 1,
+        "4_over_1h": 1,
+    }
+    # and the DuckDB oracle agrees on the banded replay
+    import __spark_entry__ as entrymod
+    from dbt_tpch_spark.parity import check_query
+
+    rep = check_query(
+        spark,
+        d,
+        entrymod.queries()["events_watermark_lateness_profile"],
+        entrymod.oracle_sql()["events_watermark_lateness_profile"],
+    )
+    assert rep["rows_match"] and rep["cols_match"] and rep["values_match"]

@@ -64,6 +64,14 @@ SHUFFLE_BUDGETS = {
     # the drained memory-sink result of the TRUE readStream run: the
     # streaming job already aggregated, the batch-side plan is a pure scan
     "events_stream_tumbling_10m": 0,
+    "events_stream_session_30m": 0,
+    # one bucket-grain aggregation + the <=550-row cumulative window +
+    # the exact-percentile comparison aggregate (stack-unpivot keeps the
+    # corpus single-pass: a per-q UNION re-ran these 3x, 9 shuffles)
+    "events_quantile_sketch": 3,
+    # range-bucketed running max: corpus agg to buckets, per-bucket
+    # window, <=32-row offset lift, band histogram
+    "events_watermark_lateness_profile": 5,
     "doc_text_stats": 0,
     "events_asof_last_click": 2,
     "doc_pack_sequences": 1,
@@ -639,6 +647,38 @@ def test_pair_stage_boundedness_closes_round6_advice_holes(spark, sf_dir):
     assert not _pair_stage_offenders(
         a.crossJoin(totals)
     ), "a cross of two scalar aggregates is bounded"
+
+
+def test_window_invariant_flags_continuous_double_grain(spark, sf_dir):
+    """The window walk's grain read is TYPE-aware: an unpartitioned window
+    over an aggregate grouped on a continuous double (SF-linear NDV, name
+    matching no blacklist) must flag, while a double grain whose NAME
+    vouches for a fixed quantization (bin/threshold/decile) passes — the
+    same precision treatment the pair-stage walk got for round-6 ADVICE."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    c = Context(spark, sf_dir).source("customer")
+    cont = (
+        c.select((F.col("c_acctbal") * 1.000001).alias("score"))
+        .groupBy("score")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = cont.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("n").desc()))
+    )
+    assert _unpartitioned_window_offenders(ranked), (
+        "continuous-double grain under an unpartitioned window not caught"
+    )
+    binned = (
+        c.select((F.floor(F.col("c_acctbal")) / F.lit(100.0)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked_ok = binned.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("n").desc()))
+    )
+    assert not _unpartitioned_window_offenders(ranked_ok)
 
 
 def test_broadcast_invariant_flags_vocab_grain_hint(spark, sf_dir):
