@@ -2452,3 +2452,193 @@ FROM hist"""
 oracle(
     "events_watermark_lateness_profile", ("events",), _lateness_oracle()
 )
+
+
+# --------------------------------------------------------------------------
+# Open-order backlog: the interval -> delta-event rewrite
+# --------------------------------------------------------------------------
+
+
+@model("orders_backlog_timeseries", layer="operators", materialization="view")
+def orders_backlog_timeseries(ctx):
+    """Daily open-order backlog: how many orders are placed but not yet
+    fully shipped on each day. An order is open on [order day, last
+    lineitem ship day) — the naive form is an interval-stabbing join
+    (days x orders), O(days·n); the scale form used here decomposes every
+    interval into a +1 open / -1 close DELTA EVENT, aggregates to day
+    grain, and takes one running sum — O(n) + a window over the
+    calendar-bounded day table. This interval->delta rewrite is THE
+    pattern for concurrent-intervals analytics (active sessions, open
+    connections, WIP inventory) at 100 TB.
+
+    Scale shape: one orders∪lineitem-rollup union at day grain (two
+    shuffles), a running sum over the bounded day table (unpartitioned
+    window over a calendar-grain aggregate — allowed by the window
+    invariant because the frame cannot grow with SF), zero interval
+    joins."""
+    o = ctx.source("orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("open_day"),
+    )
+    close = (
+        ctx.source("lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.date_trunc("day", F.max("l_shipdate")).alias("close_day"))
+    )
+    deltas = o.select(
+        F.col("open_day").alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).unionByName(
+        close.select(
+            F.col("close_day").alias("day"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("opened").cast("long").alias("n_opened"),
+        F.sum("closed").cast("long").alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(w)
+        .cast("long")
+        .alias("open_backlog"),
+    )
+
+
+oracle(
+    "orders_backlog_timeseries",
+    ("orders", "lineitem"),
+    """WITH close AS (
+    SELECT l_orderkey, date_trunc('day', MAX(l_shipdate)) AS close_day
+    FROM lineitem GROUP BY 1
+),
+deltas AS (
+    SELECT date_trunc('day', o_orderdate) AS day, 1 AS opened, 0 AS closed
+    FROM orders
+    UNION ALL
+    SELECT close_day AS day, 0 AS opened, 1 AS closed FROM close
+),
+daily AS (
+    SELECT day,
+           CAST(SUM(opened) AS BIGINT) AS n_opened,
+           CAST(SUM(closed) AS BIGINT) AS n_closed
+    FROM deltas GROUP BY 1
+)
+SELECT day, n_opened, n_closed,
+       CAST(SUM(n_opened - n_closed) OVER (
+           ORDER BY day ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS open_backlog
+FROM daily""",
+)
+
+
+# --------------------------------------------------------------------------
+# Time-boxed ordered funnel
+# --------------------------------------------------------------------------
+
+FUNNEL_BOX_MIN = 60  # max minutes between consecutive funnel steps
+
+
+@model("events_funnel_1h", layer="operators", materialization="view")
+def events_funnel_1h(ctx):
+    """Ordered time-boxed funnel signup -> view -> purchase: a user
+    converts a step only if it happens AFTER the previous step and within
+    FUNNEL_BOX_MIN minutes of it (first-touch per step). One row: users
+    entering, reaching each step, and the step/overall conversion rates —
+    the product-analytics staple.
+
+    Scale shape: three user-grain aggregations chained by equi-joins on
+    user_id (co-partitioned — one shuffle key end to end), no windows, no
+    self-join at event grain: each step filters the corpus against the
+    previous step's per-user first-touch frame."""
+    e = ctx.source("events").select("user_id", "event_type", "ts")
+    box = F.expr(f"INTERVAL {FUNNEL_BOX_MIN} MINUTES")
+    # each step frame feeds TWO consumers (the next step's join and its
+    # own census) — checkpoint the user-grain frames so the corpus scans
+    # and step joins run once, not once per consumer
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + box))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + box))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_purchase"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_signup",
+            "n_view",
+            "n_purchase",
+            rnd(F.col("n_view") / F.col("n_signup").cast("double"), 6).alias(
+                "view_rate"
+            ),
+            rnd(
+                F.col("n_purchase") / F.nullif(F.col("n_view"), F.lit(0)).cast("double"),
+                6,
+            ).alias("purchase_rate"),
+            rnd(
+                F.col("n_purchase") / F.col("n_signup").cast("double"), 6
+            ).alias("overall_rate"),
+        )
+    )
+
+
+oracle(
+    "events_funnel_1h",
+    ("events",),
+    f"""WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'view'
+      AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL {FUNNEL_BOX_MIN} MINUTES
+    GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase'
+      AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL {FUNNEL_BOX_MIN} MINUTES
+    GROUP BY 1
+),
+n AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase
+)
+SELECT n_signup, n_view, n_purchase,
+       {rnd_sql('CAST(n_view AS DOUBLE) / n_signup', 6)} AS view_rate,
+       {rnd_sql('CAST(n_purchase AS DOUBLE) / NULLIF(n_view, 0)', 6)} AS purchase_rate,
+       {rnd_sql('CAST(n_purchase AS DOUBLE) / n_signup', 6)} AS overall_rate
+FROM n""",
+)

@@ -1526,3 +1526,53 @@ def test_watermark_lateness_profile_bands(spark, sf_dir, tmp_path):
         entrymod.oracle_sql()["events_watermark_lateness_profile"],
     )
     assert rep["rows_match"] and rep["cols_match"] and rep["values_match"]
+
+
+def test_backlog_delta_rewrite_matches_interval_stabbing(spark, sf_dir):
+    """The interval -> delta-event rewrite must equal the NAIVE semantics:
+    for every emitted day, open_backlog == the count of orders with
+    open_day <= day < close_day (the O(days x orders) stabbing join the
+    rewrite exists to avoid)."""
+    import bisect
+
+    ctx = Context(spark, sf_dir)
+    o = {
+        r["o_orderkey"]: r["o_orderdate"].date()
+        for r in ctx.source("orders").select("o_orderkey", "o_orderdate").collect()
+    }
+    close = {
+        r["l_orderkey"]: r["mx"].date()
+        for r in ctx.source("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("mx"))
+        .collect()
+    }
+    opens = sorted(d for d in o.values())
+    # an order with no lineitems never ships: it stays in the backlog
+    closes = sorted(close[k] for k in o if k in close)
+    rows = ctx.ref("orders_backlog_timeseries").collect()
+    assert rows, "backlog series is empty"
+    for r in rows:
+        day = r["day"].date()
+        n_open_le = bisect.bisect_right(opens, day)
+        n_close_le = bisect.bisect_right(closes, day)
+        assert r["open_backlog"] == n_open_le - n_close_le, day
+    # census columns reconcile with the raw tables
+    assert sum(r["n_opened"] for r in rows) == len(o)
+    assert sum(r["n_closed"] for r in rows) == len(close)
+
+
+def test_quantile_sketch_honors_relative_error_guarantee(spark, sf_dir):
+    """DDSketch guarantee: every estimate within (gamma-1)/(gamma+1) of a
+    value in the true quantile's bucket. percentile_cont interpolates
+    between samples, so allow a small slack on top of the bound."""
+    from dbt_tpch_spark.operators.sketches import QSK_GAMMA
+
+    bound = (QSK_GAMMA - 1) / (QSK_GAMMA + 1) + 0.005
+    rows = Context(spark, sf_dir).ref("events_quantile_sketch").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["rel_error"] is not None and r["rel_error"] <= bound, (
+            r["q"],
+            r["rel_error"],
+        )

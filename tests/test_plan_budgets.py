@@ -72,6 +72,12 @@ SHUFFLE_BUDGETS = {
     # range-bucketed running max: corpus agg to buckets, per-bucket
     # window, <=32-row offset lift, band histogram
     "events_watermark_lateness_profile": 5,
+    # interval -> delta-event rewrite: orders∪lineitem-rollup to day
+    # grain, one running sum over the calendar-bounded day table
+    "orders_backlog_timeseries": 3,
+    # three user-grain step aggregates chained on the user_id shuffle
+    # key; step frames checkpointed (two consumers each: 8 -> 4)
+    "events_funnel_1h": 4,
     "doc_text_stats": 0,
     "events_asof_last_click": 2,
     "doc_pack_sequences": 1,
