@@ -2034,3 +2034,74 @@ FROM doc_text_stats t
 JOIN flagged f ON t.doc_id = f.doc_id
 GROUP BY 1""",
 )
+
+
+@model("docs_crosslingual_dup_census", layer="operators", materialization="view")
+def docs_crosslingual_dup_census(ctx):
+    """Near-duplicate pairs by (language, language) cell: how much of the
+    corpus's duplication is same-language boilerplate vs CROSS-language
+    (the machine-translated-spam / parallel-crawl signal a multilingual
+    pretraining pipeline triages before choosing per-language dedup
+    thresholds). Pair languages are normalized to an unordered cell
+    (least/greatest) so en-fr and fr-en land together.
+
+    Scale shape: the pair set is dedup_minhash_lsh's verified output
+    (pair-grain, already bounded by the LSH band structure); two equi
+    joins tag each side's language from one documents projection, and
+    the census is a bounded (lang, lang) rollup with a window-free share
+    computed off a 1-row broadcast."""
+    pairs = ctx.ref("dedup_minhash_lsh").select("doc_a", "doc_b")
+    langs = ctx.source("documents").select("doc_id", "lang")
+    la = langs.withColumnsRenamed({"doc_id": "doc_a", "lang": "lang_a"})
+    lb = langs.withColumnsRenamed({"doc_id": "doc_b", "lang": "lang_b"})
+    tagged = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+        )
+    )
+    from dbt_tpch_spark.plans.audit import bounded_checkpoint
+
+    # the census is <=|lang|^2 rows but feeds TWO consumers (rows + the
+    # share denominator) — checkpoint so the LSH pipeline runs once
+    census = bounded_checkpoint(
+        tagged.groupBy("lang_lo", "lang_hi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs")
+        ),
+        eager=False,
+    )
+    total = census.agg(F.sum("n_pairs").cast("double").alias("t"))
+    return (
+        census.crossJoin(F.broadcast(total))
+        .select(
+            "lang_lo",
+            "lang_hi",
+            (F.col("lang_lo") == F.col("lang_hi")).alias("same_lang"),
+            "n_pairs",
+            rnd(F.col("n_pairs") / F.col("t"), 6).alias("share"),
+        )
+    )
+
+
+oracle(
+    "docs_crosslingual_dup_census",
+    ("dedup_minhash_lsh", "documents"),
+    """WITH tagged AS (
+    SELECT least(da.lang, db.lang) AS lang_lo,
+           greatest(da.lang, db.lang) AS lang_hi
+    FROM dedup_minhash_lsh p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+),
+census AS (
+    SELECT lang_lo, lang_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM tagged GROUP BY 1, 2
+)
+SELECT lang_lo, lang_hi,
+       lang_lo = lang_hi AS same_lang,
+       n_pairs,
+       CAST(FLOOR((n_pairs / SUM(n_pairs) OVER ()) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS share
+FROM census""",
+)

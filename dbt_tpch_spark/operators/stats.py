@@ -32,7 +32,14 @@ from dbt_tpch_spark.functions import (
     isum,
     rnd,
 )
-from dbt_tpch_spark.models.oracle import dsum_sql, isum_sql, oracle, rnd_sql
+from dbt_tpch_spark.models.oracle import (
+    davg_sql,
+    dstddev_samp_sql,
+    dsum_sql,
+    isum_sql,
+    oracle,
+    rnd_sql,
+)
 from dbt_tpch_spark.plans import model
 
 #: scale-9 exact accumulator for 9-dp-quantized libm terms (MI/entropy):
@@ -1661,3 +1668,94 @@ FROM (
 
 
 oracle("docs_fd_violations", ("documents",), _fd_oracle())
+
+
+# --------------------------------------------------------------------------
+# A/B power analysis (sample-size / minimum-detectable-effect report)
+# --------------------------------------------------------------------------
+
+#: two-sided alpha=0.05 and power=0.80 normal quantiles, shared as Python
+#: literals so both engines use identical constants (no erf inverse in SQL)
+PWR_Z_ALPHA = 1.959963984540054
+PWR_Z_BETA = 0.8416212335729143
+PWR_REL_LIFT = 0.05  # the "design" lift the sample-size column targets
+
+
+@model("events_power_analysis", layer="operators", materialization="view")
+def events_power_analysis(ctx):
+    """Pre-experiment power analysis from observed traffic: per event
+    type, the minimum detectable effect (MDE) a 50/50 A/B test on the
+    CURRENT volume could resolve at alpha=0.05 / power=0.80, and the
+    per-arm sample size a 5% relative lift would need — the go/no-go
+    sizing report that precedes events_ab_welch/events_ab_cuped.
+
+        mde_abs = (z_a + z_b) * sqrt(2 * s² / n_arm),  n_arm = n/2
+        n_arm(lift) = 2 * (z_a + z_b)² * s² / (lift·mean)²
+
+    Scale shape: one bounded-grain aggregation (exact-decimal moments per
+    event type); everything after is row-local arithmetic on the
+    |event_type|-row frame. Determinism: stddev is quantized (rnd 6)
+    before the closed-form math, the repo's libm convention."""
+    from dbt_tpch_spark.functions import davg, dstddev_samp
+
+    z = PWR_Z_ALPHA + PWR_Z_BETA
+    g = ctx.source("events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        rnd(davg(F.col("value")), 6).alias("mean_value"),
+        rnd(dstddev_samp(F.col("value")), 6).alias("stddev_value"),
+    )
+    n_arm = F.col("n_events").cast("double") / F.lit(2.0)
+    var = F.col("stddev_value") * F.col("stddev_value")
+    mde_abs = rnd(
+        F.lit(z) * F.sqrt(F.lit(2.0) * var / n_arm), 6
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "mean_value",
+        "stddev_value",
+        mde_abs.alias("mde_abs"),
+        rnd(mde_abs / F.col("mean_value"), 6).alias("mde_rel"),
+        F.ceil(
+            rnd(
+                F.lit(2.0 * z * z)
+                * var
+                / (
+                    (F.lit(PWR_REL_LIFT) * F.col("mean_value"))
+                    * (F.lit(PWR_REL_LIFT) * F.col("mean_value"))
+                ),
+                6,
+            )
+        )
+        .cast("long")
+        .alias("n_per_arm_for_5pct_lift"),
+    )
+
+
+def _power_oracle() -> str:
+    z = PWR_Z_ALPHA + PWR_Z_BETA
+    mde = rnd_sql(
+        f"{z} * sqrt(2.0 * (stddev_value * stddev_value)"
+        " / (CAST(n_events AS DOUBLE) / 2.0))",
+        6,
+    )
+    n_req = rnd_sql(
+        f"{2.0 * z * z} * (stddev_value * stddev_value)"
+        f" / (({PWR_REL_LIFT} * mean_value) * ({PWR_REL_LIFT} * mean_value))",
+        6,
+    )
+    return f"""WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {rnd_sql(davg_sql('value'), 6)} AS mean_value,
+           {rnd_sql(dstddev_samp_sql('value'), 6)} AS stddev_value
+    FROM events GROUP BY 1
+)
+SELECT event_type, n_events, mean_value, stddev_value,
+       {mde} AS mde_abs,
+       {rnd_sql(f'({mde}) / mean_value', 6)} AS mde_rel,
+       CAST(CEIL({n_req}) AS BIGINT) AS n_per_arm_for_5pct_lift
+FROM g"""
+
+
+oracle("events_power_analysis", ("events",), _power_oracle())

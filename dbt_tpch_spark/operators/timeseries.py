@@ -2642,3 +2642,87 @@ SELECT n_signup, n_view, n_purchase,
        {rnd_sql('CAST(n_purchase AS DOUBLE) / n_signup', 6)} AS overall_rate
 FROM n""",
 )
+
+
+@model(
+    "orders_fulfillment_latency", layer="operators", materialization="view"
+)
+def orders_fulfillment_latency(ctx):
+    """Order-to-ship latency distribution per order priority: days from
+    order date to FIRST lineitem ship (the customer-visible response
+    time) — count, mean, exact p50/p90, plus the share of orders fully
+    shipped (last lineitem) within 30 days. The fulfillment-SLA report a
+    warehouse runs weekly; the reference's supplier lead-time model needs
+    the blocked receipt-date column, so this covers the latency SHAPE on
+    the available ship dates.
+
+    Scale shape: one lineitem rollup to order grain, one equi join to
+    orders (both shuffle on the order key), one bounded-grain (priority)
+    aggregate with exact per-group percentiles — no windows."""
+    from dbt_tpch_spark.functions import davg
+
+    ships = ctx.source("lineitem").groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    o = ctx.source("orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = o.join(ships, "o_orderkey").select(
+        "o_orderpriority",
+        F.datediff("first_ship", "o_orderdate").cast("long").alias("d_first"),
+        F.datediff("last_ship", "o_orderdate").cast("long").alias("d_last"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            rnd(davg(F.col("d_first").cast("double")), 6).alias(
+                "avg_days_to_first_ship"
+            ),
+            rnd(F.percentile("d_first", F.lit(0.5)), 6).alias("p50_days"),
+            rnd(F.percentile("d_first", F.lit(0.9)), 6).alias("p90_days"),
+            rnd(
+                F.sum(
+                    F.when(F.col("d_last") <= 30, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pct_fully_shipped_30d"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "avg_days_to_first_ship",
+            "p50_days",
+            "p90_days",
+            "pct_fully_shipped_30d",
+        )
+    )
+
+
+oracle(
+    "orders_fulfillment_latency",
+    ("orders", "lineitem"),
+    f"""WITH ships AS (
+    SELECT l_orderkey AS o_orderkey,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY 1
+),
+lat AS (
+    SELECT o.o_orderpriority,
+           CAST(date_diff('day', o.o_orderdate, s.first_ship) AS BIGINT) AS d_first,
+           CAST(date_diff('day', o.o_orderdate, s.last_ship) AS BIGINT) AS d_last
+    FROM orders o JOIN ships s USING (o_orderkey)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {rnd_sql(davg_sql('CAST(d_first AS DOUBLE)'), 6)} AS avg_days_to_first_ship,
+       {rnd_sql('percentile_cont(0.5) WITHIN GROUP (ORDER BY d_first)', 6)} AS p50_days,
+       {rnd_sql('percentile_cont(0.9) WITHIN GROUP (ORDER BY d_first)', 6)} AS p90_days,
+       {rnd_sql('CAST(SUM(CASE WHEN d_last <= 30 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 6)} AS pct_fully_shipped_30d
+FROM lat GROUP BY 1""",
+)

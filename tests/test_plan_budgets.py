@@ -78,6 +78,14 @@ SHUFFLE_BUDGETS = {
     # three user-grain step aggregates chained on the user_id shuffle
     # key; step frames checkpointed (two consumers each: 8 -> 4)
     "events_funnel_1h": 4,
+    # census is checkpointed (<=|lang|^2 rows, two consumers): the LSH
+    # pipeline runs once at build, the query plan is the bounded rollup
+    "docs_crosslingual_dup_census": 1,
+    # lineitem rollup + order join share the order-key shuffle; one
+    # bounded-grain (priority) aggregate with exact percentiles
+    "orders_fulfillment_latency": 2,
+    # one bounded-grain moment aggregation; the rest is row-local math
+    "events_power_analysis": 1,
     "doc_text_stats": 0,
     "events_asof_last_click": 2,
     "doc_pack_sequences": 1,
