@@ -7,6 +7,9 @@ implemented model/operator; ``oracle_sql()`` the DuckDB-equivalent SQL.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,23 +36,18 @@ NO_ORACLE: tuple[str, ...] = ()
 
 #: The driver's correctness record caps at 50 entries taken in dict
 #: insertion order.  Rounds 1-2 burned all 50 on the same relational
-#: prefix, leaving every dedup/ANN/streaming/sketch query driver-unverified.
-#: This curated prefix stratifies the window across ALL families:
-#: ~20 relational anchors covering the P/F/J/A/W operator matrix, then one
-#: or more representatives of each LLM-pipeline/streaming/sketch family.
-#: Everything else follows in registry order (and stays oracle-checked by
-#: the repo's own parity sweep, tests/test_parity.py).
-#: Round-7 rotation (VERDICT r6 #1): 80 of 263 queries had no driver row
-#: after r6 (cumulative union 183). This window keeps the same 12-query
-#: stable anchor core (one per operator family, comparable across
-#: rounds), then fills every remaining slot with never-driver-verified
-#: queries in the r6 verdict's priority order: the 8 queries added after
-#: the round-6 window froze, the new true-readStream witness (r6 #6),
-#: then the oldest never-witnessed families — simjoin/linkage beyond
-#: PPJoin, sketch variants, the temporal/as-of tails, and the PQ/RP
-#: embedding compression family.
-_DRIVER_WINDOW: tuple[str, ...] = (
-    # stable anchor core (P/F/J/A/W + one head per pipeline family)
+#: prefix, leaving every dedup/ANN/streaming/sketch query driver-unverified;
+#: rounds 3-7 hand-curated a rotation.  Round 8 (VERDICT r7 #1 + #4) makes
+#: the rotation SELF-DERIVING: the window is the 12 stable anchors below
+#: (one per operator family, comparable across rounds) plus the
+#: never-driver-witnessed queries computed from the CORRECTNESS_r*.json
+#: union on disk — a new round needs zero diff here, and a typo'd name
+#: fails loudly at import instead of silently burning a driver slot.
+_WINDOW_SIZE = 50
+
+#: stable anchor core (P/F/J/A/W + one head per pipeline family) — kept
+#: identical across rounds so cross-round bench/correctness rows compare.
+_ANCHORS: tuple[str, ...] = (
     "ods_orders",
     "fct_orders",
     "rpt_pricing_summary",
@@ -62,52 +60,79 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "docs_bm25_topk",
     "parts_pagerank",
     "tpch_q06_forecast_revenue",
-    # the 8 round-6 post-freeze additions (VERDICT r6 #1 priority head)
-    "docs_bpe_token_counts",
-    "kmeans_silhouette_sample",
-    "docs_pipeline_funnel",
-    "docs_ngram_novelty",
-    "docs_dedup_cluster_purity",
-    "docs_quality_by_dup_status",
-    "embeddings_knn_label_accuracy",
-    "emb_lsh_band_stats",
-    # the true-readStream witness added this round (VERDICT r6 #6)
-    "events_stream_tumbling_10m",
-    # simjoin / record-linkage / dedup-report family (never witnessed)
-    "customers_linkage_scores",
-    "customers_entity_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_signatures",
-    "dedup_ngram_containment",
-    "dedup_doc_labels",
-    "dedup_source_matrix",
-    "doc_winnow_fingerprints",
-    # sketch variants (never witnessed)
-    "customers_bloom_prune",
-    "lineitem_joinsize_cms",
-    "joinsize_ndv_estimate",
-    "lineitem_skew_report",
-    "events_schema_drift",
-    # temporal / as-of tails (never witnessed)
-    "events_range_context",
-    "events_asof_nearest",
-    "events_time_rollup",
-    "events_seasonal_anomaly",
-    "events_incremental_rollup_check",
-    "events_attribution",
-    "daily_revenue_acf",
-    "daily_revenue_theilsen",
-    "user_interarrival_burstiness",
-    "events_temporal_split_embargo",
-    # embedding compression / projection family (never witnessed)
-    "embeddings_pq_codes",
-    "ann_pq_rotated_topk",
-    "embeddings_random_projection",
-    "embeddings_rp_distortion",
-    # multimodal Arrow path (never witnessed)
-    "multimodal_features",
-    "multimodal_frame_sample",
 )
+
+#: round-8 priority head (VERDICT r7 #1): the newest never-witnessed
+#: queries go first so a fresh operator earns its driver row the round
+#: after it lands, not whenever registry order reaches it.
+_PRIORITY: tuple[str, ...] = (
+    "events_quantile_sketch",
+    "events_watermark_lateness_profile",
+    "orders_backlog_timeseries",
+    "events_funnel_1h",
+    "events_power_analysis",
+    "docs_crosslingual_dup_census",
+    "orders_fulfillment_latency",
+    "events_stream_session_30m",
+)
+
+
+def _witnessed() -> frozenset[str]:
+    """Queries with an all-gates-green driver row in any recorded round
+    (rows+schema+hash matched, no error) — the union the verdict tracks."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                record = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in record.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                seen.add(name)
+    return frozenset(seen)
+
+
+def _eligible() -> list[str]:
+    return [n for n, spec in MODELS.items() if spec.layer in _QUERY_LAYERS]
+
+
+def _derive_window() -> tuple[str, ...]:
+    eligible = _eligible()
+    unresolved = (set(_ANCHORS) | set(_PRIORITY)) - set(eligible)
+    if unresolved:  # fail loudly — a typo must not burn a driver slot
+        raise AssertionError(
+            f"driver-window names do not resolve to registered queries: "
+            f"{sorted(unresolved)}"
+        )
+    witnessed = _witnessed()
+    never = [n for n in eligible if n not in witnessed]
+    fill = [n for n in _PRIORITY if n in never]
+    fill += [n for n in never if n not in fill]
+    window = list(_ANCHORS)
+    for name in fill:
+        if len(window) >= _WINDOW_SIZE:
+            break
+        if name not in window:
+            window.append(name)
+    # fewer never-witnessed than slots: top up in registry order so the
+    # driver record stays a full 50 re-confirmations
+    for name in eligible:
+        if len(window) >= _WINDOW_SIZE:
+            break
+        if name not in window:
+            window.append(name)
+    return tuple(window)
+
+
+_DRIVER_WINDOW: tuple[str, ...] = _derive_window()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -125,10 +150,8 @@ def _model_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    eligible = [
-        name for name, spec in MODELS.items() if spec.layer in _QUERY_LAYERS
-    ]
-    window = [n for n in _DRIVER_WINDOW if n in MODELS]
+    eligible = _eligible()
+    window = list(_DRIVER_WINDOW)
     ordered = window + [n for n in eligible if n not in set(window)]
     return {name: _model_query(name) for name in ordered}
 

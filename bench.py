@@ -115,15 +115,21 @@ def _calibrate() -> tuple[float, float, float | None]:
     )
 
 
-def _best_known(sf: float) -> dict[str, float]:
-    """Per-query best wall seconds across every recorded bench round at
-    this SF (BENCH_r*.json next to this file). The burst-vs-quiet A/B
-    (PLANS.md round 5) showed identical plans differing up to 10x under
-    host bursts — the recorded best is the adjudication baseline: a run
-    >2x its best is re-measured once before the number is accepted."""
+def _best_known(sf: float) -> dict[str, tuple[float, float | None]]:
+    """Per-query (best wall seconds, that record's effective_cores) across
+    every recorded bench round at this SF (BENCH_r*.json next to this
+    file). The burst-vs-quiet A/B (PLANS.md round 5) showed identical
+    plans differing up to 10x under host bursts — the recorded best is the
+    adjudication baseline: a run >2x its best is re-measured once before
+    the number is accepted. Carrying the best's effective_cores (VERDICT
+    r7 #6) lets the record emit a CAPACITY-NORMALIZED inflation — wall x
+    eff approximates delivered core-seconds, which is host-invariant for
+    a fixed plan — so cross-round deltas read directly instead of needing
+    a prose adjudication (records before round 7 lack the field; their
+    bests normalize as unknown)."""
     import glob
 
-    best: dict[str, float] = {}
+    best: dict[str, tuple[float, float | None]] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
@@ -133,11 +139,13 @@ def _best_known(sf: float) -> dict[str, float]:
             continue
         if rec.get("sf") != sf:
             continue
+        eff = rec.get("effective_cores")
+        eff = float(eff) if isinstance(eff, (int, float)) else None
         for name, sec in (rec.get("queries") or {}).items():
             if isinstance(sec, (int, float)) and (
-                name not in best or sec < best[name]
+                name not in best or sec < best[name][0]
             ):
-                best[name] = float(sec)
+                best[name] = (float(sec), eff)
     return best
 
 
@@ -285,6 +293,7 @@ def main() -> None:
         timings: dict[str, float] = {}
         cpu_secs: dict[str, float] = {}
         inflation: dict[str, float] = {}
+        inflation_norm: dict[str, float] = {}
         reruns: dict[str, list[float]] = {}
         rerun_errors: dict[str, str] = {}
         needs_adjudication: dict[str, dict] = {}
@@ -306,7 +315,7 @@ def main() -> None:
             # contention adjudication: a measurement >RERUN_FACTOR x the
             # recorded best at this SF is re-taken once; keep the faster
             # (a host burst inflates one sample, not both) and record both
-            if name in best and elapsed > RERUN_FACTOR * best[name]:
+            if name in best and elapsed > RERUN_FACTOR * best[name][0]:
                 cpu_mid = cpu_after
                 second = run_once(name)
                 cpu_after = _cpu_total_ns(spark)
@@ -326,7 +335,7 @@ def main() -> None:
                     )
                     if second < elapsed:
                         elapsed, cpu_sec = second, cpu2
-                    if elapsed > RERUN_FACTOR * best[name]:
+                    if elapsed > RERUN_FACTOR * best[name][0]:
                         # PERSISTENT >2x: the auto-rerun did not absorb it,
                         # so don't silently accept the number — record the
                         # adjudication evidence (flat cpu vs best-round cpu
@@ -338,9 +347,9 @@ def main() -> None:
                                 round(c, 3) if c is not None else None
                                 for c in (cpu1, cpu2)
                             ],
-                            "best_wall_sec": round(best[name], 3),
+                            "best_wall_sec": round(best[name][0], 3),
                             "inflation_vs_best": round(
-                                elapsed / best[name], 2
+                                elapsed / best[name][0], 2
                             ),
                             "loadavg_now": _loadavg(),
                             "steal_pct_so_far": _steal_pct(
@@ -349,8 +358,19 @@ def main() -> None:
                         }
             timings[name] = round(elapsed, 3)
             total += elapsed
-            if name in best and best[name] > 0:
-                inflation[name] = round(elapsed / best[name], 2)
+            if name in best and best[name][0] > 0:
+                best_sec, best_eff = best[name]
+                inflation[name] = round(elapsed / best_sec, 2)
+                # capacity-normalized inflation (VERDICT r7 #6): wall x
+                # effective_cores ~ delivered core-seconds, so for a fixed
+                # plan the ratio is host-invariant. >1 here means the plan
+                # (or feedstock) genuinely regressed; raw inflation with
+                # norm ~1 means the host degraded. Computable only when
+                # the best's record carried effective_cores (round >= 7).
+                if best_eff and effective_cores:
+                    inflation_norm[name] = round(
+                        (elapsed * effective_cores) / (best_sec * best_eff), 2
+                    )
             if cpu_sec is not None:
                 cpu_secs[name] = round(cpu_sec, 3)
             cpu_before = cpu_after
@@ -425,6 +445,18 @@ def main() -> None:
         "calib32_sec": calib32_sec,
         "effective_cores": effective_cores,
         "inflation_vs_best": inflation,
+        # wall x eff_now / (best_wall x eff_best): host-capacity-invariant
+        # inflation, present only where the best's record stored
+        # effective_cores (VERDICT r7 #6) — the judge-facing regression read
+        "inflation_vs_best_norm": inflation_norm,
+        # per-query provenance for the normalized read: the capacity the
+        # best was measured under (null for pre-round-7 bests)
+        "best_effective_cores": {
+            n: best[n][1] for n in timings if n in best
+        },
+        "best_wall_sec": {
+            n: round(best[n][0], 3) for n in timings if n in best
+        },
         "reruns": reruns,
     }
     if needs_adjudication:

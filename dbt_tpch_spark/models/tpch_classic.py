@@ -11,9 +11,13 @@ noted on the model: Q3 carries o_orderpriority (o_shippriority is not in
 the corpus), Q10 drops the address/phone/comment output columns, Q17 keys
 on brand only (no p_container), Q9/Q11/Q16/Q20 derive the part-supplier
 catalog / supply-cost proxy from shipped lineitem pairs (no partsupp),
-Q13/Q19/Q22 drop comment/shipmode/phone conjuncts. Q4/Q12/Q21 stay
-blocked outright — their core predicate IS the commit/receipt-date
-comparison the corpus lacks (SURVEY §2.12).
+Q13/Q19/Q22 drop comment/shipmode/phone conjuncts. Q4/Q12/Q21's core
+predicate IS the commit/receipt-date comparison the corpus lacks
+(SURVEY §2.12) — round 8 ships ``_adapted`` variants that keep the
+query SHAPES (semi-join EXISTS, late-chain conditional agg, the
+only-late-supplier double-correlation rewritten as one per-order
+aggregate) on a 90-day ship-lag lateness proxy; the true predicates
+swap in when the fixture columns land.
 
 Scale shapes follow TPC-H practice on Spark: region/nation always
 broadcast (25/5 rows at any SF); part/supplier/customer join as plain
@@ -689,6 +693,190 @@ SELECT n.n_name AS cntrycode,
        {dsum_sql('e.c_acctbal')} AS totacctbal
 FROM eligible e JOIN nation n ON e.c_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
+)
+
+
+# ------------------------------------------------------------ Q4 adapted
+
+
+@model("tpch_q04_order_priority_adapted", layer="reports", materialization="view")
+def tpch_q04_order_priority_adapted(ctx):
+    """Q4 order-priority checking (adapted: the corpus lacks
+    l_commitdate/l_receiptdate — FIXTURES.md Part B — so a 'late' lineitem
+    is proxied as shipping more than 90 days after its order date; swap
+    the conjunct for l_commitdate < l_receiptdate when the columns land):
+    per priority, the count of 1996-Q3 orders with at least one late
+    lineitem.
+
+    Scale: the EXISTS is a LEFT SEMI join on orderkey with the date theta
+    as an extra join conjunct — no correlated subquery materializes, no
+    duplicate-orders dedup needed; the quarter filter prunes orders at
+    the parquet scan and the 5-value priority aggregate is bounded."""
+    o = ctx.source("orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    l = ctx.source("lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+oracle(
+    "tpch_q04_order_priority_adapted",
+    ("orders", "lineitem"),
+    """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY 1""",
+)
+
+
+# ------------------------------------------------------------ Q12 adapted
+
+
+@model("tpch_q12_shipping_modes_adapted", layer="reports", materialization="view")
+def tpch_q12_shipping_modes_adapted(ctx):
+    """Q12 shipping modes and order priority (adapted twice over —
+    FIXTURES.md Part B: no l_shipmode, so the categorical split is
+    l_returnflag; no commit/receipt dates, so the late-chain predicate is
+    the 90-day ship-lag proxy): for lineitems shipped in 1997 that were
+    late, per returnflag the count of high-priority (URGENT/HIGH) vs
+    other orders — the reference conditional-agg shape (SURVEY §2.5 A4)
+    on the classic Q12 join.
+
+    Scale: the 1997 ship-window filter is parquet-pushed on lineitem; the
+    single shuffle pair is the orderkey equi-join + the 3-value
+    returnflag aggregate (bounded)."""
+    l = ctx.source("lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = ctx.source("orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+oracle(
+    "tpch_q12_shipping_modes_adapted",
+    ("lineitem", "orders"),
+    """SELECT
+    l.l_returnflag,
+    CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+    CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1""",
+)
+
+
+# ------------------------------------------------------------ Q21 adapted
+
+
+@model("tpch_q21_suppliers_waiting_adapted", layer="reports", materialization="view")
+def tpch_q21_suppliers_waiting_adapted(ctx):
+    """Q21 suppliers who kept orders waiting (adapted: 'late' is the
+    90-day ship-lag proxy — FIXTURES.md Part B — and the nation filter is
+    dropped so the 100-supplier fixture yields a meaningful ranking): top
+    20 suppliers by the number of finished multi-supplier orders where
+    they were the ONLY late supplier.
+
+    The classic formulation is EXISTS(other supplier on the order) AND
+    NOT EXISTS(other LATE supplier on the order); at scale that's two
+    correlated self-joins over lineitem. This plans it as ONE per-order
+    aggregate instead: n_suppliers, n_late_suppliers and the (unique when
+    n_late=1) late suppkey per order, then filter ns>1 AND nl=1 — the
+    agg-join-back rewrite (SURVEY §2.4 J10) that touches lineitem once.
+    The top-20 is a rank-filter window Catalyst rewrites to
+    TakeOrderedAndProject (per-partition heap, no global sort)."""
+    o = ctx.source("orders").filter(F.col("o_orderstatus") == "F")
+    l = ctx.source("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    waits = (
+        per_order.filter((F.col("ns") > 1) & (F.col("nl") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    s = ctx.source("supplier").select("s_suppkey", "s_name")
+    ranked = waits.join(s, waits.late_supp == s.s_suppkey).select(
+        "s_name", "numwait"
+    )
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("s_name", "numwait", "rank")
+    )
+
+
+oracle(
+    "tpch_q21_suppliers_waiting_adapted",
+    ("orders", "lineitem", "supplier"),
+    """WITH j AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS ns,
+           COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl,
+           MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+    FROM j GROUP BY 1
+),
+waits AS (
+    SELECT late_supp, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per_order WHERE ns > 1 AND nl = 1 GROUP BY 1
+),
+ranked AS (
+    SELECT s.s_name, w.numwait,
+           CAST(ROW_NUMBER() OVER (ORDER BY w.numwait DESC, s.s_name) AS BIGINT)
+               AS rank
+    FROM waits w JOIN supplier s ON w.late_supp = s.s_suppkey
+)
+SELECT s_name, numwait, rank FROM ranked WHERE rank <= 20""",
 )
 
 

@@ -1314,8 +1314,15 @@ def events_quantile_sketch(ctx):
     (the repo's quantized-libm convention) and gamma^k at 6 dp, so both
     engines bucket and estimate bit-identically. Scale shape: one
     aggregation at bucket grain, cumulative window over the <=550-row
-    sketch, zero joins at corpus grain."""
-    e = ctx.source("events").select("value")
+    sketch, zero joins at corpus grain.
+
+    The log-bucket domain is positive values only, and the guard is
+    ENFORCED (not assumed): ln(0)/ln(negative) raises in DuckDB but
+    yields NULL in Spark, so an unguarded corpus drift would diverge
+    the engines instead of erroring. Both sides filter value > 0 with
+    the identical predicate (DDSketch proper keeps separate negative /
+    zero stores; this sketch covers the positive store)."""
+    e = ctx.source("events").select("value").filter(F.col("value") > 0)
     k = F.ceil(rnd(F.log("value") / F.lit(QSK_LN_GAMMA), 9)).cast("long")
     sketch = e.groupBy(k.alias("qbucket")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
@@ -1408,7 +1415,7 @@ FROM picked p CROSS JOIN exact x"""
     return f"""WITH sk AS (
     SELECT CAST(ceil({rnd_sql(f'ln(value) / {QSK_LN_GAMMA}', 9)}) AS BIGINT) AS qbucket,
            CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM events GROUP BY 1
+    FROM events WHERE value > 0 GROUP BY 1
 ),
 cum AS (
     SELECT qbucket,
@@ -1420,9 +1427,144 @@ picked AS (
     SELECT {ks}, CAST(MAX(n) AS BIGINT) AS n_rows FROM cum
 ),
 exact AS (
-    SELECT {exacts} FROM events
+    SELECT {exacts} FROM events WHERE value > 0
 )
 {selects}"""
 
 
 oracle("events_quantile_sketch", ("events",), _qsk_oracle())
+
+
+@model("events_qsketch_merge_check", layer="operators", materialization="view")
+def events_qsketch_merge_check(ctx):
+    """The quantile-sketch mergeability proof as a query (VERDICT r7 #7 —
+    the DDSketch analogue of events_hll_merge_check): per-DAY bucket-count
+    sketches summed up to the whole period must yield the IDENTICAL
+    bucket table — and so identical p50/p99 estimates — as sketching the
+    whole corpus directly. This is the property that lets a 100 TB
+    deployment keep per-day/per-shard ~550-row sketches and answer any
+    coarser quantile rollup by pure addition, never re-reading raw data.
+
+    Output is one row: bucket-table agreement (n_mismatched_buckets must
+    be 0), row totals, and the p50/p99 estimates computed from BOTH
+    paths. Scale shape: two bucket-grain aggregations + one full-outer
+    join and windows over the <=550-row joined sketch."""
+    from pyspark.sql import Window
+
+    e = ctx.source("events").select("ts", "value").filter(F.col("value") > 0)
+    k = F.ceil(rnd(F.log("value") / F.lit(QSK_LN_GAMMA), 9)).cast("long")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), k.alias("qbucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    merged = daily.groupBy("qbucket").agg(
+        F.sum("cnt").cast("long").alias("m_cnt")
+    )
+    direct = e.groupBy(k.alias("qbucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("d_cnt")
+    )
+    j = merged.join(direct, "qbucket", "full_outer").select(
+        "qbucket",
+        F.coalesce("m_cnt", F.lit(0)).cast("long").alias("m_cnt"),
+        F.coalesce("d_cnt", F.lit(0)).cast("long").alias("d_cnt"),
+    )
+    w_cum = Window.orderBy("qbucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = j.select(
+        "qbucket",
+        "m_cnt",
+        "d_cnt",
+        F.sum("m_cnt").over(w_cum).cast("long").alias("m_cum"),
+        F.sum("d_cnt").over(w_cum).cast("long").alias("d_cum"),
+        F.sum("m_cnt").over(w_all).cast("long").alias("m_n"),
+        F.sum("d_cnt").over(w_all).cast("long").alias("d_n"),
+    )
+    qs = (0.5, 0.99)
+    row = cum.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum((F.col("m_cnt") != F.col("d_cnt")).cast("long"))
+        .cast("long")
+        .alias("n_mismatched_buckets"),
+        F.max("m_n").cast("long").alias("merged_n"),
+        F.max("d_n").cast("long").alias("direct_n"),
+        *[
+            F.min(
+                F.when(
+                    F.col(f"{side}_cum")
+                    >= F.ceil(F.lit(q) * F.col(f"{side}_n")),
+                    F.col("qbucket"),
+                )
+            ).alias(f"{side}k{int(q * 100)}")
+            for q in qs
+            for side in ("m", "d")
+        ],
+    )
+    est = lambda kc: rnd(  # noqa: E731
+        F.lit(2.0) * F.pow(F.lit(QSK_GAMMA), kc) / F.lit(QSK_GAMMA + 1.0), 6
+    )
+    return row.select(
+        "n_buckets",
+        "n_mismatched_buckets",
+        "merged_n",
+        "direct_n",
+        est(F.col("mk50")).alias("p50_merged"),
+        est(F.col("dk50")).alias("p50_direct"),
+        est(F.col("mk99")).alias("p99_merged"),
+        est(F.col("dk99")).alias("p99_direct"),
+    )
+
+
+def _qsk_merge_oracle() -> str:
+    bucket = f"CAST(ceil({rnd_sql(f'ln(value) / {QSK_LN_GAMMA}', 9)}) AS BIGINT)"
+    def est(col: str) -> str:
+        return rnd_sql(f"2.0 * power({QSK_GAMMA}, {col}) / {QSK_GAMMA + 1.0}", 6)
+    picks = ", ".join(
+        f"MIN(CASE WHEN {side}_cum >= CAST(ceil({q} * {side}_n) AS BIGINT)"
+        f" THEN qbucket END) AS {side}k{int(q * 100)}"
+        for q in (0.5, 0.99)
+        for side in ("m", "d")
+    )
+    return f"""WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, {bucket} AS qbucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events WHERE value > 0 GROUP BY 1, 2
+),
+merged AS (
+    SELECT qbucket, CAST(SUM(cnt) AS BIGINT) AS m_cnt FROM daily GROUP BY 1
+),
+direct AS (
+    SELECT {bucket} AS qbucket, CAST(COUNT(*) AS BIGINT) AS d_cnt
+    FROM events WHERE value > 0 GROUP BY 1
+),
+j AS (
+    SELECT COALESCE(m.qbucket, d.qbucket) AS qbucket,
+           CAST(COALESCE(m_cnt, 0) AS BIGINT) AS m_cnt,
+           CAST(COALESCE(d_cnt, 0) AS BIGINT) AS d_cnt
+    FROM merged m FULL OUTER JOIN direct d ON m.qbucket = d.qbucket
+),
+cum AS (
+    SELECT qbucket, m_cnt, d_cnt,
+           CAST(SUM(m_cnt) OVER (ORDER BY qbucket) AS BIGINT) AS m_cum,
+           CAST(SUM(d_cnt) OVER (ORDER BY qbucket) AS BIGINT) AS d_cum,
+           CAST(SUM(m_cnt) OVER () AS BIGINT) AS m_n,
+           CAST(SUM(d_cnt) OVER () AS BIGINT) AS d_n
+    FROM j
+),
+picked AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CAST(m_cnt <> d_cnt AS BIGINT)) AS BIGINT) AS n_mismatched_buckets,
+           CAST(MAX(m_n) AS BIGINT) AS merged_n,
+           CAST(MAX(d_n) AS BIGINT) AS direct_n,
+           {picks}
+    FROM cum
+)
+SELECT n_buckets, n_mismatched_buckets, merged_n, direct_n,
+       {est('mk50')} AS p50_merged,
+       {est('dk50')} AS p50_direct,
+       {est('mk99')} AS p99_merged,
+       {est('dk99')} AS p99_direct
+FROM picked"""
+
+
+oracle("events_qsketch_merge_check", ("events",), _qsk_merge_oracle())

@@ -38,8 +38,11 @@ _UNBOUNDED_KEY = re.compile(
 #: task, so both the WINDOW and the BROADCAST invariants treat them as
 #: unbounded (round-6 verdict #7: a hard-hinted vocab broadcast is the
 #: same OOM class on a Heaps-law curve).  Vocab lookup joins (TF-IDF/
-#: BM25/PMI df tables) route through ``gated_broadcast`` on a measured
-#: count — the gate, not a hard hint, decides.
+#: BM25/PMI df tables) are deliberately hint-free — AQE picks broadcast
+#: vs shuffle from the MEASURED post-filter size at runtime, which is
+#: the correct call on a Heaps-law curve (a static hint in either
+#: direction would be wrong at some SF); the invariant here only bans
+#: HARD broadcast hints on such grains.
 _VOCAB_KEY = re.compile(r"(^|_)(shingle|term|token|ngram|gram|bigram)s?$")
 
 

@@ -51,3 +51,40 @@ def test_no_duplicates_and_full_surface():
     names = list(entry_mod.queries())
     assert len(names) == len(set(names))
     assert len(names) >= 135  # full round-2 surface must never shrink
+
+
+def test_window_is_exactly_fifty_and_deduped():
+    w = entry_mod._DRIVER_WINDOW
+    assert len(w) == entry_mod._WINDOW_SIZE
+    assert len(set(w)) == len(w)
+
+
+def test_typoed_window_name_fails_loudly(monkeypatch):
+    """Round-7 verdict #4: the old list-comprehension filter dropped
+    unresolvable names silently, so one misspelled entry burned a driver
+    slot without any test noticing.  The derivation must raise instead."""
+    import pytest
+
+    monkeypatch.setattr(
+        entry_mod, "_ANCHORS", entry_mod._ANCHORS + ("no_such_query_xyz",)
+    )
+    with pytest.raises(AssertionError, match="no_such_query_xyz"):
+        entry_mod._derive_window()
+
+
+def test_window_fill_is_never_witnessed_first():
+    """The auto-derived fill (VERDICT r7 #1/#4) spends every non-anchor
+    slot on queries with NO green driver row in any CORRECTNESS_r*.json —
+    as long as enough never-witnessed queries exist to fill the window."""
+    witnessed = entry_mod._witnessed()
+    eligible = set(entry_mod._eligible())
+    never = eligible - witnessed
+    non_anchor = [
+        n for n in entry_mod._DRIVER_WINDOW if n not in entry_mod._ANCHORS
+    ]
+    if len(never) >= len(non_anchor):
+        leaked = [n for n in non_anchor if n in witnessed]
+        assert not leaked, f"window wastes slots on already-witnessed: {leaked}"
+    # priority heads that are still unwitnessed must lead the fill
+    expected_heads = [n for n in entry_mod._PRIORITY if n in never]
+    assert non_anchor[: len(expected_heads)] == expected_heads

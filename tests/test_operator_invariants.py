@@ -1474,6 +1474,108 @@ def test_embedding_lsh_recall_floor(spark, sf_dir, tmp_path):
     )
 
 
+def test_dedup_exact_on_planted_duplicates(spark, sf_dir, tmp_path):
+    """VERDICT r7 'what's wrong' #1: dedup_exact's corpus output is 0 rows
+    at every checked SF (the fixture has near-dups but no byte-exact dups
+    after normalization), so its green hash gate only ever proved the
+    EMPTY set matches. This plants byte-exact and normalization-equal
+    duplicates and checks the non-empty path on BOTH engines."""
+    import pandas as pd
+
+    from dbt_tpch_spark.parity import check_query
+
+    texts = [
+        "The quick brown fox",      # trio: one raw dup + one that only
+        "The quick brown fox",      #   normalization (case/whitespace)
+        "  the QUICK   brown fox ", #   makes equal
+        "a unique document",
+        "another unique document",
+        "pair of equals",
+        "pair of equals",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = _mini_corpus(tmp_path, sf_dir, documents=docs)
+    rows = Context(spark, d).ref("dedup_exact").collect()
+    got = {
+        (r["dup_count"], r["canonical_doc_id"], r["max_doc_id"]) for r in rows
+    }
+    # the fox trio collapses to one group of 3; the pair to one group of 2
+    assert got == {(3, 1, 3), (2, 6, 7)}, got
+    import __spark_entry__ as entrymod
+
+    rep = check_query(
+        spark,
+        d,
+        entrymod.queries()["dedup_exact"],
+        entrymod.oracle_sql()["dedup_exact"],
+    )
+    assert rep["rows_match"] and rep["cols_match"] and rep["values_match"]
+
+
+def test_tpch_q22_on_planted_never_ordered_customers(spark, sf_dir, tmp_path):
+    """VERDICT r7 'what's wrong' #2: every above-average-balance customer
+    in the fixture corpus has ordered, so Q22's LEFT ANTI + scalar
+    threshold (the whole point of the query) never fired through a
+    non-empty gate. Plants high-balance never-ordered customers across
+    two nations and checks the non-empty path on BOTH engines."""
+    import pandas as pd
+
+    from dbt_tpch_spark.parity import check_query
+
+    # balances: positive-balance average = (100+200+9000+8000+7000)/5
+    # = 4860 → customers 3,4,5 are above it; 3 and 4 never ordered
+    # (different nations), 5 has an order; 1-2 below threshold.
+    cust = pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4, 5, 6],
+            "c_name": [f"Customer#{i}" for i in range(1, 7)],
+            "c_nationkey": pd.array([0, 1, 0, 1, 2, 2], dtype="int32"),
+            "c_acctbal": [100.0, 200.0, 9000.0, 8000.0, 7000.0, -50.0],
+            "c_mktsegment": ["BUILDING"] * 6,
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [10, 11],
+            "o_custkey": [5, 1],
+            "o_orderstatus": ["F", "O"],
+            "o_totalprice": [1000.0, 2000.0],
+            "o_orderdate": pd.Series(
+                ["1995-01-01", "1995-02-01"]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT", "2-HIGH"],
+        }
+    )
+    d = _mini_corpus(tmp_path, sf_dir, customer=cust, orders=orders)
+    rows = Context(spark, d).ref("tpch_q22_global_sales_opportunity").collect()
+    got = {(r["cntrycode"], r["numcust"], float(r["totacctbal"])) for r in rows}
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in Context(spark, d).source("nation").collect()
+    }
+    assert got == {
+        (nations[0], 1, 9000.0),
+        (nations[1], 1, 8000.0),
+    }, got
+    import __spark_entry__ as entrymod
+
+    rep = check_query(
+        spark,
+        d,
+        entrymod.queries()["tpch_q22_global_sales_opportunity"],
+        entrymod.oracle_sql()["tpch_q22_global_sales_opportunity"],
+    )
+    assert rep["rows_match"] and rep["cols_match"] and rep["values_match"]
+
+
 def test_watermark_lateness_profile_bands(spark, sf_dir, tmp_path):
     """The driver corpus arrives fully ordered (every SF: zero late rows),
     so the hash gate only ever exercises the in-order band — this test

@@ -65,10 +65,15 @@ SHUFFLE_BUDGETS = {
     # streaming job already aggregated, the batch-side plan is a pure scan
     "events_stream_tumbling_10m": 0,
     "events_stream_session_30m": 0,
+    # foreachBatch pane maintenance: output is the <=550-row local pane
+    "events_stream_qsketch": 0,
     # one bucket-grain aggregation + the <=550-row cumulative window +
     # the exact-percentile comparison aggregate (stack-unpivot keeps the
     # corpus single-pass: a per-q UNION re-ran these 3x, 9 shuffles)
     "events_quantile_sketch": 3,
+    # daily agg + merged re-agg + direct agg + full-outer join align; the
+    # cumulative windows ride the <=550-row joined sketch
+    "events_qsketch_merge_check": 4,
     # range-bucketed running max: corpus agg to buckets, per-bucket
     # window, <=32-row offset lift, band histogram
     "events_watermark_lateness_profile": 5,
@@ -104,6 +109,22 @@ SHUFFLE_BUDGETS = {
     "events_cms_topusers": 4,
     "customers_semi_anti": 3,
     "tpch_q22_global_sales_opportunity": 2,
+    # round-8 adapted classics (ship-lag lateness proxy): Q4 = broadcast
+    # semi-join + bounded priority agg (1 shuffle); Q12 likewise onto the
+    # 3-value returnflag agg; Q21 = orderkey join reused by the per-order
+    # agg + supplier-wait agg + TakeOrderedAndProject top-20 (no global
+    # sort) = 3
+    "tpch_q04_order_priority_adapted": 1,
+    "tpch_q12_shipping_modes_adapted": 1,
+    "tpch_q21_suppliers_waiting_adapted": 3,
+    # round-8 adapted reliability family: one items scan -> one aggregate
+    # each with the supplier dim broadcast; fulfillment joins fact-to-fact
+    # on order_key (2) then lands on the bounded priority x returnflag
+    # grain (+ distinct-expand re-shuffles)
+    "supplier_lead_time_distribution_adapted": 1,
+    "metrics_supplier_reliability_adapted": 1,
+    "int_supplier_performance_adapted": 2,
+    "fulfillment_priority_analysis_adapted": 4,
     # round-3 operators
     "embeddings_pca_variance": 2,
     "embeddings_negative_samples": 1,
@@ -559,12 +580,26 @@ def test_pair_stage_invariant_catches_unbounded_theta_join(spark, sf_dir):
     # ... but a predicate the engine DECLARED as a fixed sample does
     # (registered on the SOURCE column name: predicate pushdown rewrites
     # the filter below any rename-Project before the audit sees it)
+    from dbt_tpch_spark.plans import audit as _audit
     from dbt_tpch_spark.plans.audit import register_bounded_filter
 
-    register_bounded_filter("vec_id < 31")
-    assert not _pair_stage_offenders(
+    # the registry is process-global (it exists so ENGINE modules can
+    # declare fixed samples at import time); a test registration must not
+    # leak the exemption into every later plan walked in this session
+    # (round-7 ADVICE) — snapshot and restore around the assertion.
+    snapshot = set(_audit._BOUNDED_FILTER_PREDS)
+    try:
+        register_bounded_filter("vec_id < 31")
+        assert not _pair_stage_offenders(
+            a.join(prefix, F.col("vec_a") < F.col("vec_b"))
+        )
+    finally:
+        _audit._BOUNDED_FILTER_PREDS.clear()
+        _audit._BOUNDED_FILTER_PREDS.update(snapshot)
+    # with the registration rolled back, the same shape flags again
+    assert _pair_stage_offenders(
         a.join(prefix, F.col("vec_a") < F.col("vec_b"))
-    )
+    ), "test-scoped registration leaked into the global registry"
     # a checkpoint erases the cap's provenance: flags again ...
     opaque = capped.localCheckpoint(eager=True)
     assert _pair_stage_offenders(
@@ -757,6 +792,33 @@ def test_pagerank_copartition_mode_has_no_state_broadcast(spark, sf_dir):
             plan,
         ), plan
     assert df.count() > 0
+
+
+def test_graph_state_modes_produce_identical_output(spark, sf_dir):
+    """VERDICT r7 #5: the copartition-mode test above asserts PLAN shape
+    only; the broadcast-state and shuffle-hash-state code paths must also
+    be VALUE-identical — both paths quantize ranks/core numbers the same
+    way, so the full output tables must match row for row, not just both
+    come back green."""
+    import dbt_tpch_spark.operators.graph as g
+
+    for name, key in (("parts_pagerank", "part_key"), ("parts_kcore", "part_key")):
+        cols = None
+        outputs = []
+        saved = g.BROADCAST_STATE_MAX_NODES
+        for forced in (saved, 0):
+            g.BROADCAST_STATE_MAX_NODES = forced
+            try:
+                df = Context(spark, sf_dir).ref(name)
+                cols = df.columns
+                outputs.append(sorted(map(tuple, df.collect())))
+            finally:
+                g.BROADCAST_STATE_MAX_NODES = saved
+        assert outputs[0], f"{name}: empty output cannot witness equality"
+        assert outputs[0] == outputs[1], (
+            f"{name}: broadcast-state vs shuffle-hash-state outputs differ "
+            f"(columns {cols})"
+        )
 
 
 def test_q1_scan_prunes_and_pushes(spark, sf_dir):

@@ -397,6 +397,92 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
     assert _canon(stream, cols) == _canon(batch, cols)
 
 
+def test_streaming_qsketch_pane_merge_equals_batch(spark, sf_dir, tmp_path):
+    """VERDICT r7 #7: the DDSketch-style quantile sketch is mergeable by
+    construction — prove it the way HLL was proven. A foreachBatch sink
+    maintains the bucket-count state by pure addition across genuinely
+    multiple micro-batches (per-day files, 3 per trigger); the accumulated
+    state must equal the direct batch sketch bucket-for-bucket, and the
+    quantile estimates read from it must equal the batch query's."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from dbt_tpch_spark.operators import sketches as sk
+    from dbt_tpch_spark.sources import read_table
+
+    src = str(tmp_path / "events_days")
+    events = read_table(spark, sf_dir, "events")
+    events.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "day"
+    ).mode("overwrite").parquet(src)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(src)
+    )
+
+    def bucketed(df):
+        from dbt_tpch_spark.functions import rnd
+
+        k = F.ceil(
+            rnd(F.log("value") / F.lit(sk.QSK_LN_GAMMA), 9)
+        ).cast("long")
+        return (
+            df.filter(F.col("value") > 0)
+            .groupBy(k.alias("qbucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    state: Counter = Counter()
+    batches: list[int] = []
+
+    def sink(batch_df, batch_id):
+        batches.append(batch_id)
+        # the per-batch sketch is <=550 rows by construction — collecting
+        # THE SKETCH (never raw rows) is exactly the deployment pattern
+        for r in bucketed(batch_df).collect():
+            state[r["qbucket"]] += r["cnt"]
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) > 1, "need multiple micro-batches to prove merging"
+
+    direct = {
+        r["qbucket"]: r["cnt"] for r in bucketed(events).collect()
+    }
+    assert dict(state) == direct, "merged pane state != direct batch sketch"
+
+    # estimates read from the merged state equal the batch query's
+    batch_rows = {
+        float(r["q"]): r["estimate"]
+        for r in Context(spark, sf_dir).ref("events_quantile_sketch").collect()
+    }
+    n = sum(state.values())
+    ordered = sorted(state.items())
+    for qq in (0.5, 0.9, 0.99):
+        need, cum, pick = math.ceil(qq * n), 0, None
+        for bucket, cnt in ordered:
+            cum += cnt
+            if cum >= need:
+                pick = bucket
+                break
+        est = math.floor(
+            (2.0 * sk.QSK_GAMMA**pick / (sk.QSK_GAMMA + 1.0)) * 1e6 + 0.5
+        ) / 1e6
+        assert est == batch_rows[qq], (qq, est, batch_rows[qq])
+
+
 def test_foreachbatch_merge_upsert_sink(spark, sf_dir, tmp_path):
     """Streaming CDC sink: each micro-batch reduces to latest-state-per-user
     and MERGEs (version-wins on ts) into a parquet target. Replaying the
