@@ -227,6 +227,10 @@ HEADLINE = [
     # round-4 statistics-family representative (bounded contingency
     # cells + broadcast margins — zero windows)
     "events_chi_square",
+    # round-8 additions: the partsupp-proxy 5-way dim flattening (one pair
+    # shuffle + hint-free dims) and the mergeable-quantile-sketch proof
+    "dim_part_supplier_xrf_adapted",
+    "events_qsketch_merge_check",
 ]
 
 #: the round-2 headline set (first 20 entries) — reported as a separate

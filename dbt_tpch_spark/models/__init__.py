@@ -17,6 +17,7 @@ _LAYER_MODULES = (
     "dbt_tpch_spark.models.quality",
     "dbt_tpch_spark.models.tpch_classic",
     "dbt_tpch_spark.models.reliability",
+    "dbt_tpch_spark.models.catalog",
     # extension surfaces (operators/ and streaming/ register models too)
     "dbt_tpch_spark.operators.text",
     "dbt_tpch_spark.operators.dedup",

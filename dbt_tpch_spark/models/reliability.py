@@ -363,3 +363,381 @@ FROM fct_orders_items i
 JOIN fct_orders o ON i.order_key = o.order_key
 GROUP BY 1, 2""",
 )
+
+
+@model("int_shipping_delays_adapted", layer="intermediate", materialization="view")
+def int_shipping_delays_adapted(ctx):
+    """Per-lineitem delivery status listing. Reference:
+    models/intermediate/int_shipping_delays.sql:1-39 (adapted: of the
+    reference's three day-measures only processing_days is computable
+    without receipt/commit dates, and delivery_status collapses to
+    late/on_time via the ship-lag proxy — no 'early' without a commit
+    date; ship_mode_name absent).
+
+    Scale: row-grain projection + one broadcast dim join — no shuffle
+    beyond the inherited fact feedstock."""
+    i = ctx.ref("fct_orders_items").select(
+        "order_item_key",
+        "order_key",
+        "order_date",
+        "ship_date",
+        "customer_key",
+        "supplier_key",
+        "part_key",
+        "quantity",
+        "gross_item_sales_amount",
+        _LAG().alias("processing_days"),
+    )
+    s = ctx.ref("dim_supplier").select(
+        "supplier_key", "supplier_name", "supplier_nation_name"
+    )
+    return i.join(F.broadcast(s), "supplier_key").select(
+        "order_item_key",
+        "order_key",
+        "order_date",
+        "ship_date",
+        "customer_key",
+        "supplier_key",
+        "supplier_name",
+        "supplier_nation_name",
+        "part_key",
+        "quantity",
+        "gross_item_sales_amount",
+        "processing_days",
+        F.when(
+            F.col("processing_days") > LATE_SHIP_LAG_DAYS, "late"
+        )
+        .otherwise("on_time")
+        .alias("delivery_status"),
+    )
+
+
+oracle(
+    "int_shipping_delays_adapted",
+    ("fct_orders_items", "dim_supplier"),
+    f"""SELECT
+    i.order_item_key,
+    i.order_key,
+    i.order_date,
+    i.ship_date,
+    i.customer_key,
+    i.supplier_key,
+    s.supplier_name,
+    s.supplier_nation_name,
+    i.part_key,
+    i.quantity,
+    i.gross_item_sales_amount,
+    {_LAG_SQL} AS processing_days,
+    CASE WHEN {_LAG_SQL} > {LATE_SHIP_LAG_DAYS} THEN 'late'
+         ELSE 'on_time' END AS delivery_status
+FROM fct_orders_items i
+JOIN dim_supplier s ON i.supplier_key = s.supplier_key""",
+)
+
+
+@model(
+    "metrics_shipping_efficiency_adapted",
+    layer="metrics",
+    materialization="table",
+)
+def metrics_shipping_efficiency_adapted(ctx):
+    """Average delivery time per month by lineitem category. Reference:
+    models/metrics/metrics_shipping_efficiency.sql:1-19 (adapted: the
+    category axis is return_status_code — ship_mode_name is absent — and
+    of the three day-averages only processing days is computable; late =
+    the ship-lag proxy).
+
+    Scale: fact scan -> bounded (month x 3-value flag) aggregate."""
+    i = ctx.ref("fct_orders_items").select(
+        F.date_trunc("month", F.col("ship_date")).alias("ship_month"),
+        "return_status_code",
+        _LAG().alias("processing_days"),
+    )
+    late = F.sum(
+        F.when(F.col("processing_days") > LATE_SHIP_LAG_DAYS, 1).otherwise(0)
+    ).cast("long")
+    return i.groupBy("ship_month", "return_status_code").agg(
+        F.count(F.lit(1)).cast("long").alias("shipment_count"),
+        rnd(davg(F.col("processing_days")), 1).alias("avg_processing_days"),
+        late.alias("late_count"),
+        rnd(
+            safe_div(
+                late.cast("double") * 100.0,
+                F.count(F.lit(1)).cast("double"),
+            ),
+            2,
+        ).alias("late_pct"),
+    )
+
+
+oracle(
+    "metrics_shipping_efficiency_adapted",
+    ("fct_orders_items",),
+    f"""SELECT
+    {month_sql('i.ship_date')} AS ship_month,
+    i.return_status_code,
+    CAST(COUNT(*) AS BIGINT) AS shipment_count,
+    {rnd_sql(davg_sql(_LAG_SQL), 1)} AS avg_processing_days,
+    CAST(SUM(CASE WHEN {_LAG_SQL} > {LATE_SHIP_LAG_DAYS} THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+    {rnd_sql(f"SUM(CASE WHEN {_LAG_SQL} > {LATE_SHIP_LAG_DAYS} THEN 1 ELSE 0 END) * 100.0 / NULLIF(CAST(COUNT(*) AS DOUBLE), 0)", 2)} AS late_pct
+FROM fct_orders_items i
+GROUP BY 1, 2""",
+)
+
+
+@model(
+    "int_order_items_enriched_adapted",
+    layer="intermediate",
+    materialization="view",
+)
+def int_order_items_enriched_adapted(ctx):
+    """Fully enriched order lines (customer + supplier + part + nations).
+    Reference: models/intermediate/int_order_items_enriched.sql:1-68
+    (adapted: commit/receipt/ship-mode columns absent; profit_amount uses
+    the 0.6-retail cost proxy — models/catalog.py).
+
+    Scale: the J5 triple LEFT JOIN enrichment — customer/supplier/part
+    sides join hint-free (all SF-linear; AQE sizes them), nothing
+    hard-broadcast."""
+    f = ctx.ref("fct_orders_items")
+    c = ctx.ref("dim_customer").select(
+        "customer_key",
+        "customer_name",
+        "customer_nation_name",
+        "customer_region_name",
+        "customer_market_segment_name",
+    )
+    s = ctx.ref("dim_supplier").select(
+        "supplier_key", "supplier_name", "supplier_nation_name", "supplier_region_name"
+    )
+    p = ctx.ref("dim_part").select(
+        "part_key", "part_name", "part_type_name", "part_brand_name",
+        "part_size", "retail_price",
+    )
+    from dbt_tpch_spark.models.catalog import COST_FRACTION
+
+    return (
+        f.join(c, "customer_key", "left")
+        .join(s, "supplier_key", "left")
+        .join(p, "part_key", "left")
+        .select(
+            "order_item_key",
+            "order_key",
+            "order_date",
+            "order_status_code",
+            "order_line_number",
+            "order_line_status_code",
+            "return_status_code",
+            "ship_date",
+            "customer_key",
+            "customer_name",
+            "customer_nation_name",
+            "customer_region_name",
+            "customer_market_segment_name",
+            "supplier_key",
+            "supplier_name",
+            "supplier_nation_name",
+            "supplier_region_name",
+            "part_key",
+            "part_name",
+            "part_type_name",
+            "part_brand_name",
+            "part_size",
+            "quantity",
+            "base_price",
+            "discount_percentage",
+            "tax_rate",
+            "gross_item_sales_amount",
+            "discounted_item_sales_amount",
+            "item_discount_amount",
+            "item_tax_amount",
+            "net_item_sales_amount",
+            (
+                F.col("gross_item_sales_amount")
+                - F.lit(COST_FRACTION) * F.col("retail_price") * F.col("quantity")
+            ).alias("profit_amount"),
+        )
+    )
+
+
+oracle(
+    "int_order_items_enriched_adapted",
+    ("fct_orders_items", "dim_customer", "dim_supplier", "dim_part"),
+    """SELECT
+    f.order_item_key,
+    f.order_key,
+    f.order_date,
+    f.order_status_code,
+    f.order_line_number,
+    f.order_line_status_code,
+    f.return_status_code,
+    f.ship_date,
+    f.customer_key,
+    c.customer_name,
+    c.customer_nation_name,
+    c.customer_region_name,
+    c.customer_market_segment_name,
+    f.supplier_key,
+    s.supplier_name,
+    s.supplier_nation_name,
+    s.supplier_region_name,
+    f.part_key,
+    p.part_name,
+    p.part_type_name,
+    p.part_brand_name,
+    p.part_size,
+    f.quantity,
+    f.base_price,
+    f.discount_percentage,
+    f.tax_rate,
+    f.gross_item_sales_amount,
+    f.discounted_item_sales_amount,
+    f.item_discount_amount,
+    f.item_tax_amount,
+    f.net_item_sales_amount,
+    (f.gross_item_sales_amount - 0.6 * p.retail_price * f.quantity) AS profit_amount
+FROM fct_orders_items f
+LEFT JOIN dim_customer c ON f.customer_key = c.customer_key
+LEFT JOIN dim_supplier s ON f.supplier_key = s.supplier_key
+LEFT JOIN dim_part p ON f.part_key = p.part_key""",
+)
+
+
+@model("supplier_scorecard_adapted", layer="reports", materialization="table")
+def supplier_scorecard_adapted(ctx):
+    """Comprehensive supplier scorecard. Reference:
+    models/reports/supplier_scorecard.sql:1-62 (adapted: on-time and
+    delay measures via the ship-lag proxy — avg_delay_days becomes
+    avg_processing_days; the inventory CTE reads the shipped-pairs
+    catalog, so availability becomes total supplied quantity).
+
+    Scale: three supplier-grain aggregates LEFT-joined back to the
+    supplier dim (the reference's own 3-CTE shape); all joins on the
+    supplier key, hint-free."""
+    items = ctx.ref("fct_orders_items")
+    delivery = items.groupBy("supplier_key").agg(
+        F.count(F.lit(1)).cast("long").alias("total_shipments"),
+        F.sum(F.when(_LAG() <= LATE_SHIP_LAG_DAYS, 1).otherwise(0))
+        .cast("long")
+        .alias("on_time_shipments"),
+        F.sum(F.when(F.col("return_status_code") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("returned_items"),
+        rnd(davg(_LAG()), 1).alias("avg_processing_days"),
+    )
+    revenue = items.groupBy("supplier_key").agg(
+        dsum(F.col("gross_item_sales_amount")).alias("total_revenue"),
+        dsum(F.col("net_item_sales_amount")).alias("total_net_revenue"),
+        F.countDistinct("order_key").cast("long").alias("order_count"),
+        F.countDistinct("customer_key").cast("long").alias("customer_reach"),
+        F.countDistinct("part_key").cast("long").alias("parts_supplied"),
+    )
+    catalog = (
+        ctx.ref("parts_suppliers_adapted")
+        .groupBy("supplier_key")
+        .agg(
+            dsum(F.col("supplied_quantity_total")).alias("total_supplied_qty"),
+            rnd(davg(F.col("supplier_cost_amount")), 2).alias("avg_supply_cost"),
+        )
+    )
+    s = ctx.ref("dim_supplier").select(
+        "supplier_key",
+        "supplier_name",
+        "supplier_nation_name",
+        "supplier_region_name",
+        "supplier_account_balance",
+    )
+    return (
+        s.join(revenue, "supplier_key", "left")
+        .join(delivery, "supplier_key", "left")
+        .join(catalog, "supplier_key", "left")
+        .select(
+            "supplier_key",
+            "supplier_name",
+            "supplier_nation_name",
+            "supplier_region_name",
+            "supplier_account_balance",
+            "total_revenue",
+            "total_net_revenue",
+            "order_count",
+            "customer_reach",
+            "parts_supplied",
+            "total_shipments",
+            "on_time_shipments",
+            rnd(
+                safe_div(
+                    F.col("on_time_shipments").cast("double") * 100.0,
+                    F.col("total_shipments").cast("double"),
+                ),
+                2,
+            ).alias("on_time_pct"),
+            "returned_items",
+            rnd(
+                safe_div(
+                    F.col("returned_items").cast("double") * 100.0,
+                    F.col("total_shipments").cast("double"),
+                ),
+                2,
+            ).alias("return_rate_pct"),
+            "avg_processing_days",
+            F.coalesce(F.col("total_supplied_qty"), F.lit(0.0)).alias(
+                "total_supplied_qty"
+            ),
+            "avg_supply_cost",
+        )
+    )
+
+
+oracle(
+    "supplier_scorecard_adapted",
+    ("fct_orders_items", "dim_supplier", "parts_suppliers_adapted"),
+    f"""WITH delivery AS (
+    SELECT i.supplier_key,
+           CAST(COUNT(*) AS BIGINT) AS total_shipments,
+           CAST(SUM(CASE WHEN {_LAG_SQL} <= {LATE_SHIP_LAG_DAYS} THEN 1 ELSE 0 END) AS BIGINT) AS on_time_shipments,
+           CAST(SUM(CASE WHEN i.return_status_code = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_items,
+           {rnd_sql(davg_sql(_LAG_SQL), 1)} AS avg_processing_days
+    FROM fct_orders_items i
+    GROUP BY 1
+),
+revenue AS (
+    SELECT i.supplier_key,
+           {dsum_sql('i.gross_item_sales_amount')} AS total_revenue,
+           {dsum_sql('i.net_item_sales_amount')} AS total_net_revenue,
+           CAST(COUNT(DISTINCT i.order_key) AS BIGINT) AS order_count,
+           CAST(COUNT(DISTINCT i.customer_key) AS BIGINT) AS customer_reach,
+           CAST(COUNT(DISTINCT i.part_key) AS BIGINT) AS parts_supplied
+    FROM fct_orders_items i
+    GROUP BY 1
+),
+catalog AS (
+    SELECT supplier_key,
+           {dsum_sql('supplied_quantity_total')} AS total_supplied_qty,
+           {rnd_sql(davg_sql('supplier_cost_amount'), 2)} AS avg_supply_cost
+    FROM parts_suppliers_adapted
+    GROUP BY 1
+)
+SELECT
+    s.supplier_key,
+    s.supplier_name,
+    s.supplier_nation_name,
+    s.supplier_region_name,
+    s.supplier_account_balance,
+    r.total_revenue,
+    r.total_net_revenue,
+    r.order_count,
+    r.customer_reach,
+    r.parts_supplied,
+    d.total_shipments,
+    d.on_time_shipments,
+    {rnd_sql('d.on_time_shipments * 100.0 / NULLIF(CAST(d.total_shipments AS DOUBLE), 0)', 2)} AS on_time_pct,
+    d.returned_items,
+    {rnd_sql('d.returned_items * 100.0 / NULLIF(CAST(d.total_shipments AS DOUBLE), 0)', 2)} AS return_rate_pct,
+    d.avg_processing_days,
+    COALESCE(c.total_supplied_qty, 0.0) AS total_supplied_qty,
+    c.avg_supply_cost
+FROM dim_supplier s
+LEFT JOIN revenue r ON s.supplier_key = r.supplier_key
+LEFT JOIN delivery d ON s.supplier_key = d.supplier_key
+LEFT JOIN catalog c ON s.supplier_key = c.supplier_key""",
+)

@@ -125,6 +125,22 @@ SHUFFLE_BUDGETS = {
     "metrics_supplier_reliability_adapted": 1,
     "int_supplier_performance_adapted": 2,
     "fulfillment_priority_analysis_adapted": 4,
+    # round-8 partsupp-proxy catalog family: the pair catalog is ONE
+    # groupBy(part, supplier) shuffle; everything downstream rides it
+    # (dims join hint-free/broadcast); concentration adds the J10
+    # agg-join-back; scorecard is the reference's own 3-CTE supplier-grain
+    # shape; the enriched view is 3 LEFT joins over the fact feedstock
+    "parts_suppliers_adapted": 1,
+    "dim_part_supplier_xrf_adapted": 1,
+    "int_supplier_parts_catalog_adapted": 1,
+    "int_part_profitability_adapted": 1,
+    "metrics_profit_margin_trend_adapted": 1,
+    "part_type_performance_adapted": 2,
+    "supplier_concentration_risk_adapted": 4,
+    "int_shipping_delays_adapted": 0,
+    "metrics_shipping_efficiency_adapted": 1,
+    "int_order_items_enriched_adapted": 4,
+    "supplier_scorecard_adapted": 6,
     # round-3 operators
     "embeddings_pca_variance": 2,
     "embeddings_negative_samples": 1,
