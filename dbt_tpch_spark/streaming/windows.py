@@ -591,6 +591,182 @@ picked AS (
 oracle("events_stream_qsketch", ("events",), _stream_qsk_oracle())
 
 
+@model("events_stream_hll_users", layer="streaming", materialization="view")
+def events_stream_hll_users(ctx):
+    """TRUE streaming HLL pane maintenance surfaced as an oracle-checked
+    query (the distinct-count sibling of events_stream_qsketch): a
+    readStream drains through ``foreachBatch``; each micro-batch reduces
+    IN SPARK to its per-(event_type, bucket) max-rho register table
+    (<= types x 256 rows) and only that register frame merges — by
+    pointwise MAX — into the maintained pane. Final estimates are read
+    off the merged registers with the repo's exact HLL conventions
+    (DECIMAL(38,18)-quantized 2^-rho series, small-range correction,
+    4-dp quantize); the oracle recomputes them from the whole corpus in
+    DuckDB, so the hash gate proves stream-merged == batch-direct.
+
+    Scale shape: per-batch work is one map-side-combinable register
+    aggregation; pane state is <= |types| x 256 rows at ANY corpus size
+    — continuous distinct-user monitoring without reprocessing history."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dbt_tpch_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SALT,
+        _spark_register_cols,
+    )
+
+    raw = read_events_stream(ctx.spark, ctx.sf_dir)
+    pane: dict = {}
+
+    def sink(batch_df, batch_id):
+        hashed = batch_df.select(
+            "event_type",
+            F.md5(
+                F.concat(F.lit(HLL_SALT), F.col("user_id").cast("string"))
+            ).alias("h"),
+        )
+        regs = (
+            hashed.select("event_type", *_spark_register_cols())
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("m_j"))
+        )
+        # the collect is REGISTER-grain (<= types x 256 rows), never raw
+        for r in regs.collect():
+            key = (r["event_type"], r["bucket"])
+            if r["m_j"] > pane.get(key, -1):
+                pane[key] = r["m_j"]
+
+    q = raw.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    # estimate from the merged pane, mirroring BOTH engines' conventions:
+    # each 2^-rho term is quantized to DECIMAL(38,18) (half-up, exactly
+    # the engines' double->decimal cast) and summed exactly
+    quant = Decimal(1).scaleb(-18)
+    by_type: dict = {}
+    for (etype, _bucket), mj in pane.items():
+        by_type.setdefault(etype, []).append(mj)
+    m = float(HLL_M)
+    rnd4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4  # noqa: E731
+    rows = []
+    for etype in sorted(by_type):
+        mjs = by_type[etype]
+        n_present = len(mjs)
+        z_present = float(
+            sum(
+                Decimal(2.0 ** -mj).quantize(quant, ROUND_HALF_UP)
+                for mj in mjs
+            )
+        )
+        z = z_present + (m - n_present)
+        e_raw = HLL_ALPHA * m * m / z
+        v = m - n_present
+        if e_raw <= 2.5 * m and v > 0:
+            est = rnd4(m * math.log(m / v))
+        else:
+            est = rnd4(e_raw)
+        rows.append((etype, n_present, est))
+    return ctx.spark.createDataFrame(
+        rows, "event_type string, n_present long, hll_estimate double"
+    )
+
+
+def _stream_hll_oracle() -> str:
+    from dbt_tpch_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SALT,
+        _register_sql,
+    )
+
+    return f"""WITH hashed AS (
+    SELECT event_type,
+           md5('{HLL_SALT}' || CAST(user_id AS VARCHAR)) AS h
+    FROM events
+),
+regs AS (
+    SELECT event_type, {_register_sql()}
+    FROM hashed
+),
+per_bucket AS (
+    SELECT event_type, bucket, max(rho) AS m_j
+    FROM regs GROUP BY 1, 2
+),
+sketch AS (
+    SELECT
+        event_type,
+        CAST(SUM(CAST(pow(2.0, -CAST(m_j AS DOUBLE)) AS DECIMAL(38,18)))
+             AS DOUBLE) AS z_present,
+        CAST(COUNT(*) AS BIGINT) AS n_present
+    FROM per_bucket GROUP BY 1
+)
+SELECT
+    event_type, n_present,
+    CASE
+        WHEN {HLL_ALPHA * HLL_M * HLL_M} / (z_present + ({HLL_M} - n_present))
+                 <= {2.5 * HLL_M}
+             AND ({HLL_M} - n_present) > 0
+        THEN {rnd_sql(f"{HLL_M} * ln({HLL_M} / ({HLL_M} - n_present))", 4)}
+        ELSE {rnd_sql(f"{HLL_ALPHA * HLL_M * HLL_M} / (z_present + ({HLL_M} - n_present))", 4)}
+    END AS hll_estimate
+FROM sketch"""
+
+
+oracle("events_stream_hll_users", ("events",), _stream_hll_oracle())
+
+
+@model(
+    "events_stream_clicks_before_errors",
+    layer="streaming",
+    materialization="view",
+)
+def events_stream_clicks_before_errors(ctx):
+    """TRUE stream-stream interval join surfaced as an oracle-checked
+    query — the fourth (and join-shaped) readStream witness, alongside
+    the tumbling, session, and pane-maintenance ones: both event streams
+    watermarked, joined on user + a 5-minute preceding interval, drained
+    append-mode into a memory sink. The watermark + bounded interval is
+    what lets Spark expire join state (click state older than
+    watermark+5min can never match a future error), so state is
+    O(rate x window), not O(stream). With a static availableNow source
+    nothing expires early, so the result provably equals the batch
+    interval join — which is the oracle."""
+    sdf = streaming_clicks_before_errors(ctx.spark, ctx.sf_dir)
+    name = f"stream_ssjoin_drain_{next(_STREAM_DRAIN_SEQ)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ctx.spark.table(name).select(
+        "error_id", "click_id", "e_user", "e_ts", "c_ts"
+    )
+
+
+oracle(
+    "events_stream_clicks_before_errors",
+    ("events",),
+    """SELECT
+    er.event_id AS error_id,
+    c.event_id AS click_id,
+    er.user_id AS e_user,
+    er.ts AS e_ts,
+    c.ts AS c_ts
+FROM events er
+JOIN events c
+  ON c.user_id = er.user_id
+ AND c.ts >= er.ts - INTERVAL 5 MINUTE
+ AND c.ts < er.ts
+WHERE er.event_type = 'error'
+  AND c.event_type = 'click'""",
+)
+
+
 def streaming_dedup_by_event_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup: dropDuplicatesWithinWatermark on event_id —
     the streaming counterpart of the batch dedup operators."""

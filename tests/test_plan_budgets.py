@@ -67,6 +67,10 @@ SHUFFLE_BUDGETS = {
     "events_stream_session_30m": 0,
     # foreachBatch pane maintenance: output is the <=550-row local pane
     "events_stream_qsketch": 0,
+    # HLL pane twin: output is the <= types x 256 register-derived frame
+    "events_stream_hll_users": 0,
+    # stream-stream join drains append-mode into the memory sink
+    "events_stream_clicks_before_errors": 0,
     # one bucket-grain aggregation + the <=550-row cumulative window +
     # the exact-percentile comparison aggregate (stack-unpivot keeps the
     # corpus single-pass: a per-q UNION re-ran these 3x, 9 shuffles)
