@@ -62,10 +62,15 @@ _ANCHORS: tuple[str, ...] = (
     "tpch_q06_forecast_revenue",
 )
 
-#: round-8 priority head (VERDICT r7 #1): the newest never-witnessed
-#: queries go first so a fresh operator earns its driver row the round
-#: after it lands, not whenever registry order reaches it.
+#: Fill priority (VERDICT r7 #1): the 51 queries that had NO driver row
+#: after round 7, oldest debt first — they outrank anything added in
+#: round 8+ (which would otherwise displace them via registry order,
+#: since the model layers register before the operator modules). Names
+#: already witnessed are skipped automatically, so this list decays to a
+#: no-op as the union completes; genuinely new queries join the fill in
+#: registry order behind it.
 _PRIORITY: tuple[str, ...] = (
+    # the 8 r7-verdict heads
     "events_quantile_sketch",
     "events_watermark_lateness_profile",
     "orders_backlog_timeseries",
@@ -74,6 +79,50 @@ _PRIORITY: tuple[str, ...] = (
     "docs_crosslingual_dup_census",
     "orders_fulfillment_latency",
     "events_stream_session_30m",
+    # the rest of the round-7 never-witnessed ledger, registry order
+    "brand_price_quantity_fit",
+    "customer_balance_window_stats",
+    "orders_benford_check",
+    "doc_fingerprints",
+    "doc_unigram_surprisal",
+    "doc_repetition_stats",
+    "doc_bpe_merges",
+    "lang_tokenizer_fertility",
+    "doc_quality_classifier",
+    "docs_dsir_weights",
+    "doc_lang_confusion",
+    "embeddings_quantize_int8",
+    "embeddings_label_cohesion",
+    "embeddings_negative_samples",
+    "embeddings_kcenter_sample",
+    "multimodal_audio_energy",
+    "docs_sample_stratified",
+    "docs_shard_assignment",
+    "doc_chunks",
+    "docs_sample_topn_per_lang",
+    "docs_sample_weighted",
+    "docs_split_assign",
+    "docs_mixture_temperature",
+    "docs_token_waterfill",
+    "docs_gumbel_topk",
+    "docs_reservoir_per_source",
+    "doc_tfidf_terms",
+    "doc_bigram_pmi",
+    "docs_inverted_index",
+    "source_vocab_divergence",
+    "doc_token_entropy",
+    "docs_rank_overlap",
+    "docs_rrf_fusion",
+    "source_js_divergence",
+    "docs_ndcg_fused",
+    "docs_oov_rate",
+    "events_value_zscore",
+    "events_value_mad_outliers",
+    "events_mean_shift",
+    "docs_dsir_ess",
+    "embeddings_int8_quant",
+    "embeddings_label_outliers",
+    "lineitem_column_stats",
 )
 
 

@@ -85,6 +85,9 @@ def test_window_fill_is_never_witnessed_first():
     if len(never) >= len(non_anchor):
         leaked = [n for n in non_anchor if n in witnessed]
         assert not leaked, f"window wastes slots on already-witnessed: {leaked}"
-    # priority heads that are still unwitnessed must lead the fill
-    expected_heads = [n for n in entry_mod._PRIORITY if n in never]
+    # priority entries that are still unwitnessed must lead the fill, in
+    # order, up to window capacity (the rest spill to the next round)
+    expected_heads = [n for n in entry_mod._PRIORITY if n in never][
+        : len(non_anchor)
+    ]
     assert non_anchor[: len(expected_heads)] == expected_heads
