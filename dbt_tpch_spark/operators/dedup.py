@@ -439,6 +439,225 @@ WHERE jaccard >= {JACCARD_THRESHOLD}""",
 )
 
 
+#: deterministic history/increment split for the incremental-dedup shape:
+#: doc_id % INC_MOD == 0 is "today's batch", the rest is "history".
+INC_MOD = 3
+
+
+@model("dedup_minhash_incremental", layer="operators", materialization="view")
+def dedup_minhash_incremental(ctx):
+    """INCREMENTAL MinHash-LSH dedup — the production shape at 100 TB:
+    new documents are deduped against the EXISTING corpus (and each
+    other) without ever re-pairing history against itself. The corpus is
+    split deterministically (doc_id % INC_MOD == 0 = today's increment,
+    rest = history); the LSH probe side holds ONLY increment band rows,
+    so candidate generation is O(increment x bucket), not O(corpus^2) —
+    history-history pairs are structurally impossible. In deployment the
+    history band table is the persisted signature index (a TxnTable
+    appended per batch); here both sides derive from one corpus scan so
+    the DuckDB oracle can replay it exactly.
+
+    Output: verified (Jaccard >= threshold) pairs anchored on the
+    increment doc, labeled ``match_scope`` = 'vs_history' (near-dup of an
+    existing doc -> drop the new one) or 'within_increment' (new-batch
+    internal dup). Same signature/band/valve/verify conventions as
+    dedup_minhash_lsh."""
+    sigs = (
+        _shingle3_set_df(ctx)
+        .selectExpr("doc_id", "transform(words, w -> md5(w)) AS hs")
+        .selectExpr("doc_id", f"{hashpair_spark()} AS hp")
+        .selectExpr("doc_id", *minhash_exprs())
+        .selectExpr("doc_id", *band_exprs())
+    )
+    from pyspark.sql import Window
+
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
+        ).alias("band_idx", "band_hash"),
+    )
+    w_bucket = Window.partitionBy("band_idx", "band_hash")
+    bands = bands.withColumn(
+        "bsize", F.count(F.lit(1)).over(w_bucket)
+    ).filter(F.col("bsize") <= MAX_BAND_BUCKET).drop("bsize")
+    inc = bands.filter(F.col("doc_id") % INC_MOD == 0).withColumnsRenamed(
+        {"doc_id": "doc_inc"}
+    )
+    allb = bands.withColumnsRenamed({"doc_id": "doc_other"})
+    other_is_history = F.col("doc_other") % INC_MOD != 0
+    cands = (
+        inc.join(allb, ["band_idx", "band_hash"])
+        .filter(
+            (F.col("doc_inc") != F.col("doc_other"))
+            # inc-inc pairs once (orientation); inc-history pairs always
+            & (other_is_history | (F.col("doc_inc") < F.col("doc_other")))
+        )
+        .select("doc_inc", "doc_other")
+        .distinct()
+    )
+    toks = _shingle3_set_df(ctx)
+    ta = toks.select(
+        F.col("doc_id").alias("doc_inc"), F.col("words").alias("words_a")
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_other"), F.col("words").alias("words_b")
+    )
+    joined = cands.join(ta, "doc_inc").join(tb, "doc_other")
+    inter = F.size(F.array_intersect("words_a", "words_b")).cast("long")
+    union = (F.size("words_a") + F.size("words_b")).cast("long") - inter
+    jac = inter.cast("double") / union
+    return (
+        joined.select(
+            "doc_inc",
+            "doc_other",
+            F.when(other_is_history, "vs_history")
+            .otherwise("within_increment")
+            .alias("match_scope"),
+            inter.alias("intersection_size"),
+            union.alias("union_size"),
+            rnd(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+oracle(
+    "dedup_minhash_incremental",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT doc_id, {_SHINGLE3_DUCK} AS words FROM documents
+),
+hashed AS (
+    SELECT doc_id, list_transform(words, w -> md5(w)) AS hs FROM toks
+),
+paired AS (
+    SELECT doc_id, {hashpair_duck()} AS hp FROM hashed
+),
+sigs AS (
+    SELECT doc_id, {', '.join(minhash_exprs_duck())} FROM paired
+),
+banded AS (
+    SELECT doc_id, {', '.join(band_exprs())} FROM sigs
+),
+bands_all AS (
+    SELECT doc_id, k.k AS band_idx,
+        CASE k.k {' '.join(f'WHEN {b} THEN band{b}' for b in range(LSH_BANDS))} END AS band_hash
+    FROM banded CROSS JOIN (SELECT UNNEST([{', '.join(str(b) for b in range(LSH_BANDS))}]) AS k) k
+),
+bands AS (
+    SELECT doc_id, band_idx, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsize
+        FROM bands_all
+    ) WHERE bsize <= {MAX_BAND_BUCKET}
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_inc, b.doc_id AS doc_other
+    FROM bands a
+    JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+    WHERE a.doc_id % {INC_MOD} = 0
+      AND a.doc_id <> b.doc_id
+      AND (b.doc_id % {INC_MOD} <> 0 OR a.doc_id < b.doc_id)
+),
+verified AS (
+    SELECT
+        c.doc_inc,
+        c.doc_other,
+        CASE WHEN c.doc_other % {INC_MOD} <> 0 THEN 'vs_history'
+             ELSE 'within_increment' END AS match_scope,
+        CAST(len(list_intersect(ta.words, tb.words)) AS BIGINT) AS intersection_size,
+        CAST(len(ta.words) + len(tb.words) - len(list_intersect(ta.words, tb.words)) AS BIGINT) AS union_size,
+        {rnd_sql('CAST(len(list_intersect(ta.words, tb.words)) AS DOUBLE) / (len(ta.words) + len(tb.words) - len(list_intersect(ta.words, tb.words)))', 6)} AS jaccard
+    FROM cands c
+    JOIN toks ta ON c.doc_inc = ta.doc_id
+    JOIN toks tb ON c.doc_other = tb.doc_id
+)
+SELECT * FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}""",
+)
+
+
+@model("dedup_incremental_census", layer="operators", materialization="view")
+def dedup_incremental_census(ctx):
+    """The number a pipeline operator actually watches per ingest batch:
+    how much of today's increment is redundant. Each increment doc is
+    classified 'dup_of_history' (>=1 verified match against the existing
+    corpus — drop it), else 'new_dup_cluster' (only matches other new
+    docs — keep one survivor), else 'unique'. Rides the verified pair
+    table of dedup_minhash_incremental; grain is the 3-value status."""
+    d = ctx.source("documents").select("doc_id").filter(
+        F.col("doc_id") % INC_MOD == 0
+    )
+    # three consumers (history-dup probe + both sides of the within union)
+    # would each rebuild the whole signature DAG — materialize the verified
+    # pair table once (it is tiny next to the corpus: near-dup pairs only)
+    pairs = ctx.ref("dedup_minhash_incremental").localCheckpoint(eager=True)
+    hist_dup = (
+        pairs.filter(F.col("match_scope") == "vs_history")
+        .select(F.col("doc_inc").alias("doc_id"))
+        .distinct()
+        .withColumn("hist_dup", F.lit(1))
+    )
+    within = pairs.filter(F.col("match_scope") == "within_increment")
+    within_docs = (
+        within.select(F.col("doc_inc").alias("doc_id"))
+        .unionByName(within.select(F.col("doc_other").alias("doc_id")))
+        .distinct()
+        .withColumn("within_dup", F.lit(1))
+    )
+    n_inc = d.count()
+    status = (
+        F.when(F.col("hist_dup") == 1, "dup_of_history")
+        .when(F.col("within_dup") == 1, "new_dup_cluster")
+        .otherwise("unique")
+    )
+    return (
+        d.join(hist_dup, "doc_id", "left")
+        .join(within_docs, "doc_id", "left")
+        .groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn(
+            "pct_of_increment",
+            rnd(F.col("n_docs") * 100.0 / F.lit(float(n_inc)), 2),
+        )
+    )
+
+
+oracle(
+    "dedup_incremental_census",
+    ("documents", "dedup_minhash_incremental"),
+    f"""WITH inc AS (
+    SELECT doc_id FROM documents WHERE doc_id % {INC_MOD} = 0
+),
+hist_dup AS (
+    SELECT DISTINCT doc_inc AS doc_id, 1 AS hist_dup
+    FROM dedup_minhash_incremental WHERE match_scope = 'vs_history'
+),
+within_docs AS (
+    SELECT DISTINCT doc_id, 1 AS within_dup FROM (
+        SELECT doc_inc AS doc_id FROM dedup_minhash_incremental
+        WHERE match_scope = 'within_increment'
+        UNION
+        SELECT doc_other AS doc_id FROM dedup_minhash_incremental
+        WHERE match_scope = 'within_increment'
+    )
+),
+classified AS (
+    SELECT CASE WHEN h.hist_dup = 1 THEN 'dup_of_history'
+                WHEN w.within_dup = 1 THEN 'new_dup_cluster'
+                ELSE 'unique' END AS status
+    FROM inc i
+    LEFT JOIN hist_dup h ON i.doc_id = h.doc_id
+    LEFT JOIN within_docs w ON i.doc_id = w.doc_id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    {rnd_sql('COUNT(*) * 100.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM inc)', 2)} AS pct_of_increment
+FROM classified
+GROUP BY 1""",
+)
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -1474,6 +1474,36 @@ def test_embedding_lsh_recall_floor(spark, sf_dir, tmp_path):
     )
 
 
+def test_incremental_dedup_is_complete_vs_full_lsh(spark, sf_dir):
+    """The incremental path (probe side filtered to the increment split)
+    must find EXACTLY the full-LSH verified pairs that touch an increment
+    doc — no pair lost by filtering the probe side, none invented, and
+    history-history pairs structurally absent."""
+    import dbt_tpch_spark.operators.dedup as dd
+
+    ctx = Context(spark, sf_dir)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in ctx.ref("dedup_minhash_lsh").collect()
+    }
+    is_inc = lambda d: d % dd.INC_MOD == 0  # noqa: E731
+    expected = set()
+    for a, b in full:
+        if is_inc(a) and is_inc(b):
+            expected.add((min(a, b), max(a, b)))
+        elif is_inc(a):
+            expected.add((a, b))
+        elif is_inc(b):
+            expected.add((b, a))
+    got = {
+        (r["doc_inc"], r["doc_other"])
+        for r in ctx.ref("dedup_minhash_incremental").collect()
+    }
+    assert got == expected
+    for inc_doc, other in got:
+        assert is_inc(inc_doc)
+
+
 def test_dedup_exact_on_planted_duplicates(spark, sf_dir, tmp_path):
     """VERDICT r7 'what's wrong' #1: dedup_exact's corpus output is 0 rows
     at every checked SF (the fixture has near-dups but no byte-exact dups

@@ -59,6 +59,10 @@ SHUFFLE_BUDGETS = {
     "events_props_schema": 2,
     "monthly_revenue_kpis": 4,
     "dedup_minhash_lsh": 7,
+    # same DAG with the probe side filtered to the increment split
+    "dedup_minhash_incremental": 7,
+    # census over the checkpointed pair table (3 consumers, built once)
+    "dedup_incremental_census": 7,
     "ann_cosine_topk": 1,
     "events_session_30m": 1,
     # the drained memory-sink result of the TRUE readStream run: the
