@@ -2726,3 +2726,78 @@ SELECT o_orderpriority,
        {rnd_sql('CAST(SUM(CASE WHEN d_last <= 30 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 6)} AS pct_fully_shipped_30d
 FROM lat GROUP BY 1""",
 )
+
+
+@model("events_retention_triangle", layer="operators", materialization="view")
+def events_retention_triangle(ctx):
+    """Weekly cohort retention triangle over the event log — the classic
+    product-analytics matrix (cohort week x weeks-since-signup ->
+    retention pct), the EVENTS twin of the orders-based monthly
+    customer_cohort_retention. Cohort = the Monday-truncated week of a
+    user's FIRST event; a user is retained at age k if they emitted any
+    event in cohort_week + k weeks.
+
+    Scale shape: one user-grain first-event aggregate, one distinct
+    (user, week) projection, one equi-join back on user_id, then an
+    aggregate at the bounded (weeks x ages) triangle grain — no windows,
+    no SF-linear output. At 100 TB the (user, week) distinct is the only
+    corpus-scale shuffle and is map-side combinable."""
+    e = ctx.source("events").select("user_id", "ts")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    # active is distinct (user, week), so count(*) per cell == distinct users
+    grid = (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        grid.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("age_weeks"),
+            "n_active_users",
+            "cohort_size",
+            rnd(
+                F.col("n_active_users") * 100.0 / F.col("cohort_size"), 2
+            ).alias("retention_pct"),
+        )
+    )
+
+
+oracle(
+    "events_retention_triangle",
+    ("events",),
+    f"""WITH cohort AS (
+    SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY 1
+),
+active AS (
+    SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS week FROM events
+),
+grid AS (
+    SELECT c.cohort_week, a.week, CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+),
+sizes AS (
+    SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+    FROM cohort GROUP BY 1
+)
+SELECT
+    g.cohort_week,
+    CAST(DATEDIFF('day', g.cohort_week, g.week) / 7 AS BIGINT) AS age_weeks,
+    g.n_active_users,
+    s.cohort_size,
+    {rnd_sql('g.n_active_users * 100.0 / s.cohort_size', 2)} AS retention_pct
+FROM grid g JOIN sizes s ON g.cohort_week = s.cohort_week""",
+)

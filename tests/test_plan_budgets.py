@@ -63,6 +63,8 @@ SHUFFLE_BUDGETS = {
     "dedup_minhash_incremental": 7,
     # census over the checkpointed pair table (3 consumers, built once)
     "dedup_incremental_census": 7,
+    # first-event agg + (user, week) distinct + user join + triangle agg
+    "events_retention_triangle": 5,
     "ann_cosine_topk": 1,
     "events_session_30m": 1,
     # the drained memory-sink result of the TRUE readStream run: the
