@@ -2801,3 +2801,61 @@ SELECT
     {rnd_sql('g.n_active_users * 100.0 / s.cohort_size', 2)} AS retention_pct
 FROM grid g JOIN sizes s ON g.cohort_week = s.cohort_week""",
 )
+
+
+@model("events_type_transitions", layer="operators", materialization="view")
+def events_type_transitions(ctx):
+    """First-order Markov transition matrix over each user's ordered event
+    stream: P(next event type | current event type), with counts — the
+    behavioral-model primitive behind next-action prediction and
+    anomaly-flow detection (funnels check ONE path; this scores all 5x5).
+
+    Scale shape: one per-user partitioned LAG (parallel — partitioned by
+    the shuffle key, never a global window), aggregate at the bounded
+    |types|^2 grain, then the row-conditional probabilities from a
+    broadcast of the <=|types|-row margin frame."""
+    e = ctx.source("events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    margins = pairs.groupBy("prev_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_from")
+    )
+    return pairs.join(F.broadcast(margins), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        "n_from",
+        rnd(
+            F.col("n_transitions").cast("double") / F.col("n_from"), 6
+        ).alias("transition_prob"),
+    )
+
+
+oracle(
+    "events_type_transitions",
+    ("events",),
+    f"""WITH ordered AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+pairs AS (
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+),
+margins AS (
+    SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+    FROM pairs GROUP BY 1
+)
+SELECT p.prev_type, p.next_type, p.n_transitions, m.n_from,
+       {rnd_sql('CAST(p.n_transitions AS DOUBLE) / m.n_from', 6)} AS transition_prob
+FROM pairs p JOIN margins m ON p.prev_type = m.prev_type""",
+)

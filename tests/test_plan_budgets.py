@@ -65,6 +65,8 @@ SHUFFLE_BUDGETS = {
     "dedup_incremental_census": 7,
     # first-event agg + (user, week) distinct + user join + triangle agg
     "events_retention_triangle": 5,
+    # per-user partitioned LAG + bounded |types|^2 agg + broadcast margins
+    "events_type_transitions": 5,
     "ann_cosine_topk": 1,
     "events_session_30m": 1,
     # the drained memory-sink result of the TRUE readStream run: the
