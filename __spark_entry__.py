@@ -79,6 +79,36 @@ _PRIORITY: tuple[str, ...] = (
     "docs_crosslingual_dup_census",
     "orders_fulfillment_latency",
     "events_stream_session_30m",
+    # round-9 ledger close (VERDICT r8 #1): the exact 39 queries with no
+    # driver row after round 8 — the r8 adapted/stream crop plus the
+    # stats/docs stragglers.  Pinned ahead of any round-9 addition so new
+    # registrations cannot displace them before the union reaches 298/298.
+    "tpch_q04_order_priority_adapted",
+    "tpch_q12_shipping_modes_adapted",
+    "tpch_q21_suppliers_waiting_adapted",
+    "supplier_lead_time_distribution_adapted",
+    "metrics_supplier_reliability_adapted",
+    "int_supplier_performance_adapted",
+    "fulfillment_priority_analysis_adapted",
+    "int_shipping_delays_adapted",
+    "metrics_shipping_efficiency_adapted",
+    "int_order_items_enriched_adapted",
+    "supplier_scorecard_adapted",
+    "parts_suppliers_adapted",
+    "dim_part_supplier_xrf_adapted",
+    "int_supplier_parts_catalog_adapted",
+    "int_part_profitability_adapted",
+    "metrics_profit_margin_trend_adapted",
+    "part_type_performance_adapted",
+    "supplier_concentration_risk_adapted",
+    "dedup_minhash_incremental",
+    "dedup_incremental_census",
+    "events_retention_triangle",
+    "events_type_transitions",
+    "events_qsketch_merge_check",
+    "events_stream_qsketch",
+    "events_stream_hll_users",
+    "events_stream_clicks_before_errors",
     # the rest of the round-7 never-witnessed ledger, registry order
     "brand_price_quantity_fit",
     "customer_balance_window_stats",
@@ -135,7 +165,18 @@ def _witnessed() -> frozenset[str]:
         try:
             with open(path) as fh:
                 record = json.load(fh)
-        except (OSError, ValueError):
+        except (OSError, ValueError) as exc:
+            # ADVICE r8: a present-but-unreadable artifact silently shrinks
+            # the witnessed union and burns driver slots re-verifying known
+            # queries — warn loudly instead of skipping without a trace
+            # (not raising: a driver-truncated artifact must not brick the
+            # whole contract import).
+            import warnings
+
+            warnings.warn(
+                f"skipping unparseable correctness record {path}: {exc!r}",
+                stacklevel=2,
+            )
             continue
         for name, row in record.items():
             if (
@@ -165,7 +206,16 @@ def _derive_window() -> tuple[str, ...]:
     never = [n for n in eligible if n not in witnessed]
     fill = [n for n in _PRIORITY if n in never]
     fill += [n for n in never if n not in fill]
-    window = list(_ANCHORS)
+    # Ledger-closing trim (VERDICT r8 #1): when the never-witnessed set
+    # needs more slots than the 50-window leaves after the anchors, drop
+    # anchors from the tail (they are all long-witnessed; re-confirmation
+    # is worth less than a first witness) down to a floor of 6 so the
+    # cross-round comparison core survives.
+    anchors = list(_ANCHORS)
+    fill_new = [n for n in fill if n not in anchors]
+    while len(anchors) > 6 and len(anchors) + len(fill_new) > _WINDOW_SIZE:
+        anchors.pop()
+    window = anchors
     for name in fill:
         if len(window) >= _WINDOW_SIZE:
             break

@@ -43,6 +43,7 @@ from dbt_tpch_spark.models.oracle import (
     rnd_sql,
 )
 from dbt_tpch_spark.plans import model
+from dbt_tpch_spark.models.catalog import COST_FRACTION
 
 #: lateness proxy: a lineitem shipped more than this many days after its
 #: order date counts as "late" (stands in for receipt_date > commit_date
@@ -563,7 +564,7 @@ def int_order_items_enriched_adapted(ctx):
 oracle(
     "int_order_items_enriched_adapted",
     ("fct_orders_items", "dim_customer", "dim_supplier", "dim_part"),
-    """SELECT
+    f"""SELECT
     f.order_item_key,
     f.order_key,
     f.order_date,
@@ -595,7 +596,7 @@ oracle(
     f.item_discount_amount,
     f.item_tax_amount,
     f.net_item_sales_amount,
-    (f.gross_item_sales_amount - 0.6 * p.retail_price * f.quantity) AS profit_amount
+    (f.gross_item_sales_amount - {COST_FRACTION} * p.retail_price * f.quantity) AS profit_amount
 FROM fct_orders_items f
 LEFT JOIN dim_customer c ON f.customer_key = c.customer_key
 LEFT JOIN dim_supplier s ON f.supplier_key = s.supplier_key

@@ -91,3 +91,30 @@ def test_window_fill_is_never_witnessed_first():
         : len(non_anchor)
     ]
     assert non_anchor[: len(expected_heads)] == expected_heads
+
+
+def test_ledger_close_trims_anchors_when_needed():
+    """Round-9 (VERDICT r8 #1): when the never-witnessed set overflows the
+    fill capacity left by the anchors, anchors trim from the tail (floor
+    6) so EVERY never-witnessed query gets a window slot — no query may
+    wait a round while the window re-confirms a long-witnessed anchor."""
+    witnessed = entry_mod._witnessed()
+    never = [n for n in entry_mod._eligible() if n not in witnessed]
+    w = set(entry_mod._DRIVER_WINDOW)
+    if len(never) <= entry_mod._WINDOW_SIZE - 6:
+        spilled = [n for n in never if n not in w]
+        assert not spilled, f"never-witnessed queries spilled: {spilled}"
+    # the cross-round comparison core always survives the trim
+    head = list(entry_mod._ANCHORS[:6])
+    assert [a for a in head if a in w] == head
+
+
+def test_trim_floor_is_six_anchors(monkeypatch):
+    """Synthetic overflow (nothing witnessed): the trim stops at 6 anchors
+    and the window stays exactly _WINDOW_SIZE, deduped."""
+    monkeypatch.setattr(entry_mod, "_witnessed", lambda: frozenset())
+    w = entry_mod._derive_window()
+    assert len(w) == entry_mod._WINDOW_SIZE
+    assert len(set(w)) == len(w)
+    kept = [a for a in entry_mod._ANCHORS if a in w]
+    assert kept == list(entry_mod._ANCHORS[:6])
