@@ -56,9 +56,11 @@ _ANCHORS: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "events_hll_users",
+    "parts_pagerank",
+    # trim tail: families below stay covered via fill/adapted queries even
+    # when a ledger-closing round drops these anchors (stratification test)
     "events_session_30m",
     "docs_bm25_topk",
-    "parts_pagerank",
     "tpch_q06_forecast_revenue",
 )
 
@@ -153,6 +155,10 @@ _PRIORITY: tuple[str, ...] = (
     "embeddings_int8_quant",
     "embeddings_label_outliers",
     "lineitem_column_stats",
+    # round-9 additions: behind the whole r8 ledger so they cannot displace
+    # it from the closing window; first in line for round 10
+    "events_stream_dedup",
+    "docs_pii_census",
 )
 
 

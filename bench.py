@@ -245,6 +245,11 @@ HEADLINE = [
     # shuffle + hint-free dims) and the mergeable-quantile-sketch proof
     "dim_part_supplier_xrf_adapted",
     "events_qsketch_merge_check",
+    # round-9 additions: the readStream transport-dedup witness (state =
+    # O(rate x watermark window)) and the regex PII census (map-only scan
+    # + one source-grain aggregate)
+    "events_stream_dedup",
+    "docs_pii_census",
 ]
 
 #: the round-2 headline set (first 20 entries) — reported as a separate

@@ -578,6 +578,130 @@ WHERE jaccard >= {JACCARD_THRESHOLD}""",
 )
 
 
+# --------------------------------------------------------------------------
+# production multi-batch incremental-dedup API (VERDICT r8 #5)
+#
+# ``dedup_minhash_incremental`` above derives history and increment from ONE
+# corpus scan so the DuckDB oracle can replay it.  In deployment the history
+# side is a PERSISTED signature index — a TxnTable of band rows appended per
+# ingest batch.  These helpers are that deployment shape: per batch, compute
+# the increment's band rows, probe them against (persisted index ∪ increment),
+# verify candidates, and hand back the band rows to append.  Candidates stay
+# O(increment × bucket); history–history pairs are structurally impossible.
+# The across-commit completeness invariant (union of per-batch verified pairs
+# == full-LSH pair set on the final corpus) is pinned in
+# tests/test_operator_invariants.py::test_incremental_dedup_multibatch_txn.
+# --------------------------------------------------------------------------
+
+
+def lsh_band_rows(docs_df, n_parts: int = 32):
+    """``(doc_id, band_idx, band_hash)`` LSH band rows for a raw documents
+    frame — the payload the incremental index persists per ingest batch.
+    Same signature conventions (3-gram shingles, MinHash K, band split) as
+    ``dedup_minhash_lsh``."""
+    toks = docs_df.select(
+        "doc_id", F.split(norm_text_col(), " ").alias("toks")
+    ).repartition(n_parts, "doc_id")
+    sigs = (
+        toks.select("doc_id", shingle_col(3).alias("words"))
+        .selectExpr("doc_id", "transform(words, w -> md5(w)) AS hs")
+        .selectExpr("doc_id", f"{hashpair_spark()} AS hp")
+        .selectExpr("doc_id", *minhash_exprs())
+        .selectExpr("doc_id", *band_exprs())
+    )
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def shingle_sets(docs_df, n_parts: int = 32):
+    """``(doc_id, words)`` distinct 3-gram shingle sets — the exact-verify
+    feedstock for candidates produced by :func:`incremental_dedup_batch`."""
+    toks = docs_df.select(
+        "doc_id", F.split(norm_text_col(), " ").alias("toks")
+    ).repartition(n_parts, "doc_id")
+    return toks.select("doc_id", shingle_col(3).alias("words"))
+
+
+def incremental_dedup_batch(increment_docs_df, history_bands_df, all_docs_df,
+                            n_parts: int = 32):
+    """One ingest batch of the production incremental-dedup shape.
+
+    ``increment_docs_df``: raw documents arriving this batch.
+    ``history_bands_df``: the persisted band index (every PRIOR batch's
+    :func:`lsh_band_rows` output, e.g. a ``TxnTable.read()``).
+    ``all_docs_df``: the document store (history + increment texts) — the
+    verify join prunes it to candidate partners only.
+
+    Returns ``(verified_pairs_df, increment_bands_df)``: the pairs frame
+    matches ``dedup_minhash_incremental``'s schema (``doc_inc, doc_other,
+    match_scope, intersection_size, union_size, jaccard``), and the band
+    frame is what the caller appends to the index after the batch commits.
+    The hot-bucket valve applies to the COMBINED (index ∪ increment)
+    bucket, mirroring the single-scan model."""
+    inc_bands = lsh_band_rows(increment_docs_df, n_parts)
+    # membership travels as a literal column through the union — zero
+    # joins, so the probe restriction costs nothing at any batch size
+    all_bands = (
+        history_bands_df.select("doc_id", "band_idx", "band_hash")
+        .withColumn("is_inc", F.lit(False))
+        .unionByName(inc_bands.withColumn("is_inc", F.lit(True)))
+    )
+    from pyspark.sql import Window
+
+    w_bucket = Window.partitionBy("band_idx", "band_hash")
+    all_bands = (
+        all_bands.withColumn("bsize", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("bsize") <= MAX_BAND_BUCKET)
+        .drop("bsize")
+    )
+    probe = (
+        all_bands.filter(F.col("is_inc"))
+        .drop("is_inc")
+        .withColumnsRenamed({"doc_id": "doc_inc"})
+    )
+    build = all_bands.withColumnsRenamed({"doc_id": "doc_other"})
+    other_is_history = ~F.col("is_inc")
+    cands = (
+        probe.join(build, ["band_idx", "band_hash"])
+        .filter(
+            (F.col("doc_inc") != F.col("doc_other"))
+            # inc-inc pairs once (orientation); inc-history pairs always
+            & (other_is_history | (F.col("doc_inc") < F.col("doc_other")))
+        )
+        .select("doc_inc", "doc_other", other_is_history.alias("vs_hist"))
+        .distinct()
+    )
+    toks = shingle_sets(all_docs_df, n_parts)
+    ta = toks.select(
+        F.col("doc_id").alias("doc_inc"), F.col("words").alias("words_a")
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_other"), F.col("words").alias("words_b")
+    )
+    joined = cands.join(ta, "doc_inc").join(tb, "doc_other")
+    inter = F.size(F.array_intersect("words_a", "words_b")).cast("long")
+    union = (F.size("words_a") + F.size("words_b")).cast("long") - inter
+    jac = inter.cast("double") / union
+    verified = (
+        joined.select(
+            "doc_inc",
+            "doc_other",
+            F.when(F.col("vs_hist"), "vs_history")
+            .otherwise("within_increment")
+            .alias("match_scope"),
+            inter.alias("intersection_size"),
+            union.alias("union_size"),
+            rnd(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified, inc_bands
+
+
 @model("dedup_incremental_census", layer="operators", materialization="view")
 def dedup_incremental_census(ctx):
     """The number a pipeline operator actually watches per ingest batch:

@@ -1615,3 +1615,84 @@ oracle(
     ("documents", "bpe_train_merges"),
     _bpe_apply_oracle(),
 )
+
+
+# --------------------------------------------------------------------------
+# PII-pattern census (round 9) — the redaction-triage step of a training-data
+# pipeline: how much PII-looking text each source carries, BEFORE deciding
+# which sources need a real (NER-grade) scrubbing pass.
+# --------------------------------------------------------------------------
+
+#: PII detector regexes, written in the RE2-compatible subset that Java's
+#: regex engine (Spark) and RE2 (DuckDB) interpret identically: character
+#: classes, bounded repetition, and \b word boundaries only — no lookaround,
+#: no backreferences.
+PII_DETECTORS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "card": r"\b\d{13,16}\b",
+}
+
+
+@model("docs_pii_census", layer="operators", materialization="view")
+def docs_pii_census(ctx):
+    """Per-source census of PII-looking patterns (emails, phone numbers,
+    SSN-shaped ids, IPv4 addresses, long card-like digit runs).
+
+    The synthetic corpus is digit-free, so the corpus run proves the
+    zero path; the non-trivial path (planted PII on both engines) is
+    pinned by tests/test_operator_invariants.py::
+    test_pii_census_on_planted_pii.
+
+    Scale shape: per-row counts are ONE projection of JVM regexp_count
+    expressions evaluated once each (materialized as attributes before
+    the aggregate, so Catalyst cannot inline a pattern twice), then a
+    single groupBy(source) — one scan, one shuffle at source grain."""
+    d = ctx.source("documents")
+    counts = d.select(
+        "source",
+        *[
+            F.regexp_count(F.col("text"), F.lit(p)).alias(f"c_{k}")
+            for k, p in PII_DETECTORS.items()
+        ],
+    )
+    any_hit = None
+    for k in PII_DETECTORS:
+        c = F.col(f"c_{k}")
+        any_hit = c if any_hit is None else any_hit + c
+    from dbt_tpch_spark.functions import isum
+
+    agg = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[isum(F.col(f"c_{k}")).alias(f"{k}_hits") for k in PII_DETECTORS],
+        isum(F.when(any_hit > 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "docs_with_pii"
+        ),
+    )
+    return agg.withColumn(
+        "pii_doc_rate",
+        rnd(F.col("docs_with_pii") / F.col("n_docs"), 6),
+    )
+
+
+def _pii_census_oracle() -> str:
+    hit_cols = ",\n    ".join(
+        f"CAST(SUM(len(regexp_extract_all(text, '{p}'))) AS BIGINT) AS {k}_hits"
+        for k, p in PII_DETECTORS.items()
+    )
+    any_expr = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in PII_DETECTORS.values()
+    )
+    return f"""SELECT
+    source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    {hit_cols},
+    CAST(SUM(CASE WHEN {any_expr} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+    {rnd_sql(f'CAST(SUM(CASE WHEN {any_expr} > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 6)} AS pii_doc_rate
+FROM documents
+GROUP BY source"""
+
+
+oracle("docs_pii_census", ("documents",), _pii_census_oracle())

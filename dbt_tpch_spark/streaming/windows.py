@@ -1113,3 +1113,52 @@ FROM j
 JOIN days d ON j.day = d.day
 JOIN days pd ON j.day = CAST(pd.day + INTERVAL 1 DAY AS DATE)""",
 )
+
+
+@model("events_stream_dedup", layer="streaming", materialization="view")
+def events_stream_dedup(ctx):
+    """TRUE Structured Streaming dedup surfaced as an oracle-checked query:
+    ``dropDuplicatesWithinWatermark("event_id")`` (the existing
+    :func:`streaming_dedup_by_event_id` builder) runs from a readStream
+    file source to completion under ``trigger(availableNow=True)`` into a
+    memory sink (append mode — dedup emits each first-seen row
+    immediately, so unlike append-mode windowed aggregates no trailing
+    state is left unemitted at end-of-stream). Dedup state expires once
+    the watermark passes 1 h beyond an event's time — O(arrival-rate x
+    window) state, not O(stream). On the corpus every event_id is unique,
+    so the gate proves the identity path; the collapse path (planted
+    redeliveries on both engines) is pinned by tests/
+    test_operator_invariants.py::test_stream_dedup_collapses_redeliveries.
+
+    Oracle: one row per event_id with MIN-aggregated payload — equal to
+    first-arrival retention because a redelivery (the at-least-once
+    transport contract) is a byte-identical copy."""
+    sdf = streaming_dedup_by_event_id(ctx.spark, ctx.sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    name = f"stream_dedup_drain_{next(_STREAM_DRAIN_SEQ)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ctx.spark.table(name).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+
+oracle(
+    "events_stream_dedup",
+    ("events",),
+    """SELECT
+    event_id,
+    MIN(user_id) AS user_id,
+    MIN(event_type) AS event_type,
+    MIN(ts) AS ts,
+    MIN(value) AS value
+FROM events
+GROUP BY event_id""",
+)

@@ -1474,6 +1474,59 @@ def test_embedding_lsh_recall_floor(spark, sf_dir, tmp_path):
     )
 
 
+def test_incremental_dedup_multibatch_txn(spark, sf_dir, tmp_path):
+    """VERDICT r8 #5: the deployment shape of the incremental dedup — a
+    PERSISTED TxnTable band index appended per ingest batch — must be as
+    complete ACROSS COMMITS as one full-LSH run on the final corpus.
+    Ingests the corpus in three batches; per batch the probe side holds
+    only that batch's band rows and history arrives via ``TxnTable.read()``
+    of every prior commit. Asserts (a) the union of per-batch verified
+    pairs equals the full-LSH pair set, (b) match_scope labels agree with
+    actual batch membership, and (c) the index ends at one version per
+    append."""
+    import dbt_tpch_spark.operators.dedup as dd
+    from dbt_tpch_spark.tableformat import TxnTable
+
+    ctx = Context(spark, sf_dir)
+    docs = ctx.source("documents")
+    batch_of = lambda d: d % 3  # noqa: E731
+    path = str(tmp_path / "band_index")
+    table = None
+    got: set[tuple[int, int]] = set()
+    for k in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == k)
+        history_bands = (
+            table.read()
+            if table is not None
+            else dd.lsh_band_rows(batch, n_parts=8).limit(0)
+        )
+        store = docs.filter(F.col("doc_id") % 3 <= k)
+        verified, inc_bands = dd.incremental_dedup_batch(
+            batch, history_bands, store, n_parts=8
+        )
+        for r in verified.collect():
+            a, b = r["doc_inc"], r["doc_other"]
+            assert batch_of(a) == k, (a, k)
+            expect_scope = (
+                "vs_history" if batch_of(b) != k else "within_increment"
+            )
+            assert r["match_scope"] == expect_scope, (a, b, r["match_scope"])
+            got.add((min(a, b), max(a, b)))
+        if table is None:
+            table = TxnTable.create(spark, path, inc_bands)
+        else:
+            table.append(inc_bands)
+    full = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in ctx.ref("dedup_minhash_lsh").collect()
+    }
+    assert got == full
+    # three commits -> three snapshot versions of the persisted index,
+    # whose final state holds every corpus band row exactly once
+    assert len(table.versions()) == 3
+    assert table.read().count() == dd.lsh_band_rows(docs, n_parts=8).count()
+
+
 def test_incremental_dedup_is_complete_vs_full_lsh(spark, sf_dir):
     """The incremental path (probe side filtered to the increment split)
     must find EXACTLY the full-LSH verified pairs that touch an increment
@@ -1708,3 +1761,91 @@ def test_quantile_sketch_honors_relative_error_guarantee(spark, sf_dir):
             r["q"],
             r["rel_error"],
         )
+
+
+def test_pii_census_on_planted_pii(spark, sf_dir, tmp_path):
+    """The synthetic corpus is digit-free, so docs_pii_census's corpus gate
+    only ever proves the all-zero path. Plants documents carrying every
+    PII pattern kind (and near-miss decoys that must NOT count) and checks
+    exact per-kind counts plus cross-engine parity on the non-trivial path."""
+    import pandas as pd
+
+    from dbt_tpch_spark.parity import check_query
+
+    texts = [
+        # 2 emails, 1 phone
+        "contact alice@example.com or bob.smith+x@mail.co, call 555-123-4567",
+        # ssn + ipv4 + card-like run
+        "ssn 123-45-6789 from host 192.168.10.1 card 4111111111111111",
+        # decoys: 12-digit run (too short for card), 3-2-4 with letters,
+        # bare domain without local part
+        "order 123456789012 ref abc-12-3456x at example.com",
+        # clean doc
+        "nothing sensitive here at all",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["srcA", "srcA", "srcB", "srcB"],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = _mini_corpus(tmp_path, sf_dir, documents=docs)
+    rows = {r["source"]: r for r in Context(spark, d).ref("docs_pii_census").collect()}
+    a, b = rows["srcA"], rows["srcB"]
+    assert (a["email_hits"], a["phone_hits"], a["ssn_hits"], a["ipv4_hits"], a["card_hits"]) == (2, 1, 1, 1, 1)
+    assert a["docs_with_pii"] == 2 and a["n_docs"] == 2
+    # decoy doc counts nothing; 'example.com' alone is not an email
+    assert (b["email_hits"], b["phone_hits"], b["ssn_hits"], b["ipv4_hits"], b["card_hits"]) == (0, 0, 0, 0, 0)
+    assert b["docs_with_pii"] == 0
+    import __spark_entry__ as entrymod
+
+    rep = check_query(
+        spark,
+        d,
+        entrymod.queries()["docs_pii_census"],
+        entrymod.oracle_sql()["docs_pii_census"],
+    )
+    assert rep["rows_match"] and rep["cols_match"] and rep["values_match"]
+
+
+def test_stream_dedup_collapses_redeliveries(spark, sf_dir, tmp_path):
+    """events_stream_dedup's corpus gate only proves the identity path
+    (every corpus event_id is unique). Plants at-least-once redeliveries
+    (byte-identical copies, the transport-dedup contract) and checks the
+    streaming dropDuplicatesWithinWatermark state actually collapses them,
+    with cross-engine parity on the non-trivial path."""
+    import pandas as pd
+
+    from dbt_tpch_spark.parity import check_query
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # event 1 delivered 3x, event 2 delivered 2x, events 3-4 once; event 4
+    # arrives past the 1 h watermark horizon of the others (state for them
+    # is expirable by then — the dedup verdict must be unaffected)
+    for eid, n_deliveries, minute in [(1, 3, 0), (2, 2, 5), (3, 1, 10), (4, 1, 65)]:
+        for _ in range(n_deliveries):
+            rows.append(
+                (eid, base + pd.Timedelta(minutes=minute), 7, "click", 1.5, "{}")
+            )
+    ev = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    d = _mini_corpus(tmp_path, sf_dir, events=ev)
+    out = Context(spark, d).ref("events_stream_dedup")
+    assert out.count() == 4
+    assert {r["event_id"] for r in out.collect()} == {1, 2, 3, 4}
+    import __spark_entry__ as entrymod
+
+    rep = check_query(
+        spark,
+        d,
+        entrymod.queries()["events_stream_dedup"],
+        entrymod.oracle_sql()["events_stream_dedup"],
+    )
+    assert rep["rows_match"] and rep["cols_match"] and rep["values_match"]

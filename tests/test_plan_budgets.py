@@ -79,6 +79,11 @@ SHUFFLE_BUDGETS = {
     "events_stream_hll_users": 0,
     # stream-stream join drains append-mode into the memory sink
     "events_stream_clicks_before_errors": 0,
+    # dropDuplicatesWithinWatermark drains append-mode into the memory
+    # sink: batch-side plan over the drained table is a pure scan
+    "events_stream_dedup": 0,
+    # one projection of regexp_count attributes + one source-grain agg
+    "docs_pii_census": 1,
     # one bucket-grain aggregation + the <=550-row cumulative window +
     # the exact-percentile comparison aggregate (stack-unpivot keeps the
     # corpus single-pass: a per-q UNION re-ran these 3x, 9 shuffles)
