@@ -99,3 +99,77 @@ def test_streamed_hll_panes_fold_to_batch_panes(spark, sf_dir, tmp_path):
     batch = canonicalize(hll_hour_panes(events).toPandas())
     assert len(folded) == len(batch) > 0
     assert folded.equals(batch)
+
+
+def test_streamed_growing_index_incremental_dedup(spark, sf_dir, tmp_path):
+    """The full production wiring of incremental MinHash dedup (round 9):
+    documents STREAM in as micro-batches; each foreachBatch invocation runs
+    :func:`incremental_dedup_batch` against the PERSISTED TxnTable band
+    index (every prior batch's commits) and then appends its own band rows
+    — so later micro-batches dedup against earlier ones, unlike the
+    static-index test above. The streamed union of verified pairs must
+    equal one full-LSH run on the final corpus (unordered-pair set), and
+    the index must end with one TxnTable version per non-empty batch."""
+    import dbt_tpch_spark.operators.dedup as dd
+    from dbt_tpch_spark.tableformat import TxnTable
+
+    ctx = Context(spark, sf_dir)
+    docs = ctx.source("documents").select("doc_id", "text")
+
+    in_dir = str(tmp_path / "incoming")
+    docs.repartition(3).write.parquet(in_dir)
+    pairs_dir = str(tmp_path / "pairs")
+    index_path = str(tmp_path / "band_index")
+    store_path = str(tmp_path / "doc_store")
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(in_dir)
+
+    state = {"table": None}
+
+    def sink(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        # the document store a deployment reads verify-side texts from:
+        # everything ingested so far, this batch included
+        batch_df.write.mode("append").parquet(store_path)
+        table = state["table"]
+        history = (
+            table.read()
+            if table is not None
+            else dd.lsh_band_rows(batch_df, n_parts=8).limit(0)
+        )
+        all_docs = spark.read.parquet(store_path)
+        verified, inc_bands = dd.incremental_dedup_batch(
+            batch_df, history, all_docs, n_parts=8
+        )
+        verified.write.mode("append").parquet(pairs_dir)
+        if table is None:
+            state["table"] = TxnTable.create(spark, index_path, inc_bands)
+        else:
+            table.append(inc_bands)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (min(r["doc_inc"], r["doc_other"]), max(r["doc_inc"], r["doc_other"]))
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    full = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in ctx.ref("dedup_minhash_lsh").collect()
+    }
+    assert got == full and len(full) > 0
+    n_batches = len(state["table"].versions())
+    assert n_batches >= 2  # maxFilesPerTrigger=1 over 3 files
+    assert (
+        state["table"].read().count()
+        == dd.lsh_band_rows(docs, n_parts=8).count()
+    )
