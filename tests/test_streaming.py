@@ -536,3 +536,48 @@ def test_foreachbatch_merge_upsert_sink(spark, sf_dir, tmp_path):
     run_once()  # full replay: version-wins merge must be a no-op
     second = {(r.user_id, r.ts) for r in spark.read.parquet(path).collect()}
     assert second == first
+
+
+def test_stream_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Restart-from-checkpoint, the recovery path every deployment leans
+    on: phase 1 streams the first input file through a CHECKPOINTED native
+    parquet sink (exactly-once via the sink's _spark_metadata transaction
+    log); phase 2 drops two more files into the source dir and restarts
+    with the SAME checkpoint. Only the new files may process, and the
+    final sink must hold every input row exactly once — complements the
+    foreachBatch MERGE idempotence test above, which covers replay rather
+    than resume."""
+    from pyspark.sql import functions as F
+
+    docs = Context(spark, sf_dir).source("documents").select("doc_id", "text")
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    parts = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+
+    def run_available_now() -> None:
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(in_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    parts[0].coalesce(1).write.mode("append").parquet(in_dir)
+    run_available_now()
+    n_phase1 = spark.read.parquet(out).count()
+    assert n_phase1 == parts[0].count() > 0
+
+    parts[1].coalesce(1).write.mode("append").parquet(in_dir)
+    parts[2].coalesce(1).write.mode("append").parquet(in_dir)
+    run_available_now()
+
+    final = spark.read.parquet(out)
+    total = docs.count()
+    # every row exactly once: no phase-1 reprocessing, no loss
+    assert final.count() == total
+    assert final.select("doc_id").distinct().count() == total
