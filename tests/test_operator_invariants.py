@@ -1849,3 +1849,60 @@ def test_stream_dedup_collapses_redeliveries(spark, sf_dir, tmp_path):
         entrymod.oracle_sql()["events_stream_dedup"],
     )
     assert rep["rows_match"] and rep["cols_match"] and rep["values_match"]
+
+
+def test_lsh_hot_bucket_valve_drops_degenerate_buckets(spark, sf_dir, tmp_path):
+    """The hot-bucket valve (bsize <= MAX_BAND_BUCKET) is the guard that
+    keeps LSH candidate generation sub-quadratic at 100 TB, but no test
+    SF ever trips it. Plants MAX_BAND_BUCKET+50 byte-identical documents
+    (one degenerate bucket in every band — their pair set would be ~0.5M
+    candidates) plus one genuine near-dup pair in healthy buckets. The
+    valve must drop ALL degenerate-bucket pairs (exact dedup is the right
+    tool for identical docs) while the healthy pair is still found — on
+    BOTH engines, and on the incremental path's combined-bucket valve."""
+    import pandas as pd
+
+    import dbt_tpch_spark.operators.dedup as dd
+    from dbt_tpch_spark.parity import check_query
+
+    n_hot = dd.MAX_BAND_BUCKET + 50
+    hot_text = "hot bucket duplicate boilerplate block repeated verbatim"
+    texts = [hot_text] * n_hot + [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",
+    ]
+    # healthy-pair ids chosen so the LATER one is an increment doc
+    # (1053 % INC_MOD == 0): the incremental assertion below is then a
+    # real vs_history witness, not vacuously empty
+    pair_ids = (n_hot + 2, n_hot + 3)
+    assert pair_ids[1] % dd.INC_MOD == 0
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, n_hot + 1)) + list(pair_ids),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = _mini_corpus(tmp_path, sf_dir, documents=docs)
+    pairs = Context(spark, d).ref("dedup_minhash_lsh").collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert pair_ids in got, "healthy near-dup pair lost by the valve"
+    hot_pairs = [p for p in got if p != pair_ids]
+    assert not hot_pairs, f"degenerate-bucket pairs leaked: {len(hot_pairs)}"
+    # the incremental probe applies the same valve on the COMBINED bucket:
+    # the hot docs with doc_id % INC_MOD == 0 probe it and must be dropped,
+    # while the increment doc of the healthy pair still finds its partner
+    inc = Context(spark, d).ref("dedup_minhash_incremental").collect()
+    inc_pairs = {(r["doc_inc"], r["doc_other"], r["match_scope"]) for r in inc}
+    assert inc_pairs == {(pair_ids[1], pair_ids[0], "vs_history")}, inc_pairs
+    import __spark_entry__ as entrymod
+
+    rep = check_query(
+        spark,
+        d,
+        entrymod.queries()["dedup_minhash_lsh"],
+        entrymod.oracle_sql()["dedup_minhash_lsh"],
+    )
+    assert rep["rows_match"] and rep["cols_match"] and rep["values_match"]
