@@ -1906,3 +1906,48 @@ def test_lsh_hot_bucket_valve_drops_degenerate_buckets(spark, sf_dir, tmp_path):
         entrymod.oracle_sql()["dedup_minhash_lsh"],
     )
     assert rep["rows_match"] and rep["cols_match"] and rep["values_match"]
+
+
+def test_emb_hot_bucket_valve_drops_degenerate_buckets(spark, sf_dir, tmp_path):
+    """The embedding sign-LSH twin of the MinHash valve test above:
+    MAX_EMB_BUCKET+50 IDENTICAL vectors collide into one degenerate bucket
+    per band (a ~0.16M-candidate bucket if unguarded) and must produce
+    ZERO verified pairs, while a healthy duplicate pair in a different
+    sign-pattern bucket is still found at cosine 1.0 — on both engines."""
+    import numpy as np
+    import pandas as pd
+
+    import dbt_tpch_spark.operators.dedup as dd
+    from dbt_tpch_spark.parity import check_query
+
+    n_hot = dd.MAX_EMB_BUCKET + 50
+    hot = np.ones(dd.EMB_DIM, dtype=np.float32)
+    # a clearly different direction: alternating signs flips roughly half
+    # of every band's plane dots, so its buckets differ from the hot one
+    healthy = np.array(
+        [1.0 if d % 2 == 0 else -1.0 for d in range(dd.EMB_DIM)],
+        dtype=np.float32,
+    )
+    pair_ids = (n_hot + 1, n_hot + 2)
+    emb = pd.DataFrame(
+        {
+            "vec_id": list(range(1, n_hot + 1)) + list(pair_ids),
+            "embedding": [hot] * n_hot + [healthy, healthy],
+            "label": np.int32(0),
+        }
+    )
+    d = _mini_corpus(tmp_path, sf_dir, embeddings=emb)
+    rows = Context(spark, d).ref("dedup_embedding_cosine").collect()
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in rows}
+    assert pair_ids in got, "healthy duplicate pair lost by the valve"
+    assert got[pair_ids] == 1.0
+    assert set(got) == {pair_ids}, f"degenerate pairs leaked: {len(got) - 1}"
+    import __spark_entry__ as entrymod
+
+    rep = check_query(
+        spark,
+        d,
+        entrymod.queries()["dedup_embedding_cosine"],
+        entrymod.oracle_sql()["dedup_embedding_cosine"],
+    )
+    assert rep["rows_match"] and rep["cols_match"] and rep["values_match"]
