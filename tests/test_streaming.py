@@ -581,3 +581,60 @@ def test_stream_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     # every row exactly once: no phase-1 reprocessing, no loss
     assert final.count() == total
     assert final.select("doc_id").distinct().count() == total
+
+
+def test_stream_dedup_stays_exactly_once_after_state_expiry(spark, tmp_path):
+    """The subtle contract that makes dropDuplicatesWithinWatermark safe
+    for at-least-once transports: a redelivery arriving AFTER the
+    watermark expired its dedup state is NOT re-emitted, because it is
+    filtered as late input first (it carries the ORIGINAL event time,
+    which is now below the watermark). So every redelivery path yields
+    exactly-once output: within the watermark -> dedup state; beyond it
+    -> the late filter. Three micro-batches (mtime-ordered files): two
+    events at t0, one at t0+3h (advances the watermark past t0+1h), then
+    a stale byte-identical redelivery of the first event."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(indir, name))
+        time.sleep(1.1)  # distinct mtimes pin the file-source batch order
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    write("f1.parquet", [(1, t0, 7, "click", 1.0, "{}"), (2, t0, 7, "click", 1.0, "{}")])
+    write("f2.parquet", [(99, t0 + pd.Timedelta(hours=3), 7, "click", 1.0, "{}")])
+    write("f3.parquet", [(1, t0, 7, "click", 1.0, "{}")])  # state long expired
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dedup_expiry")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    out = [r.event_id for r in spark.table("t_dedup_expiry").collect()]
+    assert sorted(out) == [1, 2, 99]  # each exactly once; no re-emission
