@@ -1128,7 +1128,12 @@ def events_stream_dedup(ctx):
     window) state, not O(stream). On the corpus every event_id is unique,
     so the gate proves the identity path; the collapse path (planted
     redeliveries on both engines) is pinned by tests/
-    test_operator_invariants.py::test_stream_dedup_collapses_redeliveries.
+    test_operator_invariants.py::test_stream_dedup_collapses_redeliveries,
+    and output stays exactly-once even AFTER state expiry — a stale
+    redelivery carries the original event time, now below the watermark,
+    so the late filter drops it before dedup
+    (tests/test_streaming.py::
+    test_stream_dedup_stays_exactly_once_after_state_expiry).
 
     Oracle: one row per event_id with MIN-aggregated payload — equal to
     first-arrival retention because a redelivery (the at-least-once
