@@ -218,8 +218,15 @@ def _derive_window() -> tuple[str, ...]:
     # is worth less than a first witness) down to a floor of 6 so the
     # cross-round comparison core survives.
     anchors = list(_ANCHORS)
-    fill_new = [n for n in fill if n not in anchors]
-    while len(anchors) > 6 and len(anchors) + len(fill_new) > _WINDOW_SIZE:
+
+    def _demand() -> int:
+        # recompute each pop: a popped anchor that is itself never-witnessed
+        # re-enters via fill, so the slot it frees is reclaimed — a stale
+        # pre-loop count would stop trimming early and spill a
+        # never-witnessed query out of the window (round-9 review)
+        return len(anchors) + sum(1 for n in fill if n not in anchors)
+
+    while len(anchors) > 6 and _demand() > _WINDOW_SIZE:
         anchors.pop()
     window = anchors
     for name in fill:

@@ -530,7 +530,14 @@ def main() -> None:
     }
     compact["full_record"] = full_path
     if errors:
-        compact["error_queries"] = sorted(errors)
+        # match n_failed's definition: underscore keys are setup steps
+        # (_presplit, _full_dag_build), not benched queries
+        q_errs = sorted(k for k in errors if not k.startswith("_"))
+        if q_errs:
+            compact["error_queries"] = q_errs
+        s_errs = sorted(k for k in errors if k.startswith("_"))
+        if s_errs:
+            compact["error_setup_steps"] = s_errs
     print(json.dumps(compact))
 
 

@@ -515,8 +515,6 @@ def int_order_items_enriched_adapted(ctx):
         "part_key", "part_name", "part_type_name", "part_brand_name",
         "part_size", "retail_price",
     )
-    from dbt_tpch_spark.models.catalog import COST_FRACTION
-
     return (
         f.join(c, "customer_key", "left")
         .join(s, "supplier_key", "left")

@@ -317,8 +317,10 @@ _WORDS_DUCK = f"list_distinct(string_split({_NORM_TEXT_DUCK}, ' '))"
 
 
 def _shingle3_set_df(ctx):
-    """Distinct 3-gram word shingles per document (MinHash feedstock)."""
-    return tokens_df(ctx).select("doc_id", shingle_col(3).alias("words"))
+    """Distinct 3-gram word shingles per document (MinHash feedstock) —
+    delegates to :func:`shingle_sets`, the shared core the incremental
+    batch API uses, so the convention lives in exactly one place."""
+    return shingle_sets(ctx.source("documents"), _doc_parallelism(ctx))
 
 
 _SHINGLE3_DUCK = (
@@ -338,21 +340,9 @@ def dedup_minhash_lsh(ctx):
     candidates come from a groupBy-join on band hashes (shuffle bounded by
     band-bucket sizes), and the expensive exact verify runs only on
     candidate pairs."""
-    sigs = (
-        _shingle3_set_df(ctx)
-        .selectExpr("doc_id", "transform(words, w -> md5(w)) AS hs")
-        .selectExpr("doc_id", f"{hashpair_spark()} AS hp")
-        .selectExpr("doc_id", *minhash_exprs())
-        .selectExpr("doc_id", *band_exprs())
-    )
     from pyspark.sql import Window
 
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias(
-            "band_idx", "band_hash"
-        ),
-    )
+    bands = lsh_band_rows(ctx.source("documents"), _doc_parallelism(ctx))
     # hot-bucket valve: one window count on the same key the join shuffles
     # on (partitioning reused), drop degenerate buckets before pairing
     w_bucket = Window.partitionBy("band_idx", "band_hash")
@@ -461,22 +451,10 @@ def dedup_minhash_incremental(ctx):
     increment doc, labeled ``match_scope`` = 'vs_history' (near-dup of an
     existing doc -> drop the new one) or 'within_increment' (new-batch
     internal dup). Same signature/band/valve/verify conventions as
-    dedup_minhash_lsh."""
-    sigs = (
-        _shingle3_set_df(ctx)
-        .selectExpr("doc_id", "transform(words, w -> md5(w)) AS hs")
-        .selectExpr("doc_id", f"{hashpair_spark()} AS hp")
-        .selectExpr("doc_id", *minhash_exprs())
-        .selectExpr("doc_id", *band_exprs())
-    )
+    dedup_minhash_lsh (shared via lsh_band_rows)."""
     from pyspark.sql import Window
 
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
-        ).alias("band_idx", "band_hash"),
-    )
+    bands = lsh_band_rows(ctx.source("documents"), _doc_parallelism(ctx))
     w_bucket = Window.partitionBy("band_idx", "band_hash")
     bands = bands.withColumn(
         "bsize", F.count(F.lit(1)).over(w_bucket)
@@ -641,7 +619,18 @@ def incremental_dedup_batch(increment_docs_df, history_bands_df, all_docs_df,
     match_scope, intersection_size, union_size, jaccard``), and the band
     frame is what the caller appends to the index after the batch commits.
     The hot-bucket valve applies to the COMBINED (index ∪ increment)
-    bucket, mirroring the single-scan model."""
+    bucket, mirroring the single-scan model.
+
+    Valve semantics across batches (round-9 review): the per-batch cost
+    bound (≤ MAX_BAND_BUCKET² candidate pairs per bucket) holds
+    UNCONDITIONALLY. Exact pair-set equality with a full-corpus LSH run
+    additionally requires that no bucket crosses MAX_BAND_BUCKET between
+    batches: once a bucket goes degenerate mid-stream, earlier batches
+    have already emitted its small-bucket pairs and keep them, whereas a
+    full re-run would drop the whole bucket. That early-pairs-survive
+    behavior is the graceful degradation an append-only ingest wants —
+    but it means the across-commit completeness tests pin equality only
+    on corpora whose buckets stay under the valve throughout."""
     inc_bands = lsh_band_rows(increment_docs_df, n_parts)
     # membership travels as a literal column through the union — zero
     # joins, so the probe restriction costs nothing at any batch size
@@ -675,7 +664,22 @@ def incremental_dedup_batch(increment_docs_df, history_bands_df, all_docs_df,
         .select("doc_inc", "doc_other", other_is_history.alias("vs_hist"))
         .distinct()
     )
-    toks = shingle_sets(all_docs_df, n_parts)
+    # the candidate set is small (O(increment x bucket)) but feeds THREE
+    # consumers (the id semi-join + both verify joins) — checkpoint it so
+    # the band join runs once per batch
+    cands = cands.localCheckpoint(eager=True)
+    # shingle ONLY candidate partners: without the semi-join every batch
+    # would re-normalize + re-shingle the ENTIRE document store (the
+    # pipeline's measured-expensive step — see tokens_df) for a candidate
+    # set touching a handful of docs (round-9 review)
+    cand_ids = (
+        cands.select(F.col("doc_inc").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_other").alias("doc_id")))
+        .distinct()
+    )
+    toks = shingle_sets(
+        all_docs_df.join(cand_ids, "doc_id", "leftsemi"), n_parts
+    )
     ta = toks.select(
         F.col("doc_id").alias("doc_inc"), F.col("words").alias("words_a")
     )

@@ -309,21 +309,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming read of the events table, normalized like the
     batch reader (sources.read_table): the corpus has shipped ``ts`` both as
     TIMESTAMP(NANOS) (surfaced as LONG via nanosAsLong) and TIMESTAMP(MICROS);
-    probe the file's actual type and adapt."""
+    probe the file's actual type and adapt. Handles BOTH corpus layouts:
+    ``events.parquet`` as a single file (the raw testdata) and as a
+    DIRECTORY of part files (any production layout, and bench's pre-split
+    corpus) — the old single-layout glob filter matched no leaf file under
+    a directory layout and silently streamed 0 rows (round-9 review)."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    base = f"{sf_dir}/events.parquet"
+    ts_type = dict(spark.read.parquet(base).dtypes)["ts"]
     nanos = ts_type == "bigint"
     schema = (
         f"event_id long, ts {'long' if nanos else 'timestamp_ntz'}, "
         "user_id long, event_type string, value double, props string"
     )
-    # the file stream source requires a directory; narrow to the events file
-    # with a glob filter
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(base):
+        # multi-file table: stream the directory itself
+        raw = reader.parquet(base)
+    else:
+        # single-file corpus: the file stream source requires a directory;
+        # narrow to the events file with a glob filter
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if nanos:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

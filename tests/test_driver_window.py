@@ -109,6 +109,27 @@ def test_ledger_close_trims_anchors_when_needed():
     assert [a for a in head if a in w] == head
 
 
+def test_trim_reclaims_slot_of_never_witnessed_anchor(monkeypatch):
+    """Round-9 review: popping an anchor that is ITSELF never-witnessed
+    frees no real capacity (it re-enters via fill), so the trim loop must
+    recompute demand per pop — a stale pre-loop count stops early and
+    spills the last never-witnessed fill name out of the window."""
+    eligible = entry_mod._eligible()
+    anchor = "parts_pagerank"
+    assert anchor in entry_mod._ANCHORS
+    others = [n for n in eligible if n not in entry_mod._ANCHORS][:43]
+    never = set(others) | {anchor}
+    monkeypatch.setattr(
+        entry_mod,
+        "_witnessed",
+        lambda: frozenset(n for n in eligible if n not in never),
+    )
+    w = entry_mod._derive_window()
+    assert len(w) == entry_mod._WINDOW_SIZE
+    missing = [n for n in never if n not in w]
+    assert not missing, f"never-witnessed spilled despite fitting: {missing}"
+
+
 def test_trim_floor_is_six_anchors(monkeypatch):
     """Synthetic overflow (nothing witnessed): the trim stops at 6 anchors
     and the window stays exactly _WINDOW_SIZE, deduped."""

@@ -1483,7 +1483,10 @@ def test_incremental_dedup_multibatch_txn(spark, sf_dir, tmp_path):
     of every prior commit. Asserts (a) the union of per-batch verified
     pairs equals the full-LSH pair set, (b) match_scope labels agree with
     actual batch membership, and (c) the index ends at one version per
-    append."""
+    append. Equality holds because no corpus bucket crosses the hot-bucket
+    valve between batches (the API's stated precondition — see
+    incremental_dedup_batch's docstring; a mid-stream crossing KEEPS the
+    early small-bucket pairs a full re-run would drop)."""
     import dbt_tpch_spark.operators.dedup as dd
     from dbt_tpch_spark.tableformat import TxnTable
 
@@ -1951,3 +1954,36 @@ def test_emb_hot_bucket_valve_drops_degenerate_buckets(spark, sf_dir, tmp_path):
         entrymod.oracle_sql()["dedup_embedding_cosine"],
     )
     assert rep["rows_match"] and rep["cols_match"] and rep["values_match"]
+
+
+def test_incremental_valve_crossing_keeps_early_pairs(spark, monkeypatch):
+    """The documented degradation when a bucket crosses the hot-bucket
+    valve BETWEEN batches (incremental_dedup_batch docstring): the early
+    batch's small-bucket pairs were already emitted and survive, later
+    batches emit NOTHING for the now-degenerate bucket — so the union
+    diverges from a full re-run (which would drop the whole bucket, losing
+    the early pairs too). This is the precondition boundary of the
+    across-commit completeness tests, pinned instead of assumed."""
+    import pandas as pd
+
+    import dbt_tpch_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "MAX_BAND_BUCKET", 40)
+    text = "identical hot bucket document text repeated verbatim"
+
+    def docs_df(ids):
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(ids), "text": text})
+        )
+
+    batch1, batch2 = docs_df(range(1, 31)), docs_df(range(31, 61))
+    empty = dd.lsh_band_rows(batch1, n_parts=4).limit(0)
+    v1, b1 = dd.incremental_dedup_batch(batch1, empty, batch1, n_parts=4)
+    # batch 1's bucket holds 30 <= 40 docs: all C(30,2) pairs emitted
+    assert v1.count() == 30 * 29 // 2
+    store = batch1.unionByName(batch2)
+    v2, _ = dd.incremental_dedup_batch(batch2, b1, store, n_parts=4)
+    # combined bucket is 60 > 40: the valve closes, batch 2 emits nothing
+    # (a full re-run at this cap would emit zero pairs TOTAL — the early
+    # 435 survive only on the incremental path)
+    assert v2.count() == 0

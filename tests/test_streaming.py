@@ -638,3 +638,24 @@ def test_stream_dedup_stays_exactly_once_after_state_expiry(spark, tmp_path):
     q.awaitTermination()
     out = [r.event_id for r in spark.table("t_dedup_expiry").collect()]
     assert sorted(out) == [1, 2, 99]  # each exactly once; no re-emission
+
+
+def test_stream_source_reads_directory_layout(spark, sf_dir, tmp_path):
+    """Round-9 review finding: with events.parquet as a DIRECTORY of part
+    files (any production layout, and bench's pre-split corpus) the old
+    glob-filtered stream source matched no leaf file and silently streamed
+    0 rows — so a benched readStream witness measured an empty stream.
+    The source must drain the full row count from both layouts."""
+    import os
+
+    from dbt_tpch_spark.sources import TABLES
+
+    d = str(tmp_path)
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    ev = Context(spark, sf_dir).source("events")
+    n = ev.count()
+    ev.repartition(4).write.parquet(f"{d}/events.parquet")
+    out = Context(spark, d).ref("events_stream_dedup")
+    assert out.count() == n > 0
