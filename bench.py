@@ -250,6 +250,10 @@ HEADLINE = [
     # + one source-grain aggregate)
     "events_stream_dedup",
     "docs_pii_census",
+    # round-10 addition: the production multi-batch ingest dedup (3
+    # TxnTable commits + per-batch incremental verify — the wall is the
+    # WHOLE ingest cycle including index persistence, deliberately)
+    "dedup_multibatch_txn",
 ]
 
 #: the round-2 headline set (first 20 entries) — reported as a separate
@@ -406,6 +410,7 @@ def main() -> None:
         from dbt_tpch_spark.warehouse import build_warehouse
 
         full_build, n_tables = None, 0
+        dag_timings: dict = {}
         try:
             with tempfile.TemporaryDirectory() as d:
                 start = time.perf_counter()
@@ -415,6 +420,7 @@ def main() -> None:
                     d,
                     parallelism=4,
                     layers=("ods", "wh", "intermediate", "metrics", "reports", "extended"),
+                    timings=dag_timings,
                 )
                 full_build = round(time.perf_counter() - start, 3)
                 n_tables = len(paths)
@@ -448,6 +454,13 @@ def main() -> None:
         ),
         "full_dag_build_sec": full_build,
         "full_dag_tables": n_tables,
+        # wall decomposition of the full-DAG phase (VERDICT r9 #5): per-
+        # table walls (overlapping — 4 concurrent writes per level) and the
+        # serial per-level walls that sum to full_dag_build_sec, so a
+        # cross-round drift is attributable to a table instead of a mystery.
+        # Full record only — far too large for the compact stdout budget.
+        "dag_tables": dag_timings.get("tables", {}),
+        "dag_levels": dag_timings.get("levels", []),
         "setup_split_sec": round(split_sec, 3),
         # contention self-adjudication (VERDICT r5 #5): host load before/
         # after, per-query wall vs the best recorded wall at this SF, and
@@ -510,6 +523,21 @@ def main() -> None:
             json.dump(record, fh)
     except OSError:
         full_path = None
+    print(json.dumps(compact_record(record, full_path)))
+
+
+#: Hard byte budget for the stdout record. The driver keeps ~1.8 KB of
+#: stdout tail; round 9's record was already ~1.3 KB and grows with every
+#: headline query plus unbounded error lists on failing rounds — exactly
+#: the rounds a parseable record matters most (round-9 ADVICE). The guard
+#: degrades gracefully: truncate error lists first, then drop the
+#: per-query map (counts + the full-record pointer always survive).
+_COMPACT_BUDGET = 1600
+
+
+def compact_record(record: dict, full_path: str | None) -> dict:
+    """The stdout-sized projection of the full bench record, guaranteed
+    (and tested) to serialize under ``_COMPACT_BUDGET`` bytes."""
     compact = {
         k: record[k]
         for k in (
@@ -527,8 +555,10 @@ def main() -> None:
             "effective_cores",
             "steal_pct",
         )
+        if k in record
     }
     compact["full_record"] = full_path
+    errors = record.get("errors", {})
     if errors:
         # match n_failed's definition: underscore keys are setup steps
         # (_presplit, _full_dag_build), not benched queries
@@ -538,7 +568,22 @@ def main() -> None:
         s_errs = sorted(k for k in errors if k.startswith("_"))
         if s_errs:
             compact["error_setup_steps"] = s_errs
-    print(json.dumps(compact))
+
+    def _size() -> int:
+        return len(json.dumps(compact))
+
+    for key, keep in (("error_queries", 5), ("error_setup_steps", 3)):
+        if _size() <= _COMPACT_BUDGET:
+            break
+        names = compact.get(key)
+        if names and len(names) > keep:
+            compact[key] = names[:keep]
+            compact[f"{key}_elided"] = len(names) - keep
+    if _size() > _COMPACT_BUDGET:
+        # the per-query walls live on in the sidecar; counts stay here
+        compact.pop("queries", None)
+        compact["queries_elided_see_full_record"] = True
+    return compact
 
 
 if __name__ == "__main__":

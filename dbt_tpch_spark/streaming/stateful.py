@@ -109,13 +109,55 @@ def batch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transformWithStateInPandas twin (Spark 4's arbitrary-stateful-operator API)
 # --------------------------------------------------------------------------
 
-from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
+
+def tws_support() -> tuple[bool, str]:
+    """Runtime probe for the transformWithStateInPandas path (VERDICT r9
+    #7): the API landed in Spark 4.0 and its Python worker speaks protobuf
+    to the state server. Returns ``(available, reason)`` so the
+    equivalence test runs on a capable session and SKIPS WITH THE PROBE'S
+    REASON otherwise — the path can't silently rot when the session Spark
+    version moves in either direction."""
+    import pyspark
+
+    version = pyspark.__version__
+    try:
+        major = int(version.split(".")[0])
+    except ValueError:
+        return False, f"unparseable pyspark version {version!r}"
+    if major < 4:
+        return False, (
+            f"transformWithStateInPandas needs Spark >= 4.0 "
+            f"(session runs {version})"
+        )
+    if StatefulProcessor is None:
+        return False, (
+            f"Spark {version} lacks pyspark.sql.streaming.stateful_processor"
+        )
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False, (
+            "python 'protobuf' package absent (the operator's state-server "
+            "protocol needs it; no pip install in this container)"
+        )
+    return True, f"Spark {version} + protobuf present"
 
 
-class UserStatsProcessor(StatefulProcessor):
+try:
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # Spark < 4.0: keep the module importable; the probe
+    StatefulProcessor = None  # above reports the reason and tests skip
+    StatefulProcessorHandle = None
+
+# subclassing None is a TypeError — give the processor an inert base on
+# sessions without the API (it is only instantiated behind tws_support())
+_TWS_BASE = StatefulProcessor if StatefulProcessor is not None else object
+
+
+class UserStatsProcessor(_TWS_BASE):
     """transformWithState port of ``_update_user_state``: identical fold,
     but state lives in a named ValueState on the new operator's state store
     (RocksDB-backed in a cluster deployment, with TTL/timers available —

@@ -314,18 +314,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIRECTORY of part files (any production layout, and bench's pre-split
     corpus) — the old single-layout glob filter matched no leaf file under
     a directory layout and silently streamed 0 rows (round-9 review)."""
-    import os
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = f"{sf_dir}/events.parquet"
-    ts_type = dict(spark.read.parquet(base).dtypes)["ts"]
+    probe = spark.read.parquet(base)
+    ts_type = dict(probe.dtypes)["ts"]
     nanos = ts_type == "bigint"
     schema = (
         f"event_id long, ts {'long' if nanos else 'timestamp_ntz'}, "
         "user_id long, event_type string, value double, props string"
     )
     reader = spark.readStream.schema(schema)
-    if os.path.isdir(base):
+    # Layout inference must work for ANY filesystem scheme (hdfs://, s3a://,
+    # ...), so derive it from the batch probe's resolved leaf files instead
+    # of a local-only os.path.isdir (round-9 ADVICE): under a directory
+    # layout the leaves live BELOW events.parquet/, under the single-file
+    # corpus the sole leaf IS events.parquet.
+    if any("/events.parquet/" in f for f in probe.inputFiles()):
         # multi-file table: stream the directory itself
         raw = reader.parquet(base)
     else:
@@ -1145,7 +1149,19 @@ def events_stream_dedup(ctx):
 
     Oracle: one row per event_id with MIN-aggregated payload — equal to
     first-arrival retention because a redelivery (the at-least-once
-    transport contract) is a byte-identical copy."""
+    transport contract) is a byte-identical copy.
+
+    Precondition (round-9 ADVICE, mirroring incremental_dedup_batch's
+    valve note): the MIN-per-event_id oracle equals the stream output
+    only while the whole corpus drains in ONE micro-batch — which
+    ``availableNow`` with no ``maxFilesPerTrigger`` guarantees here.
+    Under a multi-batch ingest a genuinely-late FIRST delivery (event
+    time already below the advanced watermark) is dropped by the late
+    filter but kept by the batch oracle, so the parity gate would read
+    as data loss. The corpus gate relies on that single-batch draining;
+    the multi-batch late-drop behavior itself is pinned by
+    tests/test_streaming.py::
+    test_stream_dedup_stays_exactly_once_after_state_expiry."""
     sdf = streaming_dedup_by_event_id(ctx.spark, ctx.sf_dir).select(
         "event_id", "user_id", "event_type", "ts", "value"
     )

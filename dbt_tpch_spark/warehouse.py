@@ -106,6 +106,7 @@ def build_warehouse(
     warehouse_dir: str,
     parallelism: int = 4,
     layers: tuple[str, ...] = ("ods", "wh", "metrics", "reports"),
+    timings: dict | None = None,
 ) -> dict[str, str]:
     """Materialize every table-model of the given layers to parquet,
     level-by-level (downstream levels read the written artifacts, exactly
@@ -115,7 +116,16 @@ def build_warehouse(
     Spark's scheduler accepts concurrent job submission from threads; each
     write is an independent job so executors stay busy across models.
     Returns {model: artifact_path}.
+
+    ``timings`` (VERDICT r9 #5): pass a dict to receive the build's wall
+    decomposition — ``timings["tables"][model]`` is the per-table wall
+    (plan + write, INCLUDING scheduler contention from the other
+    ``parallelism-1`` concurrent writes of its level) and
+    ``timings["levels"]`` the serial per-level walls that sum to the
+    total. This is what makes a cross-round full-DAG drift attributable
+    to a table instead of a mystery.
     """
+    import time
     from concurrent.futures import ThreadPoolExecutor
 
     from dbt_tpch_spark.plans import MODELS, Context
@@ -129,17 +139,30 @@ def build_warehouse(
     paths: dict[str, str] = {}
 
     def write(name: str) -> None:
+        t0 = time.perf_counter()
         df = MODELS[name].fn(ctx)
         path = f"{warehouse_dir}/{name}"
         df.write.mode("overwrite").parquet(path)
         paths[name] = path
+        if timings is not None:
+            timings.setdefault("tables", {})[name] = round(
+                time.perf_counter() - t0, 3
+            )
 
     for level in _topo_levels(targets):
+        t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=parallelism) as pool:
             list(pool.map(write, level))
         # downstream levels must read the materialized artifacts
         for name in level:
             ctx._built[name] = spark.read.parquet(paths[name])
+        if timings is not None:
+            timings.setdefault("levels", []).append(
+                {
+                    "n_tables": len(level),
+                    "sec": round(time.perf_counter() - t0, 3),
+                }
+            )
     return paths
 
 

@@ -130,6 +130,58 @@ def test_trim_reclaims_slot_of_never_witnessed_anchor(monkeypatch):
     assert not missing, f"never-witnessed spilled despite fitting: {missing}"
 
 
+def test_rotation_retires_oldest_witnesses_first():
+    """Round-10 (VERDICT r9 #3): once the never-witnessed ledger is closed,
+    spare slots must go to the queries whose last driver witness is oldest
+    (rounds 2-3 debt), not re-confirm the registry prefix forever."""
+    latest = entry_mod._witness_rounds()
+    eligible = entry_mod._eligible()
+    never = [n for n in eligible if n not in latest]
+    if never:  # a fresh-query round: rotation yields to the ledger
+        return
+    newest = max(latest.values())
+    stale_in_window = sum(
+        1
+        for n in entry_mod._DRIVER_WINDOW
+        if newest - latest.get(n, 0) >= entry_mod._STALE_AGE
+    )
+    # nearly every non-anchor slot retires rotation debt while any exists
+    total_stale = sum(
+        1 for n in eligible if newest - latest[n] >= entry_mod._STALE_AGE
+    )
+    expected = min(total_stale, entry_mod._WINDOW_SIZE - 6) - len(
+        entry_mod._FAMILY_PREDICATES
+    )
+    assert stale_in_window >= expected, (
+        f"only {stale_in_window} stale witnesses in the window "
+        f"(expected >= {expected} of {total_stale} due)"
+    )
+    # and the stale slots taken are the OLDEST ones (allowing the
+    # stratification repair to swap in a few newer family reps)
+    window_stale_rounds = sorted(
+        latest[n]
+        for n in entry_mod._DRIVER_WINDOW
+        if newest - latest.get(n, 0) >= entry_mod._STALE_AGE
+    )
+    due_rounds = sorted(
+        latest[n]
+        for n in eligible
+        if newest - latest[n] >= entry_mod._STALE_AGE
+    )[: len(window_stale_rounds)]
+    assert window_stale_rounds == due_rounds
+
+
+def test_stratification_repair_never_strands_a_family(monkeypatch):
+    """The rotation repair pass must restore any family the oldest-first
+    fill crowded out, without evicting anchors or never-witnessed names."""
+    latest = entry_mod._witness_rounds()
+    if not latest:
+        return
+    w = entry_mod._derive_window()
+    for pred in entry_mod._FAMILY_PREDICATES:
+        assert any(pred(n) for n in w), "family lost despite repair pass"
+
+
 def test_trim_floor_is_six_anchors(monkeypatch):
     """Synthetic overflow (nothing witnessed): the trim stops at 6 anchors
     and the window stays exactly _WINDOW_SIZE, deduped."""

@@ -63,6 +63,10 @@ SHUFFLE_BUDGETS = {
     "dedup_minhash_incremental": 7,
     # census over the checkpointed pair table (3 consumers, built once)
     "dedup_incremental_census": 7,
+    # per-batch verdicts are localCheckpointed during the 3-commit build
+    # (the band joins run as side jobs); the query plan is a union of
+    # checkpointed scans — 0 visible exchanges
+    "dedup_multibatch_txn": 0,
     # first-event agg + (user, week) distinct + user join + triangle agg
     "events_retention_triangle": 5,
     # per-user partitioned LAG + bounded |types|^2 agg + broadcast margins

@@ -182,14 +182,17 @@ def test_transform_with_state_equals_batch(spark, sf_dir):
     """transformWithStateInPandas twin emits the same final state as the
     applyInPandasWithState operator and the batch ground truth.
 
-    Gated: the operator's Python state-server protocol needs protobuf,
-    which this container lacks (no pip install allowed) — skip, don't
-    fail, exactly like the Kafka package gate."""
+    Gated by stateful.tws_support() (VERDICT r9 #7): runs on Spark >= 4.0
+    with protobuf present, else skips with the probe's reason — version
+    drift in either direction surfaces in the skip text instead of
+    silently rotting the path."""
     import pytest
-
-    pytest.importorskip("google.protobuf")
     from pyspark.sql import Window
     from dbt_tpch_spark.streaming import stateful
+
+    ok, reason = stateful.tws_support()
+    if not ok:
+        pytest.skip(reason)
 
     stream_df = stateful.streaming_user_stats_tws(spark, sf_dir)
     q = (
