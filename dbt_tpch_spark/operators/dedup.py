@@ -1061,11 +1061,64 @@ def emb_planes() -> list[list[float]]:
 _EMB_PLANES = emb_planes()
 
 
-def _emb_band_spark(b: int) -> str:
-    """Sign-bit string of band ``b`` (EMB_LSH_BITS chars)."""
+#: corpus size the default band width is designed for: at EMB_LSH_BITS
+#: sign bits a band has 2^bits hash values, so expected bucket size is
+#: n / 2^bits — past ~2048 vectors the 16-value domain saturates, every
+#: bucket crosses MAX_EMB_BUCKET, and the valve silently zeroes the pair
+#: stage (recall collapse). MEASURED by the round-10 scale probe: at 10x
+#: sf0.1 (20k vectors) the query's CPU went DOWN 28% because the valve
+#: had dropped all 16 buckets of every band.
+EMB_BITS_BASE_N = 2048
+
+
+def emb_bits_for(n: int) -> int:
+    """Adaptive band width: add one sign bit per doubling of the corpus
+    beyond the base design point, keeping the EXPECTED bucket size at the
+    base value (n / 2^bits ~ EMB_BITS_BASE_N / 2^EMB_LSH_BITS = 128) so
+    the valve stays a degenerate-data guard instead of becoming the
+    common path. Per-band recall at the 0.5-cosine threshold edge decays
+    with width (p^bits); true near-dups (cosine >= 0.9) stay >= 0.93
+    through 8 bits, and EXACT duplicates collide at any width. A
+    deployment tuning for edge-recall at scale grows EMB_LSH_BANDS too —
+    the (bands, bits) tradeoff is the lshplan.py planner's job; this
+    default keeps cost bounded without silently dropping the workload."""
+    import math
+
+    if n <= EMB_BITS_BASE_N:
+        return EMB_LSH_BITS
+    return EMB_LSH_BITS + math.ceil(math.log2(n / EMB_BITS_BASE_N))
+
+
+_EMB_EXT_PLANES: dict[tuple[int, int], list[float]] = {}
+
+
+def _emb_plane(b: int, r: int) -> list[float]:
+    """Hyperplane for sign bit ``r`` of band ``b``. Bits below
+    EMB_LSH_BITS come from the fixed base family (so the widened hash is
+    a strict REFINEMENT of the base hash and the static DuckDB oracle
+    stays exact at test SFs, where the width never widens); extension
+    bits use a disjoint md5 salt."""
+    if r < EMB_LSH_BITS:
+        return _EMB_PLANES[b * EMB_LSH_BITS + r]
+    key = (b, r)
+    if key not in _EMB_EXT_PLANES:
+        import hashlib
+
+        row = []
+        for d in range(EMB_DIM):
+            h = hashlib.md5(
+                f"{_EMB_PLANE_SALT}x|{b}|{r}|{d}".encode()
+            ).hexdigest()[:8]
+            row.append(round(int(h, 16) / 2**32 * 2 - 1, 6))
+        _EMB_EXT_PLANES[key] = row
+    return _EMB_EXT_PLANES[key]
+
+
+def _emb_band_spark(b: int, bits: int = EMB_LSH_BITS) -> str:
+    """Sign-bit string of band ``b`` (``bits`` chars)."""
     signs = []
-    for r in range(EMB_LSH_BITS):
-        plane = _EMB_PLANES[b * EMB_LSH_BITS + r]
+    for r in range(bits):
+        plane = _emb_plane(b, r)
         arr = "array(" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + ")"
         dot = DOT_SPARK.format(a="embedding", b=arr)
         signs.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
@@ -1122,9 +1175,20 @@ def dedup_embedding_cosine(ctx):
     n_vecs = norms.count()
     from pyspark.sql import Window
 
+    # adaptive band width (round-10 scale probe finding): at the default
+    # 4 bits a 20k-vector corpus saturates all 16 hash values per band
+    # and the valve drops EVERYTHING — widen with log2(n) so expected
+    # bucket size stays at the design point. At test SFs (<= 2048
+    # vectors) this is exactly EMB_LSH_BITS, so the static DuckDB oracle
+    # replays the same hash; the widened path is pinned by
+    # tests/test_operator_invariants.py::test_emb_dedup_band_width_adapts.
+    bits = emb_bits_for(n_vecs)
     bands = e.selectExpr(
         "vec_id",
-        *[f"{_emb_band_spark(b)} AS eband{b}" for b in range(EMB_LSH_BANDS)],
+        *[
+            f"{_emb_band_spark(b, bits)} AS eband{b}"
+            for b in range(EMB_LSH_BANDS)
+        ],
     ).select(
         "vec_id",
         F.posexplode(

@@ -56,6 +56,12 @@ PROBE_QUERIES = [
     "dedup_ppjoin",
     "events_gapfill_hourly",
     "dedup_minhash_lsh",
+    # extended coverage: the other pair-stage/window families with
+    # scale-sensitive shapes (substring winnowing, banded sign-LSH over
+    # embeddings, gap-based sessionization)
+    "docs_winnow_dups",
+    "dedup_embedding_cosine",
+    "events_session_30m",
 ]
 
 #: superlinear gate: 10x input may cost up to 10x * log-factor; beyond
@@ -112,6 +118,33 @@ def build_scaled_corpus(
                 rep = rep.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"$1x{k}")
                 ).withColumn("n_chars", F.length("text").cast("long"))
+            if table == "embeddings":
+                # per-replica ORTHOGONAL transform (Walsh sign flips +
+                # coordinate rotation): within-replica cosines preserved
+                # EXACTLY, cross-replica copies decorrelated — otherwise
+                # every vector ships 9 exact duplicates and the sign-LSH
+                # pair stage measures a planted quadratic workload, not
+                # scale-up (same reasoning as the documents token rename).
+                # k=0 is the identity, so the 1x baseline is untouched.
+                dim = 64
+                signs = [
+                    1.0 if bin(i & k).count("1") % 2 == 0 else -1.0
+                    for i in range(dim)
+                ]
+                rot = (6 * k) % dim
+                emb = F.col("embedding")
+                if rot:
+                    emb = F.concat(
+                        F.slice(emb, rot + 1, dim - rot), F.slice(emb, 1, rot)
+                    )
+                rep = rep.withColumn(
+                    "embedding",
+                    F.zip_with(
+                        emb,
+                        F.array(*[F.lit(s) for s in signs]),
+                        lambda x, s: (x * s).cast("float"),
+                    ),
+                )
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:
@@ -168,7 +201,13 @@ def main() -> None:
         "--src", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--workdir", default="/tmp/spark_graft_scale_probe")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of PROBE_QUERIES (default: all)",
+    )
     args = ap.parse_args()
+    probe_names = args.queries.split(",") if args.queries else PROBE_QUERIES
 
     from dbt_tpch_spark.session import get_spark
 
@@ -188,7 +227,7 @@ def main() -> None:
         dirs[label] = d
 
     results: dict[str, dict] = {}
-    for name in PROBE_QUERIES:
+    for name in probe_names:
         results[name] = {}
         for label in ("1x", "10x"):
             samples = [

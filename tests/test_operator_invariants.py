@@ -1987,3 +1987,73 @@ def test_incremental_valve_crossing_keeps_early_pairs(spark, monkeypatch):
     # (a full re-run at this cap would emit zero pairs TOTAL — the early
     # 435 survive only on the incremental path)
     assert v2.count() == 0
+
+
+def test_emb_bits_for_is_log_adaptive():
+    """Pure math: the band width holds the base value through the design
+    point and adds one bit per corpus doubling past it."""
+    import dbt_tpch_spark.operators.dedup as dd
+
+    assert dd.emb_bits_for(100) == dd.EMB_LSH_BITS
+    assert dd.emb_bits_for(dd.EMB_BITS_BASE_N) == dd.EMB_LSH_BITS
+    assert dd.emb_bits_for(dd.EMB_BITS_BASE_N + 1) == dd.EMB_LSH_BITS + 1
+    assert dd.emb_bits_for(4 * dd.EMB_BITS_BASE_N) == dd.EMB_LSH_BITS + 2
+    assert dd.emb_bits_for(20000) == dd.EMB_LSH_BITS + 4
+
+
+def test_emb_dedup_band_width_adapts(spark, sf_dir, tmp_path):
+    """Round-10 scale probe finding: at the fixed 4-bit width a corpus
+    past ~8k vectors saturates every 16-value band domain, ALL buckets
+    cross MAX_EMB_BUCKET, and the valve silently zeroes the pair stage —
+    planted exact duplicates vanish. The adaptive width must keep finding
+    them (exact dups collide in every band at ANY width), and the fixed
+    width must demonstrably lose them (the canary that proves the test
+    can fail)."""
+    import numpy as np
+    import pandas as pd
+
+    import dbt_tpch_spark.operators.dedup as dd
+
+    rng = np.random.RandomState(10)
+    n_base, n_dups = 12000, 20
+    vecs = [v / np.linalg.norm(v) for v in rng.randn(n_base, 64)]
+    # plant exact duplicates of the first n_dups vectors at the tail
+    vecs.extend(vecs[i] for i in range(n_dups))
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            "label": np.zeros(len(vecs), dtype=np.int32),
+        }
+    )
+    d = _mini_corpus(tmp_path, sf_dir, embeddings=emb)
+    expected = {(i, n_base + i) for i in range(n_dups)}
+
+    out = Context(spark, d).ref("dedup_embedding_cosine")
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in out.filter(F.col("cosine") >= 0.999999).collect()
+    }
+    missing = expected - found
+    assert not missing, (
+        f"adaptive width lost {len(missing)} planted exact-dup pairs "
+        f"(bits={dd.emb_bits_for(len(vecs))})"
+    )
+
+    # canary: pin the width at the 4-bit base and the same corpus loses
+    # planted dups to the saturated-bucket valve
+    saved = dd.emb_bits_for
+    dd.emb_bits_for = lambda n: dd.EMB_LSH_BITS
+    try:
+        detuned = Context(spark, d).ref("dedup_embedding_cosine")
+        found_fixed = {
+            (r["vec_a"], r["vec_b"])
+            for r in detuned.filter(F.col("cosine") >= 0.999999).collect()
+        }
+    finally:
+        dd.emb_bits_for = saved
+    assert expected - found_fixed, (
+        "fixed 4-bit width should lose planted dups at 12k vectors; "
+        "if it stops losing them, the saturation premise changed — "
+        "re-derive EMB_BITS_BASE_N"
+    )
