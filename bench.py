@@ -115,6 +115,33 @@ def _calibrate() -> tuple[float, float, float | None]:
     )
 
 
+def _dag_cost_hint() -> dict[str, float]:
+    """Per-table prior walls for LPT dispatch of the full-DAG phase:
+    the max recorded ``dag_tables`` wall per table across every bench
+    record next to this file (max across records — host tax inflates
+    all tables of a run roughly uniformly, so relative order, which is
+    all LPT needs, survives). Empty before the first decomposed record,
+    in which case build_warehouse keeps its original dispatch order."""
+    import glob
+
+    hint: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = glob.glob(os.path.join(here, "BENCH_r*.json"))
+    paths.append(os.path.join(here, "BENCH_LAST_FULL.json"))
+    for path in paths:
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except Exception:
+            continue
+        if isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]
+        for name, sec in (rec.get("dag_tables") or {}).items():
+            if isinstance(sec, (int, float)):
+                hint[name] = max(hint.get(name, 0.0), float(sec))
+    return hint
+
+
 def _best_known(
     sf: float,
 ) -> tuple[dict[str, tuple[float, float | None]], dict[str, tuple[float, float]]]:
@@ -411,6 +438,7 @@ def main() -> None:
 
         full_build, n_tables = None, 0
         dag_timings: dict = {}
+        dag_hint = _dag_cost_hint()
         try:
             with tempfile.TemporaryDirectory() as d:
                 start = time.perf_counter()
@@ -421,6 +449,7 @@ def main() -> None:
                     parallelism=4,
                     layers=("ods", "wh", "intermediate", "metrics", "reports", "extended"),
                     timings=dag_timings,
+                    cost_hint=dag_hint,
                 )
                 full_build = round(time.perf_counter() - start, 3)
                 n_tables = len(paths)
@@ -461,6 +490,10 @@ def main() -> None:
         # Full record only — far too large for the compact stdout budget.
         "dag_tables": dag_timings.get("tables", {}),
         "dag_levels": dag_timings.get("levels", []),
+        # True when prior per-table walls drove longest-first dispatch
+        # (LPT packing) — first round with hints is not wall-comparable
+        # to hintless rounds on the DAG phase
+        "dag_lpt_scheduled": bool(dag_hint),
         "setup_split_sec": round(split_sec, 3),
         # contention self-adjudication (VERDICT r5 #5): host load before/
         # after, per-query wall vs the best recorded wall at this SF, and

@@ -107,6 +107,7 @@ def build_warehouse(
     parallelism: int = 4,
     layers: tuple[str, ...] = ("ods", "wh", "metrics", "reports"),
     timings: dict | None = None,
+    cost_hint: dict[str, float] | None = None,
 ) -> dict[str, str]:
     """Materialize every table-model of the given layers to parquet,
     level-by-level (downstream levels read the written artifacts, exactly
@@ -124,6 +125,15 @@ def build_warehouse(
     ``timings["levels"]`` the serial per-level walls that sum to the
     total. This is what makes a cross-round full-DAG drift attributable
     to a table instead of a mystery.
+
+    ``cost_hint`` (round-10 DAG-drift adjudication): optional
+    {model: prior wall seconds}. Each level dispatches
+    longest-known-first (LPT packing — within 4/3 of the optimal
+    makespan for the ``parallelism``-lane schedule), so a handful of
+    ~5-9 s window-family tables can't land in one lane late and stretch
+    the level by their sum. Unknown tables run first (they might be
+    big). Without hints, dispatch order is the topo level's sorted
+    order, as before.
     """
     import time
     from concurrent.futures import ThreadPoolExecutor
@@ -150,6 +160,11 @@ def build_warehouse(
             )
 
     for level in _topo_levels(targets):
+        if cost_hint:
+            top = max(cost_hint.values(), default=0.0)
+            level = sorted(
+                level, key=lambda n: -cost_hint.get(n, top + 1.0)
+            )
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=parallelism) as pool:
             list(pool.map(write, level))
