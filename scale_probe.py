@@ -102,6 +102,15 @@ def build_scaled_corpus(
     spark, src_dir: str, out_dir: str, replicas: int, n_files: int = 32
 ) -> None:
     """Write the deterministic ``replicas``x corpus (see module docstring)."""
+    # the per-replica orthogonal map (Walsh signs on i & k + rotation by
+    # 6k mod 64) cycles back to the IDENTITY at k=64 — replica 64 would be
+    # an exact copy of replica 0 and plant the cross-replica dups the
+    # transform exists to prevent; fail loudly instead
+    if replicas > 64:
+        raise ValueError(
+            "build_scaled_corpus supports at most 64 replicas (the "
+            "embedding decorrelation map cycles at k=64)"
+        )
     offs = _offsets(spark, src_dir)
     for table, cols in _KEYED.items():
         src = spark.read.parquet(f"{src_dir}/{table}.parquet")

@@ -179,3 +179,14 @@ def test_replicas_are_not_cross_near_dups(spark, sf_dir, corpus):
         .first()[0]
     )
     assert overlap == 0
+
+
+def test_replica_cap_fails_loudly(spark, sf_dir, tmp_path):
+    """The decorrelation map cycles to the identity at k=64 — replica 64
+    would silently plant cross-replica dups, so the builder must refuse."""
+    import pytest
+
+    with pytest.raises(ValueError, match="64"):
+        scale_probe.build_scaled_corpus(
+            spark, sf_dir, str(tmp_path / "x"), replicas=65
+        )
