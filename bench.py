@@ -176,7 +176,8 @@ def _best_known(
             rec = rec["parsed"]
         if rec.get("sf") != sf:
             continue
-        eff = rec.get("effective_cores")
+        # prefer the burst-resistant start/end mean where a record has it
+        eff = rec.get("effective_cores_mean", rec.get("effective_cores"))
         eff = float(eff) if isinstance(eff, (int, float)) else None
         for name, sec in (rec.get("queries") or {}).items():
             if not isinstance(sec, (int, float)):
@@ -353,8 +354,17 @@ def main() -> None:
         needs_adjudication: dict[str, dict] = {}
         total = 0.0
         cpu_before = _cpu_total_ns(spark)
+        # per-query steal attribution (round 10): the host's bursts are
+        # shorter than a run, so a single run-level steal_pct hides WHICH
+        # walls were taxed — a per-query /proc/stat delta names them
+        query_steal: dict[str, float] = {}
         for name in names:
+            q_ticks = _cpu_ticks()
             elapsed = run_once(name)
+            if q_ticks is not None:
+                qs = _steal_pct(q_ticks, _cpu_ticks())
+                if qs is not None:
+                    query_steal[name] = qs
             if elapsed is None:
                 # one broken query must not zero the whole bench record
                 cpu_before = _cpu_total_ns(spark)
@@ -414,19 +424,6 @@ def main() -> None:
             total += elapsed
             if name in best and best[name][0] > 0:
                 inflation[name] = round(elapsed / best[name][0], 2)
-            # capacity-normalized inflation (VERDICT r7 #6 / r8 #4): wall x
-            # effective_cores ~ delivered core-seconds, so for a fixed
-            # plan the ratio is host-invariant. >1 here means the plan
-            # (or feedstock) genuinely regressed; raw inflation with
-            # norm ~1 means the host degraded. Computed against the best
-            # RECORD THAT CARRIED effective_cores (best_cap) so the
-            # normalized cell fills for every query seen since round 7
-            # instead of waiting for pre-capacity absolute bests to age out.
-            if name in best_cap and best_cap[name][0] > 0 and effective_cores:
-                cap_sec, cap_eff = best_cap[name]
-                inflation_norm[name] = round(
-                    (elapsed * effective_cores) / (cap_sec * cap_eff), 2
-                )
             if cpu_sec is not None:
                 cpu_secs[name] = round(cpu_sec, 3)
             cpu_before = cpu_after
@@ -455,6 +452,35 @@ def main() -> None:
                 n_tables = len(paths)
         except Exception:
             errors["_full_dag_build"] = traceback.format_exc()[-500:]
+
+        # second calibration at run END (round 10): effective_cores sampled
+        # once at start is burst-sensitive — three same-code r10 runs spanned
+        # norm medians 0.82-1.34 purely from calibration-window luck. The
+        # start/end pair bounds the host's capacity drift over the run; the
+        # mean is the norm-computation input future rounds should prefer.
+        calib_end_sec, calib32_end_sec, effective_cores_end = _calibrate()
+        effective_cores_mean = (
+            round((effective_cores + effective_cores_end) / 2, 1)
+            if effective_cores is not None and effective_cores_end is not None
+            else effective_cores or effective_cores_end
+        )
+        # capacity-normalized inflation (VERDICT r7 #6 / r8 #4): wall x
+        # effective_cores ~ delivered core-seconds, so for a fixed plan
+        # the ratio is host-invariant. >1 here means the plan (or
+        # feedstock) genuinely regressed; raw inflation with norm ~1
+        # means the host degraded. Computed against the best RECORD THAT
+        # CARRIED capacity (best_cap) so the normalized cell fills for
+        # every query seen since round 7. Round 10: computed POST-RUN
+        # with the start/end MEAN capacity — a single start-sample made
+        # three same-code runs span norm medians 0.82-1.34 purely from
+        # which side of a host burst the calibration landed on.
+        if effective_cores_mean:
+            for qname, wall in timings.items():
+                if qname in best_cap and best_cap[qname][0] > 0:
+                    cap_sec, cap_eff = best_cap[qname]
+                    inflation_norm[qname] = round(
+                        (wall * effective_cores_mean) / (cap_sec * cap_eff), 2
+                    )
 
     # a failed query's time is omitted from `value`, so a partial total must
     # never be read as a speedup: n_failed flags it and `value` goes null
@@ -515,6 +541,14 @@ def main() -> None:
         "calib_sec": calib_sec,
         "calib32_sec": calib32_sec,
         "effective_cores": effective_cores,
+        # start/end calibration pair (round 10): bounds capacity drift over
+        # the run; prefer effective_cores_mean for cross-round norms
+        "calib_end_sec": calib_end_sec,
+        "calib32_end_sec": calib32_end_sec,
+        "effective_cores_end": effective_cores_end,
+        "effective_cores_mean": effective_cores_mean,
+        # per-query hypervisor-steal deltas: names the taxed walls
+        "queries_steal_pct": query_steal,
         "inflation_vs_best": inflation,
         # wall x eff_now / (best_cap_wall x eff_best): host-capacity-
         # invariant inflation vs the best record that stored
