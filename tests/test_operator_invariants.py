@@ -1474,6 +1474,33 @@ def test_embedding_lsh_recall_floor(spark, sf_dir, tmp_path):
     )
 
 
+def test_multibatch_txn_index_routes_through_warehouse(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-11 (VERDICT r10 #5): when the Context carries a warehouse
+    dir, the model's band index must be created UNDER it (the
+    executor-shared location on a real cluster), not in a driver-local
+    tempdir — and the scratch index is removed after the build."""
+    import os
+
+    from dbt_tpch_spark.tableformat import TxnTable
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    created: list[str] = []
+    orig = TxnTable.create.__func__  # the classmethod's raw function
+
+    def spy(cls, spark_, path, df, **kw):
+        created.append(path)
+        return orig(cls, spark_, path, df, **kw)
+
+    monkeypatch.setattr(TxnTable, "create", classmethod(spy))
+    out = Context(spark, sf_dir, warehouse_dir=wh).ref("dedup_multibatch_txn")
+    assert out.count() > 0
+    assert created and created[0].startswith(wh), created
+    assert not os.path.exists(created[0])  # scratch removed post-build
+
+
 def test_incremental_dedup_multibatch_txn(spark, sf_dir, tmp_path):
     """VERDICT r8 #5: the deployment shape of the incremental dedup — a
     PERSISTED TxnTable band index appended per ingest batch — must be as
@@ -2057,3 +2084,81 @@ def test_emb_dedup_band_width_adapts(spark, sf_dir, tmp_path):
         "if it stops losing them, the saturation premise changed — "
         "re-derive EMB_BITS_BASE_N"
     )
+
+
+def test_emb_bits_duck_matches_python_formula():
+    """The oracle's SQL width expression (_emb_bits_duck) must replay
+    emb_bits_for exactly across the threshold, the doublings, and up to
+    the literal-plane cap — and error() loudly past the cap instead of
+    silently truncating to a narrower hash (round-11 ADVICE)."""
+    import duckdb
+
+    import dbt_tpch_spark.operators.dedup as dd
+
+    max_n = dd.EMB_BITS_BASE_N * 2 ** (dd.EMB_BITS_MAX - dd.EMB_LSH_BITS)
+    probe_ns = [
+        1,
+        100,
+        dd.EMB_BITS_BASE_N - 1,
+        dd.EMB_BITS_BASE_N,
+        dd.EMB_BITS_BASE_N + 1,
+        2 * dd.EMB_BITS_BASE_N,
+        2 * dd.EMB_BITS_BASE_N + 1,
+        12020,
+        20000,
+        max_n - 1,
+        max_n,
+    ]
+    con = duckdb.connect()
+    try:
+        for n in probe_ns:
+            sql = dd._emb_bits_duck(f"(SELECT 1 FROM range({n}))")
+            got = con.execute(sql).fetchone()[0]
+            assert got == dd.emb_bits_for(n), (n, got, dd.emb_bits_for(n))
+        import pytest
+
+        with pytest.raises(duckdb.Error, match="EMB_BITS_MAX"):
+            con.execute(
+                dd._emb_bits_duck(f"(SELECT 1 FROM range({max_n + 1}))")
+            ).fetchone()
+    finally:
+        con.close()
+
+
+def test_emb_cosine_oracle_tracks_adaptive_width(spark, sf_dir, tmp_path):
+    """Round-11 ADVICE (medium): the r10 oracle hard-coded the 4-bit band
+    hash, so any parity corpus past 2048 vectors made the Spark output a
+    strict subset of the oracle's pair set. The oracle now derives the
+    width from COUNT(*) in SQL and truncates its full-width literal
+    strings — full check_query parity on a planted 2100-vector corpus
+    (bits widens to 5) must hold all three gates."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    import dbt_tpch_spark.operators.dedup as dd
+    from dbt_tpch_spark.parity import check_query
+
+    n_base, n_dups = 2080, 20
+    assert n_base + n_dups > dd.EMB_BITS_BASE_N
+    rng = np.random.RandomState(11)
+    vecs = [v / np.linalg.norm(v) for v in rng.randn(n_base, 64)]
+    vecs.extend(vecs[i] for i in range(n_dups))
+    assert dd.emb_bits_for(len(vecs)) == dd.EMB_LSH_BITS + 1
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            "label": np.zeros(len(vecs), dtype=np.int32),
+        }
+    )
+    d = _mini_corpus(tmp_path, sf_dir, embeddings=emb)
+    rep = check_query(
+        spark,
+        d,
+        entrymod.queries()["dedup_embedding_cosine"],
+        entrymod.oracle_sql()["dedup_embedding_cosine"],
+    )
+    assert rep["rows_match"] and rep["cols_match"] and rep["values_match"], rep
+    # the gate is non-vacuous: the planted exact dups are in the output
+    assert rep["rows_spark"] >= n_dups, rep
