@@ -29,7 +29,17 @@ Corpus construction (deterministic, seedless):
   (same token transform, same multi-file layout), so 1x vs 10x differ
   only in scale, never in format.
 
-Usage: python scale_probe.py [--replicas 10] [--runs 2]
+Recall leg (round 11, VERDICT r10 #1): the cost probe cannot see recall —
+the round-10 adaptive band width bounds cost by design, so the residual
+failure mode is silent recall decay at scale. plant_recall_fixtures builds
+a SIBLING corpus per scale point (symlinks + planted near-dup pairs at
+known cosine/Jaccard tiers appended to embeddings/documents) and
+measure_recall records the fraction of planted pairs each LSH dedup head
+finds at 1x and Nx; any tier below RECALL_FLOOR lands in
+``recall_below_floor``. The cost corpus stays unplanted, so wall/CPU
+numbers remain comparable across rounds.
+
+Usage: python scale_probe.py [--replicas 10] [--runs 2] [--skip-recall]
 Writes SCALE_PROBE_LAST.json; the per-round record is copied to
 SCALE_PROBE_r{N}.json and adjudicated in PLANS.md.
 """
@@ -62,11 +72,24 @@ PROBE_QUERIES = [
     "docs_winnow_dups",
     "dedup_embedding_cosine",
     "events_session_30m",
+    # round-11 (VERDICT r10 #2): the remaining top-CPU bench queries with
+    # no measured exponent — ADC scan, window-family report, per-doc
+    # n-gram repetition, Gram-matrix PCA, and the 3-commit TxnTable
+    # ingest-dedup cycle end-to-end
+    "ann_pq_adc_topk",
+    "rpt_minimum_cost_suppliers_adapted",
+    "doc_repetition_stats",
+    "embeddings_pca_variance",
+    "dedup_multibatch_txn",
 ]
 
-#: superlinear gate: 10x input may cost up to 10x * log-factor; beyond
-#: this the query is adjudicated or fixed (VERDICT r9 #1 wording).
-MAX_OK_RATIO = 13.0
+
+def max_ok_ratio(replicas: int) -> float:
+    """Superlinear gate, scaled to the probe size: an N-replica input may
+    cost up to N x a 1.3 log-factor (13x at the canonical 10x probe);
+    beyond this the query is adjudicated or fixed. Round-11 ADVICE: the
+    former fixed 13.0 would have passed a clearly quadratic 4x run."""
+    return round(1.3 * replicas, 2)
 
 _KEYED = {
     "customer": {"c_custkey": "cust"},
@@ -165,6 +188,164 @@ def build_scaled_corpus(
         shutil.copyfile(f"{src_dir}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
+# --------------------------------------------------------------------------
+# recall leg (VERDICT r10 #1): the cost probe measures wall/CPU/shuffle at
+# scale; the round-10 band-width fix moved the embedding-dedup failure mode
+# from cost to RECALL, which was asserted analytically. This leg measures
+# it: plant near-dup pairs at known similarity tiers into a SIBLING corpus
+# (symlinks + appended rows — the cost corpus stays unplanted and
+# cross-round comparable), run the two LSH dedup heads, and record the
+# fraction of planted pairs each finds at 1x and Nx.
+# --------------------------------------------------------------------------
+
+#: embedding tiers: exact target cosines (w = c*v + sqrt(1-c^2)*u, u ⊥ v).
+RECALL_COSINE_TIERS = (0.90, 0.95, 0.99)
+#: MinHash tiers as (shared_prefix_tokens, doc_tokens): B keeps the first
+#: p of A's m tokens and replaces the tail with fresh ones, so shingle
+#: Jaccard is exactly (p-2) / (2(m-2) - (p-2)) — tiers 0.9048 / 0.9512 /
+#: 1.0 (exact dup), all comfortably above the 0.5 verify threshold and
+#: with (4x4)-LSH design recall 0.988 / 0.9989 / 1.0.
+RECALL_JACCARD_TIERS = ((40, 42), (41, 42), (42, 42))
+RECALL_PAIRS_PER_TIER = 32
+#: pinned floor (VERDICT r10 #1 wording): measured recall on every planted
+#: tier must stay >= this at BOTH scales.
+RECALL_FLOOR = 0.8
+#: planted ids start here — far above any replicated key domain, so
+#: membership checks are a cheap id-range filter.
+RECALL_ID_BASE = 10**12
+
+
+def _jaccard_for_tier(prefix: int, m: int) -> float:
+    shared = prefix - 2 if prefix < m else m - 2
+    return round(shared / (2 * (m - 2) - shared), 6)
+
+
+def plant_recall_fixtures(spark, base_dir: str, out_dir: str) -> dict:
+    """Build the recall corpus next to ``base_dir``: every table symlinks
+    to the base corpus except documents/embeddings, which are rewritten
+    with RECALL_PAIRS_PER_TIER planted near-dup pairs per tier appended.
+    Deterministic (fixed RandomState; token vocab keyed by tier/pair).
+    Returns {"cosine": {tier: [(id_a, id_b), ...]}, "jaccard": {...}}."""
+    import numpy as np
+    import pandas as pd
+
+    from dbt_tpch_spark.sources import TABLES
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        if t not in ("documents", "embeddings"):
+            dst = f"{out_dir}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"{base_dir}/{t}.parquet", dst)
+
+    planted: dict[str, dict] = {"cosine": {}, "jaccard": {}}
+    rng = np.random.RandomState(110)
+    dim = 64
+
+    # embeddings: pairs of fresh unit vectors at EXACT target cosine
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    rows = []
+    next_id = RECALL_ID_BASE
+    for c in RECALL_COSINE_TIERS:
+        pairs = []
+        for _ in range(RECALL_PAIRS_PER_TIER):
+            v = rng.randn(dim)
+            v /= np.linalg.norm(v)
+            u = rng.randn(dim)
+            u -= u.dot(v) * v
+            u /= np.linalg.norm(u)
+            w = c * v + math.sqrt(1.0 - c * c) * u
+            rows.append((next_id, v))
+            rows.append((next_id + 1, w))
+            pairs.append((next_id, next_id + 1))
+            next_id += 2
+        planted["cosine"][str(c)] = pairs
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [np.asarray(r[1], dtype=np.float32) for r in rows],
+        }
+    )
+    pad = {
+        f.name: f.dataType.simpleString()
+        for f in emb.schema.fields
+        if f.name not in pdf.columns
+    }
+    planted_emb = spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>"
+    )
+    for name, typ in pad.items():  # corpus extras (e.g. label): neutral fill
+        planted_emb = planted_emb.withColumn(name, F.lit(0).cast(typ))
+    emb.unionByName(planted_emb.select(emb.columns)).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/embeddings.parquet")
+
+    # documents: prefix-shared token docs at EXACT shingle-Jaccard tiers
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    doc_rows = []
+    next_id = RECALL_ID_BASE
+    for ti, (prefix, m) in enumerate(RECALL_JACCARD_TIERS):
+        pairs = []
+        for i in range(RECALL_PAIRS_PER_TIER):
+            base_toks = [f"zq{ti}p{i}t{j}" for j in range(m)]
+            tail = [f"zq{ti}p{i}f{j}" for j in range(m - prefix)]
+            text_a = " ".join(base_toks)
+            text_b = " ".join(base_toks[:prefix] + tail)
+            doc_rows.append((next_id, text_a))
+            doc_rows.append((next_id + 1, text_b))
+            pairs.append((next_id, next_id + 1))
+            next_id += 2
+        planted["jaccard"][str(_jaccard_for_tier(prefix, m))] = pairs
+    dpdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in doc_rows],
+            "text": [r[1] for r in doc_rows],
+        }
+    )
+    planted_docs = spark.createDataFrame(dpdf).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    for f_ in docs.schema.fields:
+        if f_.name not in planted_docs.columns:
+            planted_docs = planted_docs.withColumn(
+                f_.name, F.lit("planted").cast(f_.dataType.simpleString())
+            )
+    docs.unionByName(planted_docs.select(docs.columns)).repartition(
+        8
+    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    return planted
+
+
+def measure_recall(spark, corpus_dir: str, planted: dict) -> dict:
+    """Run the two LSH dedup heads on the planted corpus and return
+    per-tier measured recall (found planted pairs / planted pairs). The
+    membership check filters to the reserved id range first, so the
+    collect is bounded by the planted set size at any corpus scale."""
+    from dbt_tpch_spark.plans import Context, import_all_models
+
+    import_all_models()
+    ctx = Context(spark, corpus_dir)
+    out: dict[str, dict] = {}
+    for query, kind, ca, cb in (
+        ("dedup_embedding_cosine", "cosine", "vec_a", "vec_b"),
+        ("dedup_minhash_lsh", "jaccard", "doc_a", "doc_b"),
+    ):
+        found = {
+            (r[ca], r[cb])
+            for r in ctx.ref(query)
+            .filter(F.col(ca) >= RECALL_ID_BASE)
+            .select(ca, cb)
+            .collect()
+        }
+        out[query] = {
+            tier: round(
+                sum((a, b) in found for a, b in pairs) / len(pairs), 4
+            )
+            for tier, pairs in planted[kind].items()
+        }
+    return out
+
+
 def _stage_totals(spark) -> tuple[int, int]:
     """(executor CPU ns, shuffle write bytes) summed over retained stages;
     per-query deltas isolate one query's cost."""
@@ -215,8 +396,17 @@ def main() -> None:
         default=None,
         help="comma-separated subset of PROBE_QUERIES (default: all)",
     )
+    ap.add_argument(
+        "--skip-recall",
+        action="store_true",
+        help="cost leg only (e.g. quick mid-point corroboration runs)",
+    )
     args = ap.parse_args()
     probe_names = args.queries.split(",") if args.queries else PROBE_QUERIES
+    # label derived from the actual replica count (round-11 ADVICE: the 4x
+    # mid-point used to store its results under a literal "10x" key)
+    scaled = f"{args.replicas}x"
+    gate = max_ok_ratio(args.replicas)
 
     from dbt_tpch_spark.session import get_spark
 
@@ -228,7 +418,7 @@ def main() -> None:
 
     dirs = {}
     build_secs = {}
-    for label, reps in (("1x", 1), ("10x", args.replicas)):
+    for label, reps in (("1x", 1), (scaled, args.replicas)):
         d = os.path.join(args.workdir, label)
         t0 = time.perf_counter()
         build_scaled_corpus(spark, args.src, d, reps)
@@ -238,7 +428,7 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name in probe_names:
         results[name] = {}
-        for label in ("1x", "10x"):
+        for label in ("1x", scaled):
             samples = [
                 _run_query(spark, dirs[label], name) for _ in range(args.runs)
             ]
@@ -248,18 +438,18 @@ def main() -> None:
                 "wall_samples": [s["wall_sec"] for s in samples],
             }
         w1 = results[name]["1x"]["wall_sec"]
-        w10 = results[name]["10x"]["wall_sec"]
+        w10 = results[name][scaled]["wall_sec"]
         ratio = round(w10 / w1, 2) if w1 > 0 else None
         results[name]["wall_ratio"] = ratio
-        # measured scaling exponent: wall ~ N^e  =>  e = log(ratio)/log(10)
+        # measured scaling exponent: wall ~ N^e  =>  e = log(ratio)/log(N)
         results[name]["exponent"] = (
             round(math.log(ratio) / math.log(args.replicas), 3)
             if ratio and ratio > 0
             else None
         )
-        results[name]["superlinear"] = bool(ratio and ratio > MAX_OK_RATIO)
+        results[name]["superlinear"] = bool(ratio and ratio > gate)
         c1 = results[name]["1x"]["shuffle_write_mb"]
-        c10 = results[name]["10x"]["shuffle_write_mb"]
+        c10 = results[name][scaled]["shuffle_write_mb"]
         results[name]["shuffle_ratio"] = round(c10 / c1, 2) if c1 else None
         print(
             f"{name}: {w1:.2f}s -> {w10:.2f}s (x{ratio}), "
@@ -267,17 +457,42 @@ def main() -> None:
             flush=True,
         )
 
+    recall: dict = {}
+    recall_below_floor: list[str] = []
+    if not args.skip_recall:
+        for label in ("1x", scaled):
+            rdir = os.path.join(args.workdir, f"recall_{label}")
+            planted = plant_recall_fixtures(spark, dirs[label], rdir)
+            t0 = time.perf_counter()
+            measured = measure_recall(spark, rdir, planted)
+            for q, tiers in measured.items():
+                recall.setdefault(q, {})[label] = tiers
+                recall_below_floor.extend(
+                    f"{q}@{label}:{tier}={r}"
+                    for tier, r in tiers.items()
+                    if r < RECALL_FLOOR
+                )
+            print(
+                f"recall@{label}: {measured} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+        recall["pairs_per_tier"] = RECALL_PAIRS_PER_TIER
+        recall["floor"] = RECALL_FLOOR
+
     record = {
-        "metric": "scale_probe_10x",
+        "metric": f"scale_probe_{scaled}",
         "replicas": args.replicas,
         "runs_per_point": args.runs,
         "src": args.src,
         "queries": results,
         "corpus_build_sec": build_secs,
-        "max_ok_ratio": MAX_OK_RATIO,
+        "max_ok_ratio": gate,
         "superlinear": sorted(
             n for n, r in results.items() if r.get("superlinear")
         ),
+        "recall": recall,
+        "recall_below_floor": sorted(recall_below_floor),
         "loadavg_before": load0,
         "loadavg_after": _loadavg(),
         "steal_pct": _steal_pct(ticks0, _cpu_ticks()),
@@ -289,7 +504,20 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "SCALE_PROBE_LAST.json"), "w") as fh:
         json.dump(record, fh, indent=1)
-    print(json.dumps({k: record[k] for k in ("metric", "superlinear", "steal_pct", "effective_cores")}))
+    print(
+        json.dumps(
+            {
+                k: record[k]
+                for k in (
+                    "metric",
+                    "superlinear",
+                    "recall_below_floor",
+                    "steal_pct",
+                    "effective_cores",
+                )
+            }
+        )
+    )
     shutil.rmtree(args.workdir, ignore_errors=True)
 
 

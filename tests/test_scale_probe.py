@@ -190,3 +190,96 @@ def test_replica_cap_fails_loudly(spark, sf_dir, tmp_path):
         scale_probe.build_scaled_corpus(
             spark, sf_dir, str(tmp_path / "x"), replicas=65
         )
+
+
+# --------------------------------------------------------------------------
+# recall leg (round 11): the planted fixtures must hit their similarity
+# tiers EXACTLY, or the measured recall numbers grade a different workload
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def recall_corpus(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("recall1x"))
+    planted = scale_probe.plant_recall_fixtures(spark, sf_dir, out)
+    return out, planted
+
+
+def test_planted_embedding_pairs_hit_target_cosines(spark, recall_corpus):
+    import numpy as np
+
+    out, planted = recall_corpus
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{out}/embeddings.parquet")
+        .filter(F.col("vec_id") >= scale_probe.RECALL_ID_BASE)
+        .collect()
+    }
+    n_pairs = 0
+    for tier, pairs in planted["cosine"].items():
+        target = float(tier)
+        for a, b in pairs:
+            va, vb = emb[a], emb[b]
+            cos = va.dot(vb) / (
+                np.linalg.norm(va) * np.linalg.norm(vb)
+            )
+            # float32 storage rounds the exact construction
+            assert abs(cos - target) < 5e-4, (tier, a, b, cos)
+            n_pairs += 1
+    assert n_pairs == len(scale_probe.RECALL_COSINE_TIERS) * (
+        scale_probe.RECALL_PAIRS_PER_TIER
+    )
+
+
+def test_planted_document_pairs_hit_target_jaccards(spark, recall_corpus):
+    out, planted = recall_corpus
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/documents.parquet")
+        .filter(F.col("doc_id") >= scale_probe.RECALL_ID_BASE)
+        .collect()
+    }
+
+    def shingles(text):
+        toks = text.lower().split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    for tier, pairs in planted["jaccard"].items():
+        target = float(tier)
+        for a, b in pairs:
+            sa, sb = shingles(docs[a]), shingles(docs[b])
+            jac = len(sa & sb) / len(sa | sb)
+            assert abs(jac - target) < 1e-6, (tier, a, b, jac)
+
+
+def test_planted_ids_are_disjoint_from_corpus(spark, sf_dir, recall_corpus):
+    out, planted = recall_corpus
+    base_max_vec = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .agg(F.max("vec_id"))
+        .first()[0]
+    )
+    base_max_doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.max("doc_id"))
+        .first()[0]
+    )
+    assert scale_probe.RECALL_ID_BASE > max(base_max_vec, base_max_doc)
+    # and the non-planted tables are shared, not copied
+    import os
+
+    assert os.path.islink(f"{out}/orders.parquet")
+
+
+def test_measured_recall_meets_floor_on_planted_corpus(spark, recall_corpus):
+    """End-to-end: both LSH dedup heads must find >= RECALL_FLOOR of the
+    planted pairs in every tier, and the exact-duplicate Jaccard tier must
+    be found in full (identical signatures collide at any band width)."""
+    out, planted = recall_corpus
+    measured = scale_probe.measure_recall(spark, out, planted)
+    for q, tiers in measured.items():
+        for tier, r in tiers.items():
+            assert r >= scale_probe.RECALL_FLOOR, (q, tier, r)
+    assert measured["dedup_minhash_lsh"]["1.0"] == 1.0
