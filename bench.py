@@ -381,7 +381,17 @@ def main() -> None:
             # (a host burst inflates one sample, not both) and record both
             if name in best and elapsed > RERUN_FACTOR * best[name][0]:
                 cpu_mid = cpu_after
+                # re-snapshot ticks around the rerun: queries_steal_pct must
+                # describe the ACCEPTED sample — if the rerun's wall replaces
+                # the first one, the first sample's steal would mislabel
+                # exactly the queries where attribution matters (r11 ADVICE)
+                rerun_ticks = _cpu_ticks()
                 second = run_once(name)
+                rerun_steal = (
+                    _steal_pct(rerun_ticks, _cpu_ticks())
+                    if rerun_ticks is not None
+                    else None
+                )
                 cpu_after = _cpu_total_ns(spark)
                 if second is None:
                     # the FIRST sample succeeded — a failed re-measure is a
@@ -399,6 +409,8 @@ def main() -> None:
                     )
                     if second < elapsed:
                         elapsed, cpu_sec = second, cpu2
+                        if rerun_steal is not None:
+                            query_steal[name] = rerun_steal
                     if elapsed > RERUN_FACTOR * best[name][0]:
                         # PERSISTENT >2x: the auto-rerun did not absorb it,
                         # so don't silently accept the number — record the

@@ -329,7 +329,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of a local-only os.path.isdir (round-9 ADVICE): under a directory
     # layout the leaves live BELOW events.parquet/, under the single-file
     # corpus the sole leaf IS events.parquet.
-    if any("/events.parquet/" in f for f in probe.inputFiles()):
+    leaf_files = probe.inputFiles()
+    if not leaf_files:
+        # an empty/just-truncated table resolves ZERO leaf files — falling
+        # through to the glob branch would silently stream 0 rows (the exact
+        # failure mode the round-9 fix addressed); fail loudly instead
+        # (round-11 ADVICE)
+        raise ValueError(
+            f"read_events_stream: {base} resolves no parquet leaf files — "
+            "empty or truncated events table; refusing to stream 0 rows"
+        )
+    if any("/events.parquet/" in f for f in leaf_files):
         # multi-file table: stream the directory itself
         raw = reader.parquet(base)
     else:
