@@ -162,6 +162,8 @@ _PRIORITY: tuple[str, ...] = (
     # round-10 addition (VERDICT r9 #6): the production multi-batch ingest
     # shape, promoted from pytest-only to an oracle-checked query
     "dedup_multibatch_txn",
+    # round-11 addition: b-bit signature compaction estimator (Li & König)
+    "dedup_bbit_minhash",
 )
 
 

@@ -282,6 +282,9 @@ HEADLINE = [
     # TxnTable commits + per-batch incremental verify — the wall is the
     # WHOLE ingest cycle including index persistence, deliberately)
     "dedup_multibatch_txn",
+    # round-11 addition: b-bit signature compaction estimator (no new
+    # pair stage — rides the LSH candidates; the cost is two sig joins)
+    "dedup_bbit_minhash",
 ]
 
 #: the round-2 headline set (first 20 entries) — reported as a separate

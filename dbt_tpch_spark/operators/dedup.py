@@ -572,20 +572,30 @@ WHERE jaccard >= {JACCARD_THRESHOLD}""",
 # --------------------------------------------------------------------------
 
 
+def minhash_sig_rows(docs_df, n_parts: int = 32):
+    """``(doc_id, mh0..mh{K-1})`` full MinHash signatures for a raw
+    documents frame — the shared feedstock of the band split
+    (:func:`lsh_band_rows`) and the b-bit compaction
+    (:func:`dedup_bbit_minhash`). Same 3-gram-shingle / Carter-Wegman
+    conventions as ``dedup_minhash_lsh``."""
+    toks = docs_df.select(
+        "doc_id", F.split(norm_text_col(), " ").alias("toks")
+    ).repartition(n_parts, "doc_id")
+    return (
+        toks.select("doc_id", shingle_col(3).alias("words"))
+        .selectExpr("doc_id", "transform(words, w -> md5(w)) AS hs")
+        .selectExpr("doc_id", f"{hashpair_spark()} AS hp")
+        .selectExpr("doc_id", *minhash_exprs())
+    )
+
+
 def lsh_band_rows(docs_df, n_parts: int = 32):
     """``(doc_id, band_idx, band_hash)`` LSH band rows for a raw documents
     frame — the payload the incremental index persists per ingest batch.
     Same signature conventions (3-gram shingles, MinHash K, band split) as
     ``dedup_minhash_lsh``."""
-    toks = docs_df.select(
-        "doc_id", F.split(norm_text_col(), " ").alias("toks")
-    ).repartition(n_parts, "doc_id")
-    sigs = (
-        toks.select("doc_id", shingle_col(3).alias("words"))
-        .selectExpr("doc_id", "transform(words, w -> md5(w)) AS hs")
-        .selectExpr("doc_id", f"{hashpair_spark()} AS hp")
-        .selectExpr("doc_id", *minhash_exprs())
-        .selectExpr("doc_id", *band_exprs())
+    sigs = minhash_sig_rows(docs_df, n_parts).selectExpr(
+        "doc_id", *band_exprs()
     )
     return sigs.select(
         "doc_id",
@@ -896,6 +906,127 @@ oracle(
     union_size,
     jaccard
 FROM dedup_minhash_lsh""",
+)
+
+
+# --------------------------------------------------------------------------
+# b-bit MinHash (Li & König, WWW'10)
+# --------------------------------------------------------------------------
+
+#: bits kept per MinHash value in the compacted signature. At 100 TB the
+#: signature table is itself TB-scale (K x 4 bytes per doc); keeping only
+#: the lowest BBIT_B bits cuts signature storage 16x (32 -> 2 bits per
+#: hash) at a quantified variance cost — the Li & König estimator below
+#: unbiases the match fraction for random collisions.
+BBIT_B = 2
+_BBIT_MOD = 2**BBIT_B
+
+
+@model("dedup_bbit_minhash", layer="operators", materialization="view")
+def dedup_bbit_minhash(ctx):
+    """b-bit MinHash Jaccard estimation over the verified near-dup pairs:
+    the storage-compacted form of the signature index (Li & König,
+    WWW'10 — b-bit minwise hashing). Each of the K=16 MinHash values
+    keeps only its lowest BBIT_B bits; for a pair, the match fraction M
+    over the K compacted values estimates Jaccard via the
+    large-domain correction  J ≈ (M - C) / (1 - C),  C = 2^-b  (random
+    low-bit collisions contribute C even at J=0). Emitted per verified
+    pair next to the exact Jaccard so the estimator's error is
+    measurable on real data — the report that justifies (or rejects)
+    deploying 2-bit signatures at a scale where the index itself is
+    TB-sized.
+
+    Scale shape: the pair set is the already-bounded LSH output; the
+    signature frame is one corpus projection; two hash joins on doc id.
+    No new pair stage — reuses dedup_minhash_lsh's candidates."""
+    pairs = ctx.ref("dedup_minhash_lsh").select("doc_a", "doc_b", "jaccard")
+    sigs = minhash_sig_rows(ctx.source("documents"), _doc_parallelism(ctx))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"ma{i}") for i in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"mb{i}") for i in range(MINHASH_K)],
+    )
+    match_cnt = F.expr(
+        " + ".join(
+            f"CASE WHEN ma{i} % {_BBIT_MOD} = mb{i} % {_BBIT_MOD} "
+            f"THEN 1 ELSE 0 END"
+            for i in range(MINHASH_K)
+        )
+    ).cast("long")
+    joined = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("bbit_matches", match_cnt)
+    )
+    # (M - C)/(1 - C) with M = matches/K, C = 1/2^b reduces to one exact
+    # integer-fed division: (matches - K*C) / (K - K*C) — identical
+    # arithmetic text on both engines, so the 6dp round is bit-stable
+    k_c = MINHASH_K // _BBIT_MOD  # K * 2^-b, exact for K=16, b<=4
+    est = F.greatest(
+        F.lit(0.0),
+        (F.col("bbit_matches") - F.lit(k_c)) / F.lit(float(MINHASH_K - k_c)),
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "bbit_matches",
+        rnd(F.col("bbit_matches") / F.lit(float(MINHASH_K)), 6).alias(
+            "bbit_match_fraction"
+        ),
+        rnd(est, 6).alias("jaccard_bbit"),
+        rnd(F.abs(rnd(est, 6) - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
+def _bbit_oracle() -> str:
+    k_c = MINHASH_K // _BBIT_MOD
+    match_cnt = " + ".join(
+        f"CASE WHEN a.mh{i} % {_BBIT_MOD} = b.mh{i} % {_BBIT_MOD} "
+        f"THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K)
+    )
+    est = f"GREATEST(0.0, (bbit_matches - {k_c}) / {float(MINHASH_K - k_c)})"
+    return f"""WITH toks AS (
+    SELECT doc_id, {_SHINGLE3_DUCK} AS words FROM documents
+),
+hashed AS (
+    SELECT doc_id, list_transform(words, w -> md5(w)) AS hs FROM toks
+),
+paired AS (
+    SELECT doc_id, {hashpair_duck()} AS hp FROM hashed
+),
+sigs AS (
+    SELECT doc_id, {', '.join(minhash_exprs_duck())} FROM paired
+),
+matched AS (
+    SELECT
+        p.doc_a,
+        p.doc_b,
+        p.jaccard,
+        CAST({match_cnt} AS BIGINT) AS bbit_matches
+    FROM dedup_minhash_lsh p
+    JOIN sigs a ON p.doc_a = a.doc_id
+    JOIN sigs b ON p.doc_b = b.doc_id
+)
+SELECT
+    doc_a,
+    doc_b,
+    jaccard,
+    bbit_matches,
+    {rnd_sql(f'bbit_matches / {float(MINHASH_K)}', 6)} AS bbit_match_fraction,
+    {rnd_sql(est, 6)} AS jaccard_bbit,
+    {rnd_sql(f'ABS({rnd_sql(est, 6)} - jaccard)', 6)} AS abs_err
+FROM matched"""
+
+
+oracle(
+    "dedup_bbit_minhash",
+    ("documents", "dedup_minhash_lsh"),
+    _bbit_oracle(),
 )
 
 
@@ -1528,6 +1659,17 @@ oracle(
 )
 
 
+#: portable SQL (identical text both engines) for the width emb_bits_for
+#: would pick at the corpus size carried in ``n_vectors`` — the in-plan
+#: twin of the Python formula, pinned against it in
+#: tests/test_operator_invariants.py.
+_ADAPTIVE_BITS_SQL = (
+    f"CASE WHEN n_vectors <= {EMB_BITS_BASE_N} THEN {EMB_LSH_BITS} "
+    f"ELSE {EMB_LSH_BITS} + CAST(CEIL(LOG2(n_vectors / "
+    f"{EMB_BITS_BASE_N}.0)) AS INT) END"
+)
+
+
 @model("emb_lsh_band_stats", layer="operators", materialization="view")
 def emb_lsh_band_stats(ctx):
     """Cost/recall planner for the banded sign-LSH dedup path: per band,
@@ -1542,7 +1684,15 @@ def emb_lsh_band_stats(ctx):
 
     Scale shape: one corpus projection + two bounded aggregations (bucket
     grain, then the 8-row band grain); the recall formulas are constant
-    expressions."""
+    expressions.
+
+    The census itself is taken at the BASE width (the fixed family the
+    static config commits to); ``adaptive_bits`` reports the width
+    :func:`emb_bits_for` would actually use for this corpus — derived
+    in-plan from the per-band vector count (every vector appears once
+    per band, so n_vectors IS the corpus size; no extra job), keeping the
+    planner honest about the production hash under the round-10 adaptive
+    widening."""
     e = ctx.source("embeddings").repartition(_doc_parallelism(ctx), "vec_id")
     bands = e.selectExpr(
         "vec_id",
@@ -1573,6 +1723,7 @@ def emb_lsh_band_stats(ctx):
         "n_vectors",
         "max_bucket_size",
         "candidate_pairs",
+        F.expr(_ADAPTIVE_BITS_SQL).cast("int").alias("adaptive_bits"),
         rnd(F.expr(recall.format(c=0.5)), 6).alias("config_recall_at_05"),
         rnd(F.expr(recall.format(c=0.9)), 6).alias("config_recall_at_09"),
     )
@@ -1601,17 +1752,27 @@ bands_all AS (
 sizes AS (
     SELECT band_idx, band_hash, CAST(COUNT(*) AS BIGINT) AS s
     FROM bands_all GROUP BY 1, 2
+),
+grouped AS (
+    SELECT
+        band_idx,
+        CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        CAST(SUM(s) AS BIGINT) AS n_vectors,
+        CAST(MAX(s) AS BIGINT) AS max_bucket_size,
+        CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS candidate_pairs
+    FROM sizes
+    GROUP BY 1
 )
 SELECT
     band_idx,
-    CAST(COUNT(*) AS BIGINT) AS n_buckets,
-    CAST(SUM(s) AS BIGINT) AS n_vectors,
-    CAST(MAX(s) AS BIGINT) AS max_bucket_size,
-    CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS candidate_pairs,
+    n_buckets,
+    n_vectors,
+    max_bucket_size,
+    candidate_pairs,
+    CAST({_ADAPTIVE_BITS_SQL} AS INT) AS adaptive_bits,
     {rnd_sql(recall.format(c=0.5), 6)} AS config_recall_at_05,
     {rnd_sql(recall.format(c=0.9), 6)} AS config_recall_at_09
-FROM sizes
-GROUP BY 1"""
+FROM grouped"""
 
 
 oracle("emb_lsh_band_stats", ("embeddings",), _emb_band_stats_oracle())

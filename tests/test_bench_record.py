@@ -45,10 +45,13 @@ def _record(n_queries: int, n_error_queries: int, n_setup_errors: int) -> dict:
 
 
 def test_healthy_round_fits_budget_untruncated():
-    # 31 = the round-9 headline count; per-query walls must survive intact
-    c = bench.compact_record(_record(31, 0, 0), "/x/BENCH_LAST_FULL.json")
+    # pin the LIVE headline count (34 at round 11) so growth that would
+    # overflow the driver's stdout tail capture fails here first
+    n = len(bench.HEADLINE)
+    assert n >= 31
+    c = bench.compact_record(_record(n, 0, 0), "/x/BENCH_LAST_FULL.json")
     assert len(json.dumps(c)) <= bench._COMPACT_BUDGET
-    assert "queries" in c and len(c["queries"]) == 31
+    assert "queries" in c and len(c["queries"]) == n
     assert "error_queries" not in c
 
 

@@ -2028,6 +2028,25 @@ def test_emb_bits_for_is_log_adaptive():
     assert dd.emb_bits_for(20000) == dd.EMB_LSH_BITS + 4
 
 
+def test_adaptive_bits_sql_matches_python_formula():
+    """emb_lsh_band_stats' in-plan adaptive_bits expression (identical
+    text both engines) must replay emb_bits_for at every probe point."""
+    import duckdb
+
+    import dbt_tpch_spark.operators.dedup as dd
+
+    con = duckdb.connect()
+    try:
+        for n in (1, 100, 2047, 2048, 2049, 4096, 4097, 12020, 20000, 10**6):
+            got = con.execute(
+                f"SELECT {dd._ADAPTIVE_BITS_SQL} FROM "
+                f"(SELECT CAST({n} AS BIGINT) AS n_vectors)"
+            ).fetchone()[0]
+            assert got == dd.emb_bits_for(n), (n, got)
+    finally:
+        con.close()
+
+
 def test_emb_dedup_band_width_adapts(spark, sf_dir, tmp_path):
     """Round-10 scale probe finding: at the fixed 4-bit width a corpus
     past ~8k vectors saturates every 16-value band domain, ALL buckets
@@ -2084,6 +2103,52 @@ def test_emb_dedup_band_width_adapts(spark, sf_dir, tmp_path):
         "if it stops losing them, the saturation premise changed — "
         "re-derive EMB_BITS_BASE_N"
     )
+
+
+def test_bbit_minhash_estimator_properties(spark, sf_dir, tmp_path):
+    """b-bit compaction invariants (Li & König): an exact duplicate pair
+    matches on ALL K compacted values (identical signatures survive any
+    bit truncation), the estimator is clamped to [0, 1], and the planted
+    fixture round-trips check_query parity — the non-vacuity guard for a
+    query whose corpus output can be small."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from dbt_tpch_spark.operators.dedup import MINHASH_K
+    from dbt_tpch_spark.parity import check_query
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [dup, dup, near, "one two three four five six"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(dup), len(dup), len(near), 27],
+        }
+    )
+    d = _mini_corpus(tmp_path, sf_dir, documents=docs)
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in Context(spark, d).ref("dedup_bbit_minhash").collect()
+    }
+    assert (1, 2) in rows  # the exact dup pair survives LSH + verify
+    exact = rows[(1, 2)]
+    assert exact["bbit_matches"] == MINHASH_K
+    assert exact["jaccard_bbit"] == 1.0
+    assert exact["abs_err"] == 0.0
+    for r in rows.values():
+        assert 0.0 <= r["jaccard_bbit"] <= 1.0
+        assert 0.0 <= r["bbit_match_fraction"] <= 1.0
+        assert 0 <= r["bbit_matches"] <= MINHASH_K
+    rep = check_query(
+        spark,
+        d,
+        entrymod.queries()["dedup_bbit_minhash"],
+        entrymod.oracle_sql()["dedup_bbit_minhash"],
+    )
+    assert rep["rows_match"] and rep["cols_match"] and rep["values_match"], rep
 
 
 def test_emb_bits_duck_matches_python_formula():

@@ -67,6 +67,8 @@ SHUFFLE_BUDGETS = {
     # (the band joins run as side jobs); the query plan is a union of
     # checkpointed scans — 0 visible exchanges
     "dedup_multibatch_txn": 0,
+    # LSH pair DAG (7) + signature projection repartition + 2 sig joins
+    "dedup_bbit_minhash": 10,
     # first-event agg + (user, week) distinct + user join + triangle agg
     "events_retention_triangle": 5,
     # per-user partitioned LAG + bounded |types|^2 agg + broadcast margins
