@@ -164,6 +164,12 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_multibatch_txn",
     # round-11 addition: b-bit signature compaction estimator (Li & König)
     "dedup_bbit_minhash",
+    # round-11 addition: positional cross-doc duplicate spans (ExactSubstr
+    # semantics re-expressed relationally — Lee et al. 2022)
+    "docs_dup_spans",
+    # round-11 addition: the stream-STATIC join witness (seventh
+    # readStream witness; the join class the interval witness misses)
+    "events_stream_enrich",
 )
 
 

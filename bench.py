@@ -285,6 +285,9 @@ HEADLINE = [
     # round-11 addition: b-bit signature compaction estimator (no new
     # pair stage — rides the LSH candidates; the cost is two sig joins)
     "dedup_bbit_minhash",
+    # round-11 addition: positional duplicate spans — the span-level dedup
+    # signal (no pair stage; shingle census + doc_id-local islands)
+    "docs_dup_spans",
 ]
 
 #: the round-2 headline set (first 20 entries) — reported as a separate

@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 
 from dbt_tpch_spark.functions import rnd
 from dbt_tpch_spark.models.oracle import oracle, rnd_sql
-from dbt_tpch_spark.operators.dedup import _doc_parallelism, _hex32
+from dbt_tpch_spark.operators.dedup import (
+    _NORM_TEXT_DUCK,
+    _doc_parallelism,
+    _hex32,
+)
 from dbt_tpch_spark.plans import model
 
 #: boilerplate census: n-gram width, min distinct docs to call an n-gram
@@ -411,4 +415,167 @@ SELECT
 FROM shared s
 JOIN per_doc pa ON s.doc_a = pa.doc_id
 JOIN per_doc pb ON s.doc_b = pb.doc_id""",
+)
+
+
+# --------------------------------------------------------------------------
+# cross-document duplicate spans (ExactSubstr-style, Lee et al. 2022)
+# --------------------------------------------------------------------------
+
+#: duplicate-span detection: shingle width (tokens) and the minimum
+#: merged-span length worth reporting. K=8 keeps chance collisions
+#: negligible even on a small-vocabulary corpus (the winnowing sizing
+#: note above: the k-gram keyspace is vocab^k), and MIN=12 matches the
+#: winnowing guarantee length (WINNOW_K + WINNOW_W - 1) so the two
+#: operators agree on what "a real shared run" means.
+DUPSPAN_K = 8
+DUPSPAN_MIN_TOKENS = 12
+
+
+@model("docs_dup_spans", layer="operators", materialization="view")
+def docs_dup_spans(ctx):
+    """Per-document MAXIMAL cross-document duplicate spans — the
+    position-aware complement of docs_boilerplate_ngrams (which reports
+    only the distinct-shingle fraction) and of the winnowing pair
+    reporter (which samples fingerprints): every K-token shingle that
+    appears in >= 2 distinct documents marks its position duplicated,
+    and consecutive duplicated positions (gap <= K, i.e. overlapping or
+    adjacent covered-token ranges) merge into maximal spans. Reported
+    per document: span count, EXACT union token coverage (merged spans
+    are disjoint by construction, so the sum never double-counts),
+    longest span, and coverage fraction — the span-level dedup signal
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022), whose suffix-array ExactSubstr this re-expresses
+    as two relational passes.
+
+    Scale: NO pair stage anywhere — unlike the Jaccard/winnowing
+    reporters this never forms (doc_a, doc_b) rows, so output is bounded
+    by input positions and the plan is strictly linear in corpus size.
+    Shuffles: the shingle census (groupBy sh, two-phase distinct-count)
+    and — only at scale — the census join (hint-free: AQE broadcasts the
+    df-bounded duplicate-shingle set while small, demotes to a shuffle
+    join when it grows); the islands window and both per-doc aggregates
+    are satisfied by tokens_df's hash(doc_id) partitioning (subset
+    rule), so nothing exploded ever re-shuffles on the broadcast path.
+    Hot shingles need no valve: a position row matches at most one
+    census row, so the join fan-out is 1:1 regardless of how many
+    documents share a shingle."""
+    from pyspark.sql.window import Window
+
+    from dbt_tpch_spark.operators.dedup import shingle_col, tokens_df
+
+    pos = (
+        tokens_df(ctx)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.posexplode(shingle_col(DUPSPAN_K, distinct=False)).alias(
+                "pos0", "sh_str"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5("sh_str").alias("sh"),
+        )
+    )
+    dup = (
+        pos.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("sh")
+    )
+    dpos = pos.join(dup, "sh").select("doc_id", "n_tokens", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= DUPSPAN_K, F.lit(0)
+    ).otherwise(F.lit(1))
+    spans = (
+        dpos.withColumn("brk", brk)
+        .withColumn(
+            "island",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "n_tokens", "island")
+        .agg(
+            (F.max("pos") - F.min("pos") + DUPSPAN_K)
+            .cast("long")
+            .alias("span_tokens")
+        )
+        .filter(F.col("span_tokens") >= DUPSPAN_MIN_TOKENS)
+    )
+    frac = F.col("dup_tokens").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+            F.max("span_tokens").cast("long").alias("max_span_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "dup_tokens",
+            "max_span_tokens",
+            rnd(frac, 6).alias("dup_frac"),
+        )
+    )
+
+
+oracle(
+    "docs_dup_spans",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT doc_id, string_split({_NORM_TEXT_DUCK}, ' ') AS t FROM documents
+),
+base AS (
+    SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+           UNNEST(range(1, len(t) - {DUPSPAN_K} + 2)) AS pos
+    FROM toks WHERE len(t) >= {DUPSPAN_K}
+),
+pos AS (
+    SELECT doc_id, n_tokens, pos,
+           md5(array_to_string(
+               list_slice(t, pos, pos + {DUPSPAN_K} - 1), ' ')) AS sh
+    FROM base
+),
+dup AS (
+    SELECT sh FROM pos GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dpos AS (
+    SELECT p.doc_id, p.n_tokens, p.pos FROM pos p JOIN dup USING (sh)
+),
+isl AS (
+    SELECT doc_id, n_tokens, pos,
+           CASE WHEN pos - lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) <= {DUPSPAN_K}
+                THEN 0 ELSE 1 END AS brk
+    FROM dpos
+),
+isl2 AS (
+    SELECT doc_id, n_tokens, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM isl
+),
+spans AS (
+    SELECT doc_id, n_tokens, island,
+           CAST(MAX(pos) - MIN(pos) + {DUPSPAN_K} AS BIGINT) AS span_tokens
+    FROM isl2 GROUP BY 1, 2, 3
+    HAVING MAX(pos) - MIN(pos) + {DUPSPAN_K} >= {DUPSPAN_MIN_TOKENS}
+)
+SELECT
+    doc_id,
+    n_tokens,
+    CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+    CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+    CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+    {rnd_sql('CAST(SUM(span_tokens) AS DOUBLE) / CAST(n_tokens AS DOUBLE)', 6)}
+        AS dup_frac
+FROM spans
+GROUP BY doc_id, n_tokens""",
 )

@@ -1201,3 +1201,64 @@ oracle(
 FROM events
 GROUP BY event_id""",
 )
+
+
+@model("events_stream_enrich", layer="streaming", materialization="view")
+def events_stream_enrich(ctx):
+    """TRUE stream-STATIC join surfaced as an oracle-checked query — the
+    streaming join class the interval witness
+    (events_stream_clicks_before_errors) does not cover: a readStream
+    fact enriched by a static dimension (the customer -> nation
+    flattening), then a complete-mode (nation, event_type) aggregate
+    drained through a memory sink. The static side holds NO state and
+    needs no watermark — Spark plans it as an ordinary batch relation
+    inside every micro-batch (broadcast at dim size; at 100 TB of
+    STREAM the dim side is still dim-sized, which is exactly why this
+    shape scales where a stream-stream join on the same keys would
+    not); only the aggregate keeps (nation x type)-bounded panes in the
+    state store. With an availableNow static source every row arrives
+    in-watermark, so the drained result provably equals the batch
+    join+aggregate — the oracle."""
+    e = read_events_stream(ctx.spark, ctx.sf_dir)
+    cust = ctx.source("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = ctx.source("nation").select("n_nationkey", "n_name")
+    dim = cust.join(
+        nat, cust.c_nationkey == nat.n_nationkey
+    ).select("user_id", "n_name")
+    sdf = (
+        e.join(dim, "user_id")
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+    name = f"stream_enrich_drain_{next(_STREAM_DRAIN_SEQ)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ctx.spark.table(name).select(
+        "n_name", "event_type", "n_events", "total_value"
+    )
+
+
+oracle(
+    "events_stream_enrich",
+    ("events", "customer", "nation"),
+    f"""SELECT
+    n_name,
+    event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    {dsum_sql('value')} AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2""",
+)

@@ -81,6 +81,9 @@ PROBE_QUERIES = [
     "doc_repetition_stats",
     "embeddings_pca_variance",
     "dedup_multibatch_txn",
+    # round-11 new operator: positional dup spans claims NO pair stage
+    # (strictly linear) — measure the claim like the others
+    "docs_dup_spans",
 ]
 
 

@@ -45,11 +45,17 @@ def _record(n_queries: int, n_error_queries: int, n_setup_errors: int) -> dict:
 
 
 def test_healthy_round_fits_budget_untruncated():
-    # pin the LIVE headline count (34 at round 11) so growth that would
-    # overflow the driver's stdout tail capture fails here first
+    # pin the LIVE headline NAMES (35 at round 11) so growth that would
+    # overflow the driver's stdout tail capture fails here first. Real
+    # names, not synthetic ones: the budget is spent on actual name
+    # bytes, so this is the enforcement point for "keep headline names
+    # short" — at 35 queries the old 22-char synthetic names would
+    # overflow while the live set fits with ~200 B headroom.
     n = len(bench.HEADLINE)
     assert n >= 31
-    c = bench.compact_record(_record(n, 0, 0), "/x/BENCH_LAST_FULL.json")
+    rec = _record(n, 0, 0)
+    rec["queries"] = {name: 12.345 for name in bench.HEADLINE}
+    c = bench.compact_record(rec, "/x/BENCH_LAST_FULL.json")
     assert len(json.dumps(c)) <= bench._COMPACT_BUDGET
     assert "queries" in c and len(c["queries"]) == n
     assert "error_queries" not in c

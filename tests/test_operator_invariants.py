@@ -2227,3 +2227,85 @@ def test_emb_cosine_oracle_tracks_adaptive_width(spark, sf_dir, tmp_path):
     assert rep["rows_match"] and rep["cols_match"] and rep["values_match"], rep
     # the gate is non-vacuous: the planted exact dups are in the output
     assert rep["rows_spark"] >= n_dups, rep
+
+
+def test_dup_spans_merge_filter_and_orientation(tmp_path, spark, sf_dir):
+    """docs_dup_spans boundary semantics on a planted corpus, checked on
+    BOTH engines (the query is empty-output-capable, so its green parity
+    gate is vacuous without planted structure):
+
+    * a 20-token shared run merges into ONE span (13 consecutive dup
+      positions), exact union coverage 20;
+    * two shared runs separated by > K unique tokens stay TWO spans;
+    * a positional gap of exactly K MERGES (adjacent covered ranges):
+      doc 7 reports one 16-token A+B span while doc 8 — the SAME shared
+      material split by one unique token (gap K+1) — reports nothing,
+      because each side alone is an 8-token span below the 12 floor;
+    * an 11-token shared run (< DUPSPAN_MIN_TOKENS) is filtered;
+    * a WITHIN-doc-only repeated shingle never marks a position (the
+      census needs >= 2 distinct doc_ids)."""
+    import math
+
+    import pandas as pd
+
+    from dbt_tpch_spark.parity import check_query
+    from __spark_entry__ import oracle_sql, queries
+
+    def toks(*parts):
+        out = []
+        for p in parts:
+            out.extend(p)
+        return " ".join(out)
+
+    R = [f"r{i}" for i in range(20)]
+    A = [f"a{i}" for i in range(12)]
+    B = [f"b{i}" for i in range(13)]
+    C = [f"c{i}" for i in range(11)]
+    E = [f"e{i}" for i in range(8)]
+    A2 = [f"p{i}" for i in range(8)]
+    B2 = [f"q{i}" for i in range(8)]
+    u = lambda d, n: [f"u{d}x{i}" for i in range(n)]  # noqa: E731
+
+    texts = {
+        1: toks(u(1, 5), R, u(1, 5)),        # one 20-token span
+        2: toks(R, u(2, 10)),                # one 20-token span
+        3: toks(A, u(3, 9), B),              # two spans: 12 + 13
+        9: toks(B, u(9, 9), A),              # two spans: 13 + 12
+        4: toks(C, u(4, 19)),                # 11 < 12 -> filtered
+        5: toks(u(5, 19), C),                # 11 < 12 -> filtered
+        6: toks(E, u(6, 3), E, u(6, 3)[:3]), # within-doc only -> absent
+        7: toks(u(7, 4), A2, B2, u(7, 4)),   # gap == K merges: 16 tokens
+        8: toks(A2, ["x8only"], B2, u(8, 13)),  # gap K+1: two 8s, filtered
+    }
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * len(texts),
+            "source": ["srcp"] * len(texts),
+            "n_chars": [len(texts[k]) for k in texts],
+        }
+    )
+    d = _mini_corpus(tmp_path, sf_dir, documents=docs)
+    r = check_query(
+        spark, d, queries()["docs_dup_spans"], oracle_sql()["docs_dup_spans"]
+    )
+    assert r["values_match"], r
+
+    rnd6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    ctx = Context(spark, d)
+    rows = {r["doc_id"]: r for r in ctx.ref("docs_dup_spans").collect()}
+    assert set(rows) == {1, 2, 3, 9, 7}
+    for did, (nt, ns, dup, mx) in {
+        1: (30, 1, 20, 20),
+        2: (30, 1, 20, 20),
+        3: (34, 2, 25, 13),
+        9: (34, 2, 25, 13),
+        7: (24, 1, 16, 16),
+    }.items():
+        row = rows[did]
+        assert row["n_tokens"] == nt, (did, row)
+        assert row["n_dup_spans"] == ns, (did, row)
+        assert row["dup_tokens"] == dup, (did, row)
+        assert row["max_span_tokens"] == mx, (did, row)
+        assert abs(row["dup_frac"] - rnd6(dup / nt)) < 2e-6, (did, row)

@@ -190,6 +190,11 @@ SHUFFLE_BUDGETS = {
     "doc_winnow_fingerprints": 0,
     "docs_boilerplate_ngrams": 4,
     "docs_winnow_dups": 5,  # post-materialization plan (fp index checkpoints once)
+    # round 11: positional dup spans — 2 pre-explode doc_id repartitions
+    # (census + probe branch) + the shingle census agg; the dup-set join
+    # is hint-free (AQE broadcast while small) and both islands windows +
+    # both per-doc aggs ride hash(doc_id) exchange-free
+    "docs_dup_spans": 3,
     # map-only scrub scan / one repartition feeding the Arrow audio decode
     "events_props_redaction": 0,
     "multimodal_audio_energy": 1,
