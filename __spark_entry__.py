@@ -170,6 +170,9 @@ _PRIORITY: tuple[str, ...] = (
     # round-11 addition: the stream-STATIC join witness (seventh
     # readStream witness; the join class the interval witness misses)
     "events_stream_enrich",
+    # round-11 addition: the span-excision REWRITE step (ExactSubstr
+    # removal — cut the duplicated span, keep the doc)
+    "docs_excise_spans",
 )
 
 

@@ -288,6 +288,10 @@ HEADLINE = [
     # round-11 addition: positional duplicate spans — the span-level dedup
     # signal (no pair stage; shingle census + doc_id-local islands)
     "docs_dup_spans",
+    # round-11 addition: the excision rewrite (cut the duplicated span,
+    # keep the doc) — census + islands + checkpointed span frame +
+    # left_anti token cut + per-doc reassembly
+    "docs_excise_spans",
 ]
 
 #: the round-2 headline set (first 20 entries) — reported as a separate

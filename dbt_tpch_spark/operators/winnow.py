@@ -579,3 +579,211 @@ SELECT
 FROM spans
 GROUP BY doc_id, n_tokens""",
 )
+
+
+@model("docs_excise_spans", layer="operators", materialization="view")
+def docs_excise_spans(ctx):
+    """The REMOVAL step docs_dup_spans only signals — span-level dedup
+    that rewrites documents instead of dropping them (the ExactSubstr
+    excision of Lee et al. 2022, vs docs_clean_corpus's whole-doc
+    anti-join): every duplicated K-shingle position whose shingle also
+    appears in a SMALLER doc_id is excisable (the minimal holder is the
+    canonical occurrence and keeps it — within-doc repeats of a
+    cross-doc shingle all survive in the canonical doc and all excise
+    elsewhere, a stated doc-granularity simplification of the paper's
+    remove-all-but-one-position policy); excisable positions merge into
+    maximal spans exactly like docs_dup_spans, spans under
+    DUPSPAN_MIN_TOKENS are kept (too short to be evidence of copying),
+    and every token covered by a surviving span is cut. Output: ALL
+    documents (never empty), rewritten text + before/after token counts
+    + spans excised.
+
+    Scale: the census / islands plumbing is docs_dup_spans' (no pair
+    stage, linear); the two additions are both linear too — the removal
+    set is spans exploded to (doc_id, tpos) keys feeding a left_anti
+    equi-join against the token frame (disjoint spans, so no dup keys),
+    and reassembly is one per-doc sort-by-position aggregation riding
+    hash(doc_id). Nothing here is quadratic in corpus size."""
+    from dbt_tpch_spark.operators.dedup import shingle_col, tokens_df
+
+    pos = (
+        tokens_df(ctx)
+        .select(
+            "doc_id",
+            F.posexplode(shingle_col(DUPSPAN_K, distinct=False)).alias(
+                "pos0", "sh_str"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5("sh_str").alias("sh"),
+        )
+    )
+    census = (
+        pos.groupBy("sh")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("sh", "min_doc")
+    )
+    exc = (
+        pos.join(census, "sh")
+        .filter(F.col("doc_id") > F.col("min_doc"))
+        .select("doc_id", "pos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= DUPSPAN_K, F.lit(0)
+    ).otherwise(F.lit(1))
+    spans = (
+        exc.withColumn("brk", brk)
+        .withColumn(
+            "island",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + DUPSPAN_K - 1).alias("span_end"),
+        )
+        .filter(
+            F.col("span_end") - F.col("span_start") + 1
+            >= DUPSPAN_MIN_TOKENS
+        )
+        # two consumers (the removal explode and the per-doc span count)
+        # would each re-run the census+islands subtree — the dominant
+        # cost at scale; the surviving-span frame is tiny (bounded by
+        # excisable dup structure), so materialize it once
+        .localCheckpoint(eager=True)
+    )
+    removed = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("tpos"),
+    )
+    toks = tokens_df(ctx).select(
+        "doc_id",
+        F.posexplode("toks").alias("tpos0", "word"),
+    ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "word")
+    kept = toks.join(removed, ["doc_id", "tpos"], "left_anti")
+    span_counts = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans_excised")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "word"))),
+                lambda s: s.word,
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    before = tokens_df(ctx).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens_before")
+    )
+    return (
+        before.join(rebuilt, "doc_id", "left")
+        .join(span_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            F.coalesce(F.col("n_tokens_after"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_after"),
+            F.coalesce(F.col("n_spans_excised"), F.lit(0))
+            .cast("long")
+            .alias("n_spans_excised"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
+                "cleaned_text"
+            ),
+        )
+    )
+
+
+oracle(
+    "docs_excise_spans",
+    ("documents",),
+    f"""WITH toks AS (
+    SELECT doc_id, string_split({_NORM_TEXT_DUCK}, ' ') AS t FROM documents
+),
+base AS (
+    SELECT doc_id, t, UNNEST(range(1, len(t) - {DUPSPAN_K} + 2)) AS pos
+    FROM toks WHERE len(t) >= {DUPSPAN_K}
+),
+pos AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(
+               list_slice(t, pos, pos + {DUPSPAN_K} - 1), ' ')) AS sh
+    FROM base
+),
+census AS (
+    SELECT sh, MIN(doc_id) AS min_doc FROM pos
+    GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+exc AS (
+    SELECT p.doc_id, p.pos FROM pos p JOIN census c USING (sh)
+    WHERE p.doc_id > c.min_doc
+),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) <= {DUPSPAN_K}
+                THEN 0 ELSE 1 END AS brk
+    FROM exc
+),
+isl2 AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM isl
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) + {DUPSPAN_K} - 1 AS span_end
+    FROM isl2 GROUP BY doc_id, island
+    HAVING MAX(pos) + {DUPSPAN_K} - 1 - MIN(pos) + 1
+           >= {DUPSPAN_MIN_TOKENS}
+),
+removed AS (
+    SELECT doc_id, UNNEST(range(span_start, span_end + 1)) AS tpos
+    FROM spans
+),
+words AS (
+    SELECT doc_id, UNNEST(t) AS word,
+           generate_subscripts(t, 1) AS tpos
+    FROM toks
+),
+kept AS (
+    SELECT w.doc_id, w.tpos, w.word FROM words w
+    WHERE NOT EXISTS (
+        SELECT 1 FROM removed r
+        WHERE r.doc_id = w.doc_id AND r.tpos = w.tpos
+    )
+),
+rebuilt AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_after,
+           string_agg(word, ' ' ORDER BY tpos) AS cleaned_text
+    FROM kept GROUP BY doc_id
+),
+span_counts AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_excised
+    FROM spans GROUP BY doc_id
+)
+SELECT
+    tk.doc_id,
+    CAST(len(tk.t) AS BIGINT) AS n_tokens_before,
+    CAST(COALESCE(r.n_tokens_after, 0) AS BIGINT) AS n_tokens_after,
+    CAST(COALESCE(s.n_spans_excised, 0) AS BIGINT) AS n_spans_excised,
+    COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM toks tk
+LEFT JOIN rebuilt r ON tk.doc_id = r.doc_id
+LEFT JOIN span_counts s ON tk.doc_id = s.doc_id""",
+)

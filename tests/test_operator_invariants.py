@@ -2309,3 +2309,99 @@ def test_dup_spans_merge_filter_and_orientation(tmp_path, spark, sf_dir):
         assert row["dup_tokens"] == dup, (did, row)
         assert row["max_span_tokens"] == mx, (did, row)
         assert abs(row["dup_frac"] - rnd6(dup / nt)) < 2e-6, (did, row)
+
+
+def test_excise_spans_keeps_canonical_and_rewrites_copies(
+    tmp_path, spark, sf_dir
+):
+    """docs_excise_spans excision policy on the dup-spans planted corpus
+    (same fixture as test_dup_spans_merge_filter_and_orientation),
+    parity-checked on both engines:
+
+    * the MINIMAL doc_id holding a shared run is canonical and keeps its
+      text byte-identical (docs 1, 3, 7);
+    * the larger holder excises exactly the shared tokens (doc 2 loses
+      the 20-token run R; doc 9 loses both A and B = 25 tokens, keeping
+      only its 9 fillers);
+    * spans below DUPSPAN_MIN_TOKENS survive in BOTH holders (docs 4/5:
+      an 11-token shared run; doc 8: two 8-token sides split by one
+      unique token) — too short to be excision evidence;
+    * within-doc-only repetition is never excised (doc 6);
+    * the arithmetic invariant n_tokens_after == n_tokens_before - cut
+      holds row-wise, and n_spans_excised == 0 implies text unchanged."""
+    import pandas as pd
+
+    from dbt_tpch_spark.parity import check_query
+    from __spark_entry__ import oracle_sql, queries
+
+    def toks(*parts):
+        out = []
+        for p in parts:
+            out.extend(p)
+        return " ".join(out)
+
+    R = [f"r{i}" for i in range(20)]
+    A = [f"a{i}" for i in range(12)]
+    B = [f"b{i}" for i in range(13)]
+    C = [f"c{i}" for i in range(11)]
+    E = [f"e{i}" for i in range(8)]
+    A2 = [f"p{i}" for i in range(8)]
+    B2 = [f"q{i}" for i in range(8)]
+    u = lambda d, n: [f"u{d}x{i}" for i in range(n)]  # noqa: E731
+
+    texts = {
+        1: toks(u(1, 5), R, u(1, 5)),
+        2: toks(R, u(2, 10)),
+        3: toks(A, u(3, 9), B),
+        9: toks(B, u(9, 9), A),
+        4: toks(C, u(4, 19)),
+        5: toks(u(5, 19), C),
+        6: toks(E, u(6, 3), E, u(6, 3)[:3]),
+        7: toks(u(7, 4), A2, B2, u(7, 4)),
+        8: toks(A2, ["x8only"], B2, u(8, 13)),
+    }
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * len(texts),
+            "source": ["srcp"] * len(texts),
+            "n_chars": [len(texts[k]) for k in texts],
+        }
+    )
+    d = _mini_corpus(tmp_path, sf_dir, documents=docs)
+    r = check_query(
+        spark,
+        d,
+        queries()["docs_excise_spans"],
+        oracle_sql()["docs_excise_spans"],
+    )
+    assert r["values_match"], r
+
+    ctx = Context(spark, d)
+    rows = {r["doc_id"]: r for r in ctx.ref("docs_excise_spans").collect()}
+    assert set(rows) == set(texts)
+    for did, row in rows.items():
+        assert row["n_tokens_before"] == len(texts[did].split(" "))
+        assert (
+            row["n_tokens_after"]
+            == row["n_tokens_before"]
+            - (len(texts[did].split(" ")) - len(row["cleaned_text"].split(" ")))
+            if row["cleaned_text"]
+            else True
+        )
+        if row["n_spans_excised"] == 0:
+            assert row["cleaned_text"] == texts[did], did
+    # canonical holders keep their text
+    for did in (1, 3, 7):
+        assert rows[did]["n_spans_excised"] == 0, rows[did]
+    # sub-threshold sharers are untouched on both sides
+    for did in (4, 5, 6, 8):
+        assert rows[did]["n_spans_excised"] == 0, rows[did]
+    # the copies are rewritten exactly
+    assert rows[2]["n_spans_excised"] == 1
+    assert rows[2]["n_tokens_after"] == 10
+    assert rows[2]["cleaned_text"] == " ".join(u(2, 10))
+    assert rows[9]["n_spans_excised"] == 2
+    assert rows[9]["n_tokens_after"] == 9
+    assert rows[9]["cleaned_text"] == " ".join(u(9, 9))

@@ -195,6 +195,11 @@ SHUFFLE_BUDGETS = {
     # is hint-free (AQE broadcast while small) and both islands windows +
     # both per-doc aggs ride hash(doc_id) exchange-free
     "docs_dup_spans": 3,
+    # the excision rewrite: post-materialization plan (the surviving-span
+    # frame checkpoints once - its two consumers would otherwise re-run
+    # the census+islands subtree); what remains is the token-frame
+    # repartition pair + the reassembly agg, all on hash(doc_id)
+    "docs_excise_spans": 3,
     # map-only scrub scan / one repartition feeding the Arrow audio decode
     "events_props_redaction": 0,
     "multimodal_audio_energy": 1,
