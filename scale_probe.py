@@ -84,6 +84,9 @@ PROBE_QUERIES = [
     # round-11 new operator: positional dup spans claims NO pair stage
     # (strictly linear) — measure the claim like the others
     "docs_dup_spans",
+    # round-11: the excision rewrite shares dup_spans' census/islands but
+    # adds the checkpointed span materialization + token-cut + reassembly
+    "docs_excise_spans",
 ]
 
 
