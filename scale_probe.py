@@ -212,7 +212,9 @@ RECALL_COSINE_TIERS = (0.90, 0.95, 0.99)
 #: 1.0 (exact dup), all comfortably above the 0.5 verify threshold and
 #: with (4x4)-LSH design recall 0.988 / 0.9989 / 1.0.
 RECALL_JACCARD_TIERS = ((40, 42), (41, 42), (42, 42))
-RECALL_PAIRS_PER_TIER = 32
+RECALL_PAIRS_PER_TIER = 64  # 64 pairs/tier: binomial sigma ~0.04 at the
+#: 0.90-cosine tier's 32x analytic recall (0.898) — enough resolution to
+#: distinguish "tracks analytic" from a floor breach at the widest width
 #: pinned floor (VERDICT r10 #1 wording): measured recall on every planted
 #: tier must stay >= this at BOTH scales.
 RECALL_FLOOR = 0.8
