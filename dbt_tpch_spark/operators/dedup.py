@@ -1222,10 +1222,10 @@ def emb_bits_for(n: int) -> int:
     the valve stays a degenerate-data guard instead of becoming the
     common path. Per-band recall at the 0.5-cosine threshold edge decays
     with width (p^bits); true near-dups (cosine >= 0.9) stay >= 0.93
-    through 8 bits, and EXACT duplicates collide at any width. A
-    deployment tuning for edge-recall at scale grows EMB_LSH_BANDS too —
-    the (bands, bits) tradeoff is the lshplan.py planner's job; this
-    default keeps cost bounded without silently dropping the workload."""
+    through 8 bits, and EXACT duplicates collide at any width. Past
+    8 bits the band COUNT grows too (:func:`emb_bands_for`) to hold that
+    design recall — the round-11 64x probe MEASURED the width-only
+    policy's recall at 10 bits falling to 0.797, through the 0.8 floor."""
     import math
 
     if n <= EMB_BITS_BASE_N:
@@ -1233,17 +1233,50 @@ def emb_bits_for(n: int) -> int:
     return EMB_LSH_BITS + math.ceil(math.log2(n / EMB_BITS_BASE_N))
 
 
+#: the recall design point the adaptive band COUNT defends: the
+#: OR-construction recall at the cosine-0.9 "true near-dup" edge stays
+#: >= this at ANY adaptive width. Round-11 64x probe finding: width-only
+#: adaptation (bits=10 at 128k vectors, 8 fixed bands) measured 0.7969
+#: recall on planted 0.90-cosine pairs — through the pinned 0.8 floor
+#: (SCALE_PROBE_r11_64x.json recall_below_floor). More bands recover
+#: recall at bounded cost: the index grows by bands*n rows and the hash
+#: by bands*bits dots/vector, both logarithmic-family factors, while
+#: expected bucket size (n / 2^bits) is unchanged.
+EMB_RECALL_DESIGN_COSINE = 0.9
+EMB_RECALL_DESIGN_TARGET = 0.93
+
+
+def emb_bands_for(bits: int) -> int:
+    """Band count holding the OR-construction recall at the
+    EMB_RECALL_DESIGN_COSINE edge >= EMB_RECALL_DESIGN_TARGET at band
+    width ``bits``: the smallest B with 1-(1-p^bits)^B >= target, where
+    p = 1 - arccos(c)/pi (Charikar STOC'02) — never below the static
+    EMB_LSH_BANDS, so every configuration through 8 bits (all test SFs
+    and the 10x probe) is bit-identical to the pre-adaptive-bands code.
+    Values: bits 4-8 -> 8 bands, 9 -> 10, 10 -> 12, 11 -> 14, 12 -> 16."""
+    import math
+
+    p = 1.0 - math.acos(EMB_RECALL_DESIGN_COSINE) / math.pi
+    need = math.ceil(
+        math.log(1.0 - EMB_RECALL_DESIGN_TARGET) / math.log(1.0 - p**bits)
+    )
+    return max(EMB_LSH_BANDS, need)
+
+
 _EMB_EXT_PLANES: dict[tuple[int, int], list[float]] = {}
 
 
 def _emb_plane(b: int, r: int) -> list[float]:
     """Hyperplane for sign bit ``r`` of band ``b``. Bits below
-    EMB_LSH_BITS come from the fixed base family (so the widened hash is
-    a strict REFINEMENT of the base hash: any width is a prefix of any
-    wider one, which lets the DuckDB oracle emit EMB_BITS_MAX-bit strings
-    and SUBSTRING-truncate to the corpus width); extension bits use a
-    disjoint md5 salt."""
-    if r < EMB_LSH_BITS:
+    EMB_LSH_BITS of the base EMB_LSH_BANDS bands come from the fixed base
+    family (so the widened hash is a strict REFINEMENT of the base hash:
+    any width is a prefix of any wider one, which lets the DuckDB oracle
+    emit EMB_BITS_MAX-bit strings and SUBSTRING-truncate to the corpus
+    width); extension bits AND extension bands (b >= EMB_LSH_BANDS,
+    round-11 adaptive band count) use a disjoint md5 salt. Every (b, r)
+    plane is fixed, so a band-count of B is a strict prefix of B+1 the
+    same way a width of W is a prefix of W+1."""
+    if b < EMB_LSH_BANDS and r < EMB_LSH_BITS:
         return _EMB_PLANES[b * EMB_LSH_BITS + r]
     key = (b, r)
     if key not in _EMB_EXT_PLANES:
@@ -1294,6 +1327,24 @@ def _emb_band_duck(b: int, bits: int = EMB_LSH_BITS) -> str:
 #: 2.4% corpus headroom). The Spark side has no such cap — _emb_plane
 #: generates extension planes on demand.
 EMB_BITS_MAX = 12
+
+#: widest band COUNT the static oracle can replay — emb_bands_for at the
+#: widest replayable width, so the band-count cap is implied by the same
+#: 524k-vector error() that guards the width cap.
+EMB_BANDS_MAX = emb_bands_for(EMB_BITS_MAX)
+
+
+def _emb_bands_duck_case(bits_expr: str) -> str:
+    """SQL lookup from band width to adaptive band count — the literal
+    pairs are EMITTED from :func:`emb_bands_for` itself (never a second
+    SQL transcription of the formula: ceil-at-a-float-boundary could
+    diverge between engines; a Python-emitted CASE cannot). Portable
+    simple-CASE text, identical in Spark SQL and DuckDB."""
+    whens = " ".join(
+        f"WHEN {w} THEN {emb_bands_for(w)}"
+        for w in range(EMB_LSH_BITS, EMB_BITS_MAX + 1)
+    )
+    return f"CASE ({bits_expr}) {whens} END"
 
 
 def _emb_bits_duck(table: str = "embeddings") -> str:
@@ -1365,16 +1416,19 @@ def dedup_embedding_cosine(ctx):
     # test_operator_invariants.py::test_emb_dedup_band_width_adapts and
     # ::test_emb_cosine_oracle_tracks_adaptive_width.
     bits = emb_bits_for(n_vecs)
+    # adaptive band COUNT (round-11 64x probe finding): width-only
+    # adaptation measured 0.797 recall at 10 bits on planted 0.90-cosine
+    # pairs — below the 0.8 floor; emb_bands_for grows the OR-construction
+    # to hold the 0.93 design recall at any width. The oracle derives the
+    # SAME count from its SQL-computed width via a Python-emitted lookup.
+    nb = emb_bands_for(bits)
     bands = e.selectExpr(
         "vec_id",
-        *[
-            f"{_emb_band_spark(b, bits)} AS eband{b}"
-            for b in range(EMB_LSH_BANDS)
-        ],
+        *[f"{_emb_band_spark(b, bits)} AS eband{b}" for b in range(nb)],
     ).select(
         "vec_id",
         F.posexplode(
-            F.array(*[F.col(f"eband{b}") for b in range(EMB_LSH_BANDS)])
+            F.array(*[F.col(f"eband{b}") for b in range(nb)])
         ).alias("band_idx", "band_hash"),
     )
     # hot-bucket valve: one window count on the same key the join shuffles
@@ -1428,15 +1482,21 @@ def _emb_cosine_oracle() -> str:
     (prefix-consistent with the Spark family) and truncates to the
     corpus-derived width in SQL, mirroring emb_bits_for exactly — so the
     oracle stays bit-exact for corpora past EMB_BITS_BASE_N instead of
-    silently replaying the saturating 4-bit hash (round-11 ADVICE)."""
+    silently replaying the saturating 4-bit hash (round-11 ADVICE).
+    Band-COUNT-adaptive too (round-11 64x probe): all EMB_BANDS_MAX band
+    strings are emitted and the cross join is truncated to the count
+    emb_bands_for derives from the SQL-computed width — band prefixes
+    are consistent the same way bit prefixes are, so truncating the band
+    list replays any narrower configuration exactly."""
     band_cases = " ".join(
-        f"WHEN {b} THEN eband{b}" for b in range(EMB_LSH_BANDS)
+        f"WHEN {b} THEN eband{b}" for b in range(EMB_BANDS_MAX)
     )
     band_defs = ", ".join(
         f"{_emb_band_duck(b, EMB_BITS_MAX)} AS eband{b}"
-        for b in range(EMB_LSH_BANDS)
+        for b in range(EMB_BANDS_MAX)
     )
-    ks = ", ".join(str(b) for b in range(EMB_LSH_BANDS))
+    ks = ", ".join(str(b) for b in range(EMB_BANDS_MAX))
+    bands_case = _emb_bands_duck_case("SELECT bits FROM cfg")
     return f"""WITH cfg AS (
     {_emb_bits_duck()}
 ),
@@ -1448,6 +1508,7 @@ bands_all AS (
         SUBSTRING(CASE k.k {band_cases} END, 1, (SELECT bits FROM cfg))
             AS band_hash
     FROM banded CROSS JOIN (SELECT UNNEST([{ks}]) AS k) k
+    WHERE k.k < ({bands_case})
 ),
 bands AS (
     SELECT vec_id, band_idx, band_hash FROM (
@@ -1687,12 +1748,13 @@ def emb_lsh_band_stats(ctx):
     expressions.
 
     The census itself is taken at the BASE width (the fixed family the
-    static config commits to); ``adaptive_bits`` reports the width
-    :func:`emb_bits_for` would actually use for this corpus — derived
+    static config commits to); ``adaptive_bits`` / ``adaptive_bands``
+    report the (width, band count) :func:`emb_bits_for` /
+    :func:`emb_bands_for` would actually use for this corpus — derived
     in-plan from the per-band vector count (every vector appears once
     per band, so n_vectors IS the corpus size; no extra job), keeping the
-    planner honest about the production hash under the round-10 adaptive
-    widening."""
+    planner honest about the production hash under the round-10/11
+    adaptive (bits, bands) policy."""
     e = ctx.source("embeddings").repartition(_doc_parallelism(ctx), "vec_id")
     bands = e.selectExpr(
         "vec_id",
@@ -1724,6 +1786,9 @@ def emb_lsh_band_stats(ctx):
         "max_bucket_size",
         "candidate_pairs",
         F.expr(_ADAPTIVE_BITS_SQL).cast("int").alias("adaptive_bits"),
+        F.expr(_emb_bands_duck_case(_ADAPTIVE_BITS_SQL))
+        .cast("int")
+        .alias("adaptive_bands"),
         rnd(F.expr(recall.format(c=0.5)), 6).alias("config_recall_at_05"),
         rnd(F.expr(recall.format(c=0.9)), 6).alias("config_recall_at_09"),
     )
@@ -1770,6 +1835,8 @@ SELECT
     max_bucket_size,
     candidate_pairs,
     CAST({_ADAPTIVE_BITS_SQL} AS INT) AS adaptive_bits,
+    CAST({_emb_bands_duck_case(_ADAPTIVE_BITS_SQL)} AS INT)
+        AS adaptive_bands,
     {rnd_sql(recall.format(c=0.5), 6)} AS config_recall_at_05,
     {rnd_sql(recall.format(c=0.9), 6)} AS config_recall_at_09
 FROM grouped"""

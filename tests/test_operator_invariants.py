@@ -2229,6 +2229,141 @@ def test_emb_cosine_oracle_tracks_adaptive_width(spark, sf_dir, tmp_path):
     assert rep["rows_spark"] >= n_dups, rep
 
 
+def test_emb_bands_for_holds_design_recall():
+    """Round-11 64x probe finding: width-only adaptation measured 0.797
+    recall at 10 bits on planted 0.90-cosine pairs — below the 0.8 floor.
+    emb_bands_for must (a) leave every config through 8 bits at the
+    static 8 bands (bit-identical history: test SFs, the 10x probe),
+    (b) grow monotonically past that, and (c) hold the OR-construction
+    analytic recall at the design edge >= the 0.93 target at EVERY width
+    the oracle can replay."""
+    import math
+
+    import dbt_tpch_spark.operators.dedup as dd
+
+    assert [dd.emb_bands_for(w) for w in range(4, 13)] == [
+        8, 8, 8, 8, 8, 10, 12, 14, 16,
+    ]
+    p = 1.0 - math.acos(dd.EMB_RECALL_DESIGN_COSINE) / math.pi
+    for w in range(dd.EMB_LSH_BITS, dd.EMB_BITS_MAX + 1):
+        B = dd.emb_bands_for(w)
+        analytic = 1.0 - (1.0 - p**w) ** B
+        assert analytic >= dd.EMB_RECALL_DESIGN_TARGET, (w, B, analytic)
+        # and B is MINIMAL: one fewer band breaks the target (except at
+        # the static floor, where 8 bands over-deliver by design)
+        if B > dd.EMB_LSH_BANDS:
+            assert 1.0 - (1.0 - p**w) ** (B - 1) < (
+                dd.EMB_RECALL_DESIGN_TARGET
+            ), (w, B)
+    assert dd.EMB_BANDS_MAX == dd.emb_bands_for(dd.EMB_BITS_MAX)
+
+
+def test_emb_bands_duck_case_matches_python():
+    """The oracle's width->bands lookup is EMITTED from emb_bands_for
+    (never transcribed), so equivalence should hold by construction —
+    this pins the emission (and the CASE syntax) against the function on
+    every replayable width, in DuckDB itself."""
+    import duckdb
+
+    import dbt_tpch_spark.operators.dedup as dd
+
+    con = duckdb.connect()
+    try:
+        case = dd._emb_bands_duck_case("SELECT w FROM t")
+        for w in range(dd.EMB_LSH_BITS, dd.EMB_BITS_MAX + 1):
+            got = con.execute(
+                f"WITH t AS (SELECT {w} AS w) SELECT {case}"
+            ).fetchone()[0]
+            assert got == dd.emb_bands_for(w), (w, got)
+    finally:
+        con.close()
+
+
+def test_emb_extension_band_planes_parity(spark):
+    """Extension BANDS (b >= EMB_LSH_BANDS) draw every plane from the
+    md5-extension family — _emb_plane used to index past the 32-entry
+    base family for them. The Spark and DuckDB sign strings must agree
+    bit-for-bit on extension bands at full width, on vectors that
+    exercise both sign outcomes."""
+    import duckdb
+    import numpy as np
+
+    import dbt_tpch_spark.operators.dedup as dd
+
+    rng = np.random.RandomState(64)
+    vecs = [
+        [float(x) for x in v / np.linalg.norm(v)]
+        for v in rng.randn(8, dd.EMB_DIM)
+    ]
+    con = duckdb.connect()
+    try:
+        for b in (dd.EMB_LSH_BANDS, 11, dd.EMB_BANDS_MAX - 1):
+            spark_expr = dd._emb_band_spark(b, dd.EMB_BITS_MAX)
+            duck_expr = dd._emb_band_duck(b, dd.EMB_BITS_MAX)
+            for v in vecs:
+                lit = "array(" + ", ".join(
+                    f"CAST({x} AS DOUBLE)" for x in v
+                ) + ")"
+                s = spark.sql(
+                    "SELECT "
+                    + spark_expr.replace("embedding", lit)
+                ).first()[0]
+                d_ = con.execute(
+                    "SELECT "
+                    + duck_expr.replace(
+                        "embedding", "[" + ", ".join(map(str, v)) + "]"
+                    )
+                ).fetchone()[0]
+                assert s == d_, (b, s, d_)
+                assert len(s) == dd.EMB_BITS_MAX
+    finally:
+        con.close()
+
+
+def test_emb_cosine_oracle_tracks_adaptive_bands(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """End-to-end parity at a GROWN band count without a 65k-vector
+    corpus: shrinking EMB_BITS_BASE_N to 64 makes a 2100-vector corpus
+    resolve to 10 bits -> 12 bands on both engines (the Spark model reads
+    the constant at call time; the oracle SQL is re-emitted after the
+    patch, exactly as a fresh session would emit it for a corpus whose
+    COUNT(*) crosses the real threshold). All three parity gates must
+    hold and the planted exact dups must be in the output — pinning that
+    the 4 extension bands generate, hash, and join identically through
+    both engines."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    import dbt_tpch_spark.operators.dedup as dd
+    from dbt_tpch_spark.parity import check_query
+
+    monkeypatch.setattr(dd, "EMB_BITS_BASE_N", 64)
+    n_base, n_dups = 2080, 20
+    assert dd.emb_bits_for(n_base + n_dups) == 10
+    assert dd.emb_bands_for(10) == 12 > dd.EMB_LSH_BANDS
+    rng = np.random.RandomState(12)
+    vecs = [v / np.linalg.norm(v) for v in rng.randn(n_base, 64)]
+    vecs.extend(vecs[i] for i in range(n_dups))
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            "label": np.zeros(len(vecs), dtype=np.int32),
+        }
+    )
+    d = _mini_corpus(tmp_path, sf_dir, embeddings=emb)
+    rep = check_query(
+        spark,
+        d,
+        entrymod.queries()["dedup_embedding_cosine"],
+        dd._emb_cosine_oracle(),
+    )
+    assert rep["rows_match"] and rep["cols_match"] and rep["values_match"], rep
+    assert rep["rows_spark"] >= n_dups, rep
+
+
 def test_dup_spans_merge_filter_and_orientation(tmp_path, spark, sf_dir):
     """docs_dup_spans boundary semantics on a planted corpus, checked on
     BOTH engines (the query is empty-output-capable, so its green parity
