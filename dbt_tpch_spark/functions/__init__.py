@@ -408,6 +408,101 @@ def global_ntile(
     )
 
 
+def global_ntiles(df, n, specs, n_buckets: int = 32):
+    """Several exact ``ntile(n)`` scores over the SAME frame in one pass
+    (round-11 optimization). ``specs``: iterable of ``(first_key,
+    tiebreak_cols, out, ascending)``.
+
+    Cascading :func:`global_ntile` calls each re-checkpoint the growing
+    frame and each pay their own quantile-sketch action — 3 barriers + 3
+    sketch jobs for customer_rfm_segments. The scores are mutually
+    independent (each reads only its own key column), so one barrier and
+    TWO bounded actions (one aggregate holding every percentile sketch,
+    one ≤ len(specs)×n_buckets-row bucket-count collect whose offsets are
+    integer cumsums computed driver-side) suffice; the per-key
+    bucket/rank/NTILE plumbing is the exact same arithmetic as
+    :func:`global_ntile` (exact ranks lifted by <=n_buckets broadcast
+    offsets, first-tiles-get-the-remainder), chained lazily so the engine
+    evaluates all score columns in one final pass whose only shuffles are
+    the per-key bucket-window sorts. Ranks are exact, so the scores are
+    bit-identical to the cascaded form.
+
+    Driver safety: both actions are bounded by construction (1 row of
+    sketches; len(specs)×n_buckets count rows) at ANY scale factor — the
+    same class as the quantile ``head()`` in :func:`bucketed_windows`,
+    not a data-sized collect."""
+    from pyspark.sql.window import Window
+
+    df = df.localCheckpoint(eager=False)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    sketch = df.agg(
+        *[
+            F.percentile_approx(key, probs, 10000).alias(f"_e{idx}")
+            for idx, (key, _, _, _) in enumerate(specs)
+        ]
+    ).head()
+    buckets = []
+    for idx, (first_key, _, _, ascending) in enumerate(specs):
+        edges = sorted(set(sketch[f"_e{idx}"] or []), reverse=not ascending)
+        chain = None
+        for i, ed in enumerate(edges):
+            cond = (
+                F.col(first_key) < F.lit(float(ed))
+                if ascending
+                else F.col(first_key) > F.lit(float(ed))
+            )
+            chain = F.when(cond, i) if chain is None else chain.when(cond, i)
+        buckets.append(
+            (
+                chain.otherwise(len(edges)) if chain is not None else F.lit(0)
+            ).cast("int")
+        )
+    counts_all = None
+    for idx, bucket in enumerate(buckets):
+        c = (
+            df.withColumn("_b", bucket)
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(F.lit(idx).alias("_i"), "_b", "_n")
+        )
+        counts_all = c if counts_all is None else counts_all.unionByName(c)
+    per: dict[int, dict[int, int]] = {}
+    for r in counts_all.collect():
+        per.setdefault(r["_i"], {})[r["_b"]] = r["_n"]
+    out = df
+    for idx, (first_key, tiebreak_cols, out_name, ascending) in enumerate(
+        specs
+    ):
+        cnts = sorted(per.get(idx, {}).items())
+        tot = sum(n_ for _, n_ in cnts)
+        rows, acc = [], 0
+        for b_, n_ in cnts:
+            rows.append((b_, acc))
+            acc += n_
+        offsets = df.sparkSession.createDataFrame(
+            rows, "_b int, _off long"
+        )
+        order = [
+            F.col(first_key).asc() if ascending else F.col(first_key).desc()
+        ] + [F.col(c) for c in tiebreak_cols]
+        w_local = Window.partitionBy("_b").orderBy(*order)
+        rk = (F.col("_off") + F.row_number().over(w_local)).cast("long")
+        tile_base, rem = tot // n, F.lit(tot % n)
+        big = rem * (tile_base + 1)
+        tile = (
+            F.when(rk <= big, F.floor((rk - 1) / F.lit(tile_base + 1)))
+            .otherwise(rem + F.floor((rk - big - 1) / F.lit(tile_base)))
+            + 1
+        )
+        out = (
+            out.withColumn("_b", buckets[idx])
+            .join(F.broadcast(offsets), "_b")
+            .withColumn(out_name, tile.cast("long"))
+            .drop("_b", "_off")
+        )
+    return out
+
+
 def with_global_aggs(df, aggs):
     """The 100 TB-safe rewrite of a whole-table window
     (``F.sum(x).over(Window.partitionBy())``): compute the scalar

@@ -74,7 +74,10 @@ def customer_concentration_risk(ctx):
         )
         .agg(
             dsum(F.col("gross_item_sales_amount")).alias("total_revenue"),
-            F.countDistinct("order_key").alias("order_count"),
+            # round-11: fct_orders is order-grain (order_key unique per
+            # row), so plain count == COUNT(DISTINCT order_key) — the agg
+            # plans single-phase with no distinct machinery
+            F.count(F.lit(1)).alias("order_count"),
         )
     )
     # Scale: the per-customer frame grows linearly with SF, so the rank /

@@ -13,6 +13,7 @@ from dbt_tpch_spark.functions import (
     dsum,
     dsum_over,
     global_ntile,
+    global_ntiles,
     month_of,
     rnd,
 )
@@ -498,7 +499,11 @@ def monthly_revenue_kpis(ctx):
     models/reports/monthly_revenue_kpis.sql:1-33."""
     o = ctx.ref("fct_orders")
     monthly = o.groupBy(month_of(F.col("order_date")).alias("order_month")).agg(
-        F.countDistinct("order_key").alias("order_count"),
+        # round-11: fct_orders is order-grain (order_key unique per row),
+        # so plain count == COUNT(DISTINCT order_key); with one distinct
+        # set left (customer_key) the planner drops the 2-set Expand that
+        # doubled every shuffled row
+        F.count(F.lit(1)).alias("order_count"),
         F.countDistinct("customer_key").alias("unique_customers"),
         dsum(F.col("gross_item_sales_amount")).alias("gross_revenue"),
         dsum(F.col("net_item_sales_amount")).alias("net_revenue"),
@@ -653,10 +658,20 @@ def customer_rfm_segments(ctx):
     c = ctx.ref("dim_customer")
     om = o.groupBy("customer_key").agg(
         F.max("order_date").alias("last_order_date"),
-        F.countDistinct("order_key").alias("frequency"),
+        # round-11: fct_orders is order-grain (ods_orders PK 1:1-joined to
+        # its per-order rollup), so order_key is unique per row and a plain
+        # count equals COUNT(DISTINCT order_key) — dropping the
+        # distinct-aggregate machinery from the shuffle
+        F.count(F.lit(1)).alias("frequency"),
         dsum(F.col("gross_item_sales_amount")).alias("monetary"),
     )
-    ref = o.agg(F.max("order_date").alias("reference_date"))
+    # round-11: the reference date used to re-aggregate fct_orders — a
+    # SECOND build of the whole fact chain for one scalar. max(order_date)
+    # over the facts == max(per-customer max) over om (every fact row
+    # belongs to exactly one customer group), so derive it from om behind
+    # a lazy barrier: one chain build feeds both consumers.
+    om = om.localCheckpoint(eager=False)
+    ref = om.agg(F.max("last_order_date").alias("reference_date"))
     scored = (
         om.crossJoin(F.broadcast(ref))
         .withColumn(
@@ -667,11 +682,19 @@ def customer_rfm_segments(ctx):
     # Scale: three exact global NTILEs over the customer-grain frame
     # (SF-linear) via bucketed exact ranks + NTILE remainder arithmetic —
     # no unpartitioned ntile() window moves the frame through one task.
-    scored = global_ntile(
-        scored, 5, "recency_days", ["customer_key"], "r_score", ascending=False
+    # Fused (round-11): one barrier + ONE quantile-sketch action for all
+    # three scores instead of three cascaded materializations — the
+    # scores are independent columns over the same frame, and exact ranks
+    # make the fused form bit-identical to the cascade.
+    scored = global_ntiles(
+        scored,
+        5,
+        [
+            ("recency_days", ["customer_key"], "r_score", False),
+            ("frequency", ["customer_key"], "f_score", True),
+            ("monetary", ["customer_key"], "m_score", True),
+        ],
     )
-    scored = global_ntile(scored, 5, "frequency", ["customer_key"], "f_score")
-    scored = global_ntile(scored, 5, "monetary", ["customer_key"], "m_score")
     seg = (
         F.when(
             (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),

@@ -349,6 +349,12 @@ def dedup_minhash_lsh(ctx):
     bands = bands.withColumn("bsize", F.count(F.lit(1)).over(w_bucket)).filter(
         F.col("bsize") <= MAX_BAND_BUCKET
     ).drop("bsize")
+    # the band frame feeds BOTH sides of the candidate self-join; without a
+    # barrier each side re-runs the whole signature DAG (normalize +
+    # shingle + one md5 per shingle — the pipeline's measured-expensive
+    # step). The frame is (doc_id, band_idx, band_hash) — LSH_BANDS rows
+    # per doc, far smaller than the corpus — so materialize it once.
+    bands = bands.localCheckpoint(eager=True)
     a = bands.withColumnsRenamed({"doc_id": "doc_a"})
     b = bands.withColumnsRenamed({"doc_id": "doc_b"})
     cands = (
@@ -356,11 +362,27 @@ def dedup_minhash_lsh(ctx):
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        # consumed by the id semi-join below AND the verify join — one
+        # barrier on the near-dup-bounded pair list keeps the band join
+        # single-shot (same pattern as incremental_dedup_batch)
+        .localCheckpoint(eager=True)
     )
     # verify with JVM-side array_intersect over the shingle-set arrays: two
     # hash joins on doc ids, zero explode shuffles — the candidate list is
-    # tiny next to the corpus, so this stage stays cheap at scale
-    toks = _shingle3_set_df(ctx)
+    # tiny next to the corpus, so this stage stays cheap at scale.
+    # Shingle ONLY candidate partners (semi-join on the candidate ids):
+    # re-normalizing + re-shingling the ENTIRE corpus for a candidate set
+    # touching a handful of docs was the single biggest cost of this query
+    # (the same round-9 finding that shaped incremental_dedup_batch).
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toks = shingle_sets(
+        ctx.source("documents").join(cand_ids, "doc_id", "leftsemi"),
+        _doc_parallelism(ctx),
+    )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b"))
     joined = cands.join(ta, "doc_a").join(tb, "doc_b")
@@ -652,7 +674,15 @@ def incremental_dedup_batch(increment_docs_df, history_bands_df, all_docs_df,
     increment against the index's doc_ids) — this operator does not
     re-check, because the anti-join would charge every clean batch for
     a contract the ingest layer already owns."""
-    inc_bands = lsh_band_rows(increment_docs_df, n_parts)
+    # the increment's band rows feed THREE sites (both sides of the
+    # candidate join through the union below, plus the caller's index
+    # append) and each would re-run the full signature DAG — the batch's
+    # dominant cost; the frame is LSH_BANDS rows per increment doc, so
+    # materialize it once (round-11 optimization: measured 3x -> 1x
+    # signature passes per ingest batch)
+    inc_bands = lsh_band_rows(increment_docs_df, n_parts).localCheckpoint(
+        eager=True
+    )
     # membership travels as a literal column through the union — zero
     # joins, so the probe restriction costs nothing at any batch size
     all_bands = (
@@ -939,8 +969,25 @@ def dedup_bbit_minhash(ctx):
     Scale shape: the pair set is the already-bounded LSH output; the
     signature frame is one corpus projection; two hash joins on doc id.
     No new pair stage — reuses dedup_minhash_lsh's candidates."""
-    pairs = ctx.ref("dedup_minhash_lsh").select("doc_a", "doc_b", "jaccard")
-    sigs = minhash_sig_rows(ctx.source("documents"), _doc_parallelism(ctx))
+    # the pair list is the LSH detector's bounded output — materialize it
+    # once (it feeds the id semi-join plus the scoring join) and compute
+    # full signatures ONLY for docs that appear in a pair: the corpus-wide
+    # signature pass ran twice here (sa and sb both re-evaluated it) for a
+    # result that touches a handful of docs (round-11 optimization)
+    pairs = (
+        ctx.ref("dedup_minhash_lsh")
+        .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint(eager=True)
+    )
+    pair_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sigs = minhash_sig_rows(
+        ctx.source("documents").join(pair_ids, "doc_id", "leftsemi"),
+        _doc_parallelism(ctx),
+    ).localCheckpoint(eager=True)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"ma{i}") for i in range(MINHASH_K)],

@@ -82,11 +82,40 @@ def _pairs(ctx):
     )
 
 
-def _edges(ctx):
-    """Symmetric distinct co-purchase edges (src, dst)."""
-    pairs = _pairs(ctx)
-    return pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+def _edges(ctx, n_part: int | None = None):
+    """Symmetric distinct co-purchase edges (src, dst), hash-partitioned
+    on ``src``.
+
+    Round-11 optimization: the old form (``_pairs().unionByName(flip)``)
+    evaluated the basket-explode + distinct pipeline TWICE (once per union
+    branch) and spent three exchanges (groupBy(o), distinct(src,dst), the
+    callers' repartition(src)). Both directions of every pair now expand
+    in-row from the same basket, and the dedup aggregate runs ON TOP of
+    the hash(src) repartition — hash(src) satisfies the (src, dst)
+    clustering requirement (subset rule), so the whole build is ONE basket
+    shuffle + ONE edge shuffle, already laid out the way every consumer
+    (degree aggregates, per-src windows, per-round joins) wants it."""
+    if n_part is None:
+        n_part = int(ctx.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    baskets = (
+        ctx.source("lineitem")
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> array(struct(x AS src, y AS dst),"
+                    "            struct(y AS src, x AS dst))))))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition(n_part, "src")
+        .dropDuplicates(["src", "dst"])
     )
 
 
@@ -131,7 +160,7 @@ def parts_pagerank(ctx):
     # hash(src) outputPartitioning (localCheckpoint drops it in this Spark
     # version), so deg and every co-partitioned round below consume edges
     # with zero further exchanges; deg.count() materializes it
-    edges = _edges(ctx).repartition(n_part, "src").cache()
+    edges = _edges(ctx, n_part).cache()
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
     n_nodes = deg.count()
     _state = _node_state(n_nodes)
@@ -171,6 +200,10 @@ def parts_pagerank(ctx):
             )
             .localCheckpoint(eager=True)
         )
+    # every consumer of the edge cache has materialized (each round's pr is
+    # an eager checkpoint) — release the executors' memory now instead of
+    # holding the edge list for the rest of the session
+    edges.unpersist()
     # final importance rank is a global order over node-cardinality state:
     # bucketed exact ranking, not a single-partition window
     ranked = global_row_number(
@@ -400,7 +433,7 @@ def parts_kcore(ctx):
     aggregate on the cached layout. Fixed rounds keep the oracle an
     unrolled CTE chain."""
     n_part = int(ctx.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    edges = _edges(ctx).repartition(n_part, "src").cache()
+    edges = _edges(ctx, n_part).cache()
     all_nodes = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -545,7 +578,11 @@ def parts_neighbor_similarity(ctx):
     BROADCAST_STATE_MAX_NODES, shuffle-hash above."""
     from pyspark.sql.window import Window
 
-    edges = _edges(ctx).localCheckpoint(eager=True)
+    # cache, not localCheckpoint: the cached InMemoryRelation keeps the
+    # hash(src) partitioning _edges now establishes, so the degree
+    # aggregate AND the per-src sample window below both run exchange-free
+    # on the cached layout (the checkpoint dropped it and re-shuffled)
+    edges = _edges(ctx).cache()
     # node-cardinality degree table feeds THREE consumers (hub valve +
     # both endpoint joins) — materialize once instead of re-aggregating
     deg = (
@@ -571,31 +608,40 @@ def parts_neighbor_similarity(ctx):
         .drop("_srk")
         .localCheckpoint(eager=True)
     )
+    # deg and adj are materialized — the edge cache has no consumer left
+    edges.unpersist()
     sdeg = adj.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("sdeg")
     )
-    # wedge: a -n- b through shared SAMPLED neighbor n (valve on full deg)
+    # wedge: a -n- b through shared SAMPLED neighbor n (valve on full deg).
+    # The valve semi-join runs on adj BEFORE the self-join (round-11):
+    # filtering the shared-neighbor column on each input row is the same
+    # predicate as filtering the joined wedge on n, but hub wedges are
+    # never GENERATED instead of generated-then-dropped.
     hub_ok = deg.filter(F.col("degree") <= NEIGHBOR_DEG_CAP).select(
-        F.col("node").alias("n")
+        F.col("node").alias("dst")
     )
-    an = adj.select(F.col("src").alias("a"), F.col("dst").alias("n"))
-    bn = adj.select(F.col("src").alias("b"), F.col("dst").alias("n"))
+    adj_w = adj.join(_state(hub_ok), "dst", "left_semi")
+    an = adj_w.select(F.col("src").alias("a"), F.col("dst").alias("n"))
+    bn = adj_w.select(F.col("src").alias("b"), F.col("dst").alias("n"))
     common = (
         an.join(bn, "n")
         .filter(F.col("a") < F.col("b"))
-        .join(_state(hub_ok), "n", "left_semi")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    da = deg.withColumnsRenamed({"node": "a", "degree": "deg_a"})
-    db = deg.withColumnsRenamed({"node": "b", "degree": "deg_b"})
-    sa = sdeg.withColumnsRenamed({"node": "a", "sdeg": "sdeg_a"})
-    sb = sdeg.withColumnsRenamed({"node": "b", "sdeg": "sdeg_b"})
+    # one node-stats frame joined once per endpoint (was 4 separate
+    # broadcast joins: deg_a, deg_b, sdeg_a, sdeg_b — round-11)
+    ns = deg.join(sdeg, "node")
+    nsa = ns.withColumnsRenamed(
+        {"node": "a", "degree": "deg_a", "sdeg": "sdeg_a"}
+    )
+    nsb = ns.withColumnsRenamed(
+        {"node": "b", "degree": "deg_b", "sdeg": "sdeg_b"}
+    )
     sim = (
-        common.join(_state(da), "a")
-        .join(_state(db), "b")
-        .join(_state(sa), "a")
-        .join(_state(sb), "b")
+        common.join(_state(nsa), "a")
+        .join(_state(nsb), "b")
         .withColumn(
             "jaccard_est",
             rnd(
@@ -604,6 +650,11 @@ def parts_neighbor_similarity(ctx):
                 6,
             ),
         )
+        # the pair-grain similarity frame feeds BOTH branches of the
+        # direction union below; without a barrier the whole wedge join +
+        # count aggregate (this query's dominant stage) runs TWICE
+        # (round-11: the plan carried two complete wedge subtrees)
+        .localCheckpoint(eager=True)
     )
     # emit both directions so every part gets its own top-k list
     both = sim.unionByName(
@@ -737,11 +788,7 @@ def parts_degree_assortativity(ctx):
     # or each re-expands the basket-explode pipeline (measured 21 -> 5
     # exchanges); partitioned on src so deg and the src-side join reuse it
     n_part = int(ctx.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    edges = (
-        _edges(ctx)
-        .repartition(n_part, "src")
-        .localCheckpoint(eager=True)
-    )
+    edges = _edges(ctx, n_part).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     da = deg.select(F.col("src").alias("_a"), F.col("deg").alias("da"))
     db = deg.select(F.col("src").alias("_b"), F.col("deg").alias("db"))

@@ -54,19 +54,29 @@ def _covariance(ctx):
         xi.groupBy((F.col("i0") + 1).alias("i"))
         .agg((_msum(F.col("x").cast("double")) / F.lit(float(n))).alias("m"))
     )
+    # round-11: exploit S_ij = S_ji exactly — x_i * x_j is the SAME double
+    # product in either order and the decimal sum is order-free, so the
+    # upper triangle (j >= i) carries every distinct value bit-identically.
+    # The pair expansion (the query's dominant CPU: n * DIMS^2 rows of
+    # exact-decimal accumulation) halves to n * DIMS*(DIMS+1)/2 rows; the
+    # full matrix is restored by mirroring the DIMS^2-row *result* frame.
+    # The inner explode runs over the suffix slice, so the halved rows are
+    # never generated at all (a post-explode filter would still pay them).
     pairs = e.select(
         F.posexplode("embedding").alias("i0", "xi"), "embedding"
     ).select(
         (F.col("i0") + 1).alias("i"),
         F.col("xi").cast("double").alias("xi"),
-        F.posexplode("embedding").alias("j0", "xj"),
+        F.posexplode(
+            F.expr("slice(embedding, i0 + 1, size(embedding) - i0)")
+        ).alias("j0", "xj"),
     )
-    s = pairs.groupBy("i", (F.col("j0") + 1).alias("j")).agg(
+    s = pairs.groupBy("i", (F.col("i") + F.col("j0")).alias("j")).agg(
         _msum(F.col("xi") * F.col("xj").cast("double")).alias("s")
     )
     mi = means.select(F.col("i"), F.col("m").alias("mi"))
     mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
-    c = (
+    c_upper = (
         s.join(F.broadcast(mi), "i")
         .join(F.broadcast(mj), "j")
         .select(
@@ -79,6 +89,13 @@ def _covariance(ctx):
             ).alias("c"),
         )
         .localCheckpoint(eager=True)
+    )
+    # mirror the strict upper triangle; c_ij = c_ji by the identity above
+    # (n*mi*mj is symmetric too), so the union IS the old full matrix
+    c = c_upper.unionByName(
+        c_upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
     )
     return n, c
 

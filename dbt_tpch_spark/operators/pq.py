@@ -220,7 +220,31 @@ def embeddings_pq_codes(ctx):
 
 
 def _adc_topk(sub, cents):
+    """ADC scoring in CODE-ARRAY form (round-11 optimization).
+
+    The old plan joined the (vec_id, m, code) table against the broadcast
+    (query, m, code) -> partial-d2 lookup and shuffled the resulting
+    N x Q x M rows into a (query, neighbor) aggregate — the bench's
+    single largest exchange for this query. But the aggregate is a sum of
+    exactly M lookups, all known in-row once the candidate's M codes and
+    the query's M x K table travel as arrays: candidates collapse to one
+    row of M codes, the lookup table to one row of M*K partial distances
+    per query, and the per-pair distance becomes an in-row
+    ``aggregate()`` over M array index reads — the N x Q x M exchange
+    and its 10^6-group hash aggregate disappear; only the (already
+    present) per-query top-k window shuffle remains.
+
+    Exactness: dsum's convention is a sum of DECIMAL(27,6)-quantized
+    terms — exact and order-free — so the in-row decimal fold below is
+    bit-identical to the old grouped dsum, then the same rnd(6)."""
     codes = _encode(sub, cents).select("vec_id", "m", "code")
+    # one row per candidate: codes[m] at position m (m is 0..M-1, dense)
+    codes_arr = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
     lut = (
         sub.filter(F.col("vec_id") < N_QUERIES)
         .withColumnRenamed("vec_id", "query_id")
@@ -228,14 +252,44 @@ def _adc_topk(sub, cents):
         .withColumn("pd2", _d2())
         .select("query_id", "m", "code", "pd2")
     )
-    adc = (
-        codes.join(
-            F.broadcast(lut),
-            ["m", "code"],
+    # one row per query: pd2 at position m * K_CODES + code ((m, code) is
+    # dense and unique per query, so the (m, code) sort is positional).
+    # The frame is N_QUERIES rows — a FIXED module constant, not an
+    # SF-linear grain — so it rides a bounded checkpoint: mark_bounded
+    # is the registered proof the CI scale sweep (audit.py) accepts for
+    # the hard broadcast hint and the equality-free scoring join below
+    # (the lazy barrier costs nothing extra: the frame is consumed once,
+    # by the broadcast build).
+    from dbt_tpch_spark.plans.audit import bounded_checkpoint
+
+    lut_arr = bounded_checkpoint(
+        lut.groupBy("query_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code", "pd2"))),
+                lambda s: s["pd2"],
+            ).alias("pd2s")
+        ),
+        eager=False,
+    )
+    # exact decimal fold of the M lookups (element_at is 1-based), the
+    # in-row twin of dsum: quantize each term to DECIMAL(27,6), accumulate
+    # exactly, cast double
+    adc_sum = F.expr(
+        "CAST(aggregate(sequence(0, {mm}), CAST(0 AS DECIMAL(38,6)),"
+        " (acc, m) -> CAST(acc + CAST(element_at(pd2s,"
+        " CAST(m * {k} + element_at(codes, m + 1) + 1 AS INT)) AS DECIMAL(27,6))"
+        " AS DECIMAL(38,6))) AS DOUBLE)".format(
+            mm=M_SUBVECTORS - 1, k=K_CODES
         )
+    )
+    adc = (
+        codes_arr.crossJoin(F.broadcast(lut_arr))
         .filter(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(rnd(dsum(F.col("pd2")), 6).alias("adc_d2"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rnd(adc_sum, 6).alias("adc_d2"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
     return (

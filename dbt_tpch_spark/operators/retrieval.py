@@ -178,7 +178,6 @@ def docs_bm25_topk(ctx):
     once — the same boundary a 100 TB deployment would persist."""
     dtf = _doc_term_freq(ctx).localCheckpoint(eager=True)
     doclens = dtf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    termdf = dtf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     totals = doclens.agg(
         F.count("*").cast("double").alias("n_docs"),
         davg(F.col("dl").cast("double")).alias("avgdl"),
@@ -186,6 +185,23 @@ def docs_bm25_topk(ctx):
     qterms = ctx.spark.createDataFrame(
         [(qid, t) for qid, terms in QUERIES.items() for t in terms],
         "query_id string, term string",
+    )
+    # round-11: df is only ever read for terms that appear in a query (the
+    # hit join is inner on term via qterms), so count df over the semi-join
+    # restriction instead of the whole vocabulary — the map-side filter
+    # kills the vocab-grain shuffle and the ~|qterms|-row result broadcasts
+    # into the hit join. df values for surviving terms are counted over the
+    # same full dtf rows, so every emitted row is unchanged. The term set
+    # is deduped in Python (it is a fixed literal), not with a distinct()
+    # that would cost its own exchange.
+    qterm_set = ctx.spark.createDataFrame(
+        [(t,) for t in sorted({t for ts in QUERIES.values() for t in ts})],
+        "term string",
+    )
+    termdf = (
+        dtf.join(F.broadcast(qterm_set), "term", "leftsemi")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
     )
     # qterms is a fixed literal set (hard broadcast is safe); termdf is
     # vocab-grain — hint-free, AQE decides by measured size

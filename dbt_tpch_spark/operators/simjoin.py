@@ -109,13 +109,17 @@ def dedup_ppjoin(ctx):
     equals the full exact similarity join (superset of the LSH detector's
     verified pairs — asserted in tests)."""
     t = PPJOIN_THRESHOLD
-    sets = _shingle3_set_df(ctx)
     # explode the shingle EXPRESSION directly over the token barrier, not
     # the projected `words` alias: exploding a projected array makes
     # InferFiltersFromGenerate push a size(<full shingle CASE>)>0 filter
     # below the projection, re-running the whole normalize+shingle
-    # pipeline on raw text per row (measured 10.2 s vs 0.8 s at sf0.1)
-    sh = tokens_df(ctx).select(
+    # pipeline on raw text per row (measured 10.2 s vs 0.8 s at sf0.1).
+    # The token frame itself is materialized once (round-11): sh feeds
+    # BOTH the document-frequency census and the rank join, and each
+    # consumer re-ran the regex normalize + split over the raw corpus —
+    # the pipeline's measured-expensive step (see tokens_df).
+    toks_b = tokens_df(ctx).localCheckpoint(eager=True)
+    sh = toks_b.select(
         "doc_id", F.explode(shingle_col(3)).alias("shingle")
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -165,6 +169,25 @@ def dedup_ppjoin(ctx):
         )
         .select("doc_a", "doc_b")
         .distinct()
+        # consumed by the id semi-join below AND the verify join — one
+        # barrier on the prefix-bounded pair list keeps the prefix
+        # self-join single-shot (round-11)
+        .localCheckpoint(eager=True)
+    )
+    # shingle ONLY candidate partners for the verify (round-11): the old
+    # plan re-shingled the ENTIRE corpus twice (once per join side) for a
+    # candidate set touching a handful of docs — the same semi-join
+    # restriction incremental_dedup_batch uses
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    from dbt_tpch_spark.operators.dedup import _doc_parallelism, shingle_sets
+
+    sets = shingle_sets(
+        ctx.source("documents").join(cand_ids, "doc_id", "leftsemi"),
+        _doc_parallelism(ctx),
     )
     ta = sets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a"))
     tb = sets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b"))

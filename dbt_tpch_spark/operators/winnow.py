@@ -464,6 +464,11 @@ def docs_dup_spans(ctx):
 
     from dbt_tpch_spark.operators.dedup import shingle_col, tokens_df
 
+    # the position frame feeds TWO sites (the census groupBy and the
+    # probe join) and each re-ran the whole normalize + shingle + md5
+    # pipeline over the raw corpus; materialize it once (round-11). The
+    # storage cost is one position-grain pass — the same order as the
+    # census shuffle that follows it either way.
     pos = (
         tokens_df(ctx)
         .select(
@@ -479,6 +484,7 @@ def docs_dup_spans(ctx):
             (F.col("pos0") + 1).alias("pos"),
             F.md5("sh_str").alias("sh"),
         )
+        .localCheckpoint(eager=True)
     )
     dup = (
         pos.groupBy("sh")
@@ -606,9 +612,14 @@ def docs_excise_spans(ctx):
     hash(doc_id). Nothing here is quadratic in corpus size."""
     from dbt_tpch_spark.operators.dedup import shingle_col, tokens_df
 
+    # the token frame feeds THREE sites (the shingle-position pass, the
+    # token-position frame, and the before-count) and each re-ran the
+    # regex normalize + split over the raw corpus — materialize it once
+    # (round-11); pos additionally feeds the census AND the probe join,
+    # so it gets its own barrier (same reasoning as docs_dup_spans)
+    toks_b = tokens_df(ctx).localCheckpoint(eager=True)
     pos = (
-        tokens_df(ctx)
-        .select(
+        toks_b.select(
             "doc_id",
             F.posexplode(shingle_col(DUPSPAN_K, distinct=False)).alias(
                 "pos0", "sh_str"
@@ -619,6 +630,7 @@ def docs_excise_spans(ctx):
             (F.col("pos0") + 1).alias("pos"),
             F.md5("sh_str").alias("sh"),
         )
+        .localCheckpoint(eager=True)
     )
     census = (
         pos.groupBy("sh")
@@ -667,7 +679,7 @@ def docs_excise_spans(ctx):
             F.sequence(F.col("span_start"), F.col("span_end"))
         ).alias("tpos"),
     )
-    toks = tokens_df(ctx).select(
+    toks = toks_b.select(
         "doc_id",
         F.posexplode("toks").alias("tpos0", "word"),
     ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "word")
@@ -685,7 +697,7 @@ def docs_excise_spans(ctx):
             " ",
         ).alias("cleaned_text"),
     )
-    before = tokens_df(ctx).select(
+    before = toks_b.select(
         "doc_id", F.size("toks").cast("long").alias("n_tokens_before")
     )
     return (

@@ -88,3 +88,17 @@ def test_tpch_classic_plan_shapes(spark, sf_dir):
     q5_plan = q5._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in q5_plan
     assert "Cartesian" not in q5_plan
+
+
+def test_fct_orders_is_order_grain(spark, sf_dir):
+    """order_key is unique in fct_orders (ods_orders PK 1:1-joined to its
+    per-order rollup) — the invariant that lets downstream per-group
+    order counts use count(*) instead of COUNT(DISTINCT order_key)
+    (customer_rfm_segments.frequency, monthly_revenue_kpis.order_count,
+    customer_concentration_risk.order_count)."""
+    from dbt_tpch_spark.plans import Context
+
+    df = Context(spark, sf_dir).ref("fct_orders")
+    total = df.count()
+    assert total > 0
+    assert df.select("order_key").distinct().count() == total
