@@ -329,38 +329,52 @@ def int_market_basket(ctx):
     """Co-purchased part pairs. Reference:
     models/intermediate/int_market_basket.sql:1-47.
 
-    Scale note: the self-join J8 keeps its equi conjunct (order_key) so it
-    plans as a shuffled hash/sort-merge join, never a nested loop; the
-    theta conjunct (part_key <) only dedups pair direction.
+    Scale note (round-11): the reference's order_key self-join (J8) is
+    expanded IN-ROW from each order's sorted distinct part set instead —
+    the same co-purchase shape as operators/graph._edges. Pair fan-out is
+    bounded by basket size squared (TPC-H orders hold ≤ 7 lineitems), and
+    no join node exists to mis-plan as a nested loop.
     """
-    # three consumers (both self-join sides + per-part totals) over a
-    # distinct that itself sits on the orders⋈lineitem join: materialize it
-    # once instead of recomputing the upstream join per consumer
-    order_parts = (
+    # round-11: the order_key self-join is the graph-family co-purchase
+    # expansion (see operators/graph._edges) — collapse each order to its
+    # sorted distinct part set ONCE (collect_set dedups, so the old
+    # distinct() shuffle is absorbed into this aggregate) and expand every
+    # x < y pair IN-ROW from the basket: the self-join (two probe-side
+    # exchanges + join machinery) disappears and the per-order expansion
+    # is bounded by basket size (TPC-H orders hold ≤ 7 lineitems).
+    # The basket frame is order-grain and feeds both the pair expansion
+    # and the per-part totals — materialize it once.
+    baskets = (
         ctx.ref("fct_orders_items")
         .select("order_key", "part_key")
-        .distinct()
+        .groupBy("order_key")
+        .agg(F.sort_array(F.collect_set("part_key")).alias("ps"))
         .localCheckpoint(eager=True)
     )
-    a = order_parts.alias("a")
-    b = order_parts.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.order_key") == F.col("b.order_key"))
-            & (F.col("a.part_key") < F.col("b.part_key")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.part_key").alias("part_a"), F.col("b.part_key").alias("part_b")
-        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(
-            # order_parts is distinct (order_key, part_key), so each joined
-            # row is a unique order per pair: plain count == count distinct
-            # without the extra expand/shuffle phase
+            # one in-row pair per (order, part pair) — the same unique-
+            # order-per-pair property the joined distinct rows had, so
+            # plain count == count distinct orders
             F.count(F.lit(1)).alias("co_occurrence_count")
         )
     )
-    totals = order_parts.groupBy("part_key").agg(
+    totals = baskets.select(F.explode("ps").alias("part_key")).groupBy(
+        "part_key"
+    ).agg(
+        # ps is the deduped per-order part set, so one exploded row per
+        # (order, part): plain count == count distinct orders
         F.count(F.lit(1)).alias("order_count")
     )
     pa = totals.withColumnsRenamed({"part_key": "part_a", "order_count": "part_a_orders"})

@@ -350,82 +350,77 @@ def doc_repetition_stats(ctx):
     resulting keep/drop flag.
 
     Only the max COUNTS are reported (never the argmax token — ties would
-    make the winning token engine-order-dependent). Runs are found with
-    the islands trick: pos - row_number within (doc, word) is constant
-    exactly along a consecutive run.
+    make the winning token engine-order-dependent). Runs are found with a
+    consecutive-equality fold (the in-row twin of the islands trick:
+    pos - row_number within (doc, word) is constant exactly along a
+    consecutive run).
 
-    Scale: the corpus repartitions on doc_id BEFORE the explode, and every
-    downstream key (the (doc_id, word) window, the (doc_id, word[, island])
-    and doc-grain aggregations, the doc_id assembly joins) CONTAINS doc_id
-    — hash(doc_id) satisfies all their clustered distributions, so the
-    only exchanges left are the three per-branch repartitions of the raw
-    (pre-explode) doc frame; nothing exploded ever shuffles (pinned in
-    tests/test_plan_budgets.py). localCheckpoint can't merge the three
-    branches here: it drops outputPartitioning in this Spark version,
-    which reintroduces post-explode shuffles — worse than re-reading the
-    pruned scan."""
-    from pyspark.sql.window import Window
+    Scale (round-11 rewrite): every reported signal is a per-document
+    function of that document's own word array, so the whole query is ONE
+    projection over the corpus scan — no explode, no window, no
+    aggregation, ZERO exchanges (pinned in tests/test_plan_budgets.py).
+    Frequency maxima come from run-length folds over the array_sort'ed
+    word/bigram arrays (sorting groups equal tokens adjacently — only
+    equality matters, so collation is irrelevant); the longest
+    consecutive run is the same fold over the UNSORTED array. The folds
+    are exact integer counts over the same ``split(lower(trim(text)))``
+    tokens the exploded form produced, so every output value is
+    bit-identical. Per-row cost is O(words log words) — the same bound
+    the old per-branch sorts paid, without shuffling token-grain rows.
 
-    from dbt_tpch_spark.operators.dedup import _doc_parallelism
+    Grain subtlety preserved from the exploded form: a document with a
+    single word has no bigram rows, and the old inner join on the bigram
+    branch therefore DROPPED it (the oracle does the same) — the rewrite
+    keeps that with an explicit ``size(ws) >= 2`` filter."""
 
-    d = (
-        ctx.source("documents")
-        .select("doc_id", "lang", "text")
-        .repartition(_doc_parallelism(ctx), "doc_id")
+    def _max_run(arr):
+        # longest run of consecutive equal elements: fold carrying
+        # (previous element, current run length, best run length).
+        # split() never yields NULL elements, so prev IS NULL only marks
+        # the initial accumulator.
+        return F.expr(
+            f"aggregate({arr},"
+            " struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run,"
+            "        CAST(0 AS BIGINT) AS best),"
+            " (acc, x) -> CASE WHEN acc.prev <=> x THEN"
+            "   struct(x AS prev, acc.run + 1L AS run,"
+            "          greatest(acc.best, acc.run + 1L) AS best)"
+            " ELSE struct(x AS prev, 1L AS run,"
+            "             greatest(acc.best, 1L) AS best) END,"
+            " acc -> acc.best)"
+        )
+
+    d = ctx.source("documents").select("doc_id", "lang", "text")
+    ws = (
+        d.withColumn("ws", F.split(F.lower(F.trim(F.col("text"))), " "))
+        # the exploded form emitted no bigram row for single-word docs and
+        # its inner join dropped them — same membership here
+        .filter(F.size("ws") >= 2)
+        .withColumn(
+            "bg",
+            F.expr(
+                "zip_with("
+                " slice(ws, 1, size(ws) - 1),"
+                " slice(ws, 2, size(ws) - 1),"
+                " (x, y) -> concat(x, ' ', y))"
+            ),
+        )
     )
-    words = d.select(
+    stats = ws.select(
         "doc_id",
         "lang",
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias(
-            "pos", "word"
-        ),
-    )
-    # longest same-word run via islands: pos - rank-within-(doc,word)
-    w_isl = Window.partitionBy("doc_id", "word").orderBy("pos")
-    runs = (
-        words.withColumn(
-            "island", F.col("pos") - F.row_number().over(w_isl)
-        )
-        .groupBy("doc_id", "word", "island")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-        .groupBy("doc_id")
-        .agg(F.max("run_len").cast("long").alias("max_run_len"))
-    )
-    wc = words.groupBy("doc_id", "lang", "word").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    base = wc.groupBy("doc_id", "lang").agg(
-        F.sum("n").cast("long").alias("n_words"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
-        F.max("n").cast("long").alias("top_word_count"),
-    )
-    bigrams = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "zip_with("
-                    " slice(split(lower(trim(text)), ' '), 1,"
-                    "       size(split(lower(trim(text)), ' ')) - 1),"
-                    " slice(split(lower(trim(text)), ' '), 2,"
-                    "       size(split(lower(trim(text)), ' ')) - 1),"
-                    " (x, y) -> concat(x, ' ', y))"
-                )
-            ).alias("bigram"),
-        )
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg(F.max("n").cast("long").alias("top_bigram_count"))
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_distinct_words"),
+        _max_run("array_sort(ws)").alias("top_word_count"),
+        _max_run("array_sort(bg)").alias("top_bigram_count"),
+        _max_run("ws").alias("max_run_len"),
     )
     dup_ratio = (
         F.lit(1.0)
         - F.col("n_distinct_words") / F.col("n_words").cast("double")
     )
     return (
-        base.join(runs, "doc_id")
-        .join(bigrams, "doc_id")
-        .select(
+        stats.select(
             "doc_id",
             "lang",
             "n_words",

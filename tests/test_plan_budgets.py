@@ -22,7 +22,9 @@ SHUFFLE_BUDGETS = {
     "fct_orders": 1,
     "fct_orders_items": 0,
     "dim_customer": 0,
-    "int_market_basket": 5,
+    # round 11: the order_key self-join became an in-row expansion of the
+    # per-order sorted part set — basket agg + pair agg + totals agg
+    "int_market_basket": 3,
     # round 4: the 3 global NTILEs moved onto bucketed exact ranks over the
     # checkpointed customer-grain aggregate — 3 bounded exchanges, no
     # single-partition ntile windows
@@ -167,9 +169,9 @@ SHUFFLE_BUDGETS = {
     # round-3 operators
     "embeddings_pca_variance": 2,
     "embeddings_negative_samples": 1,
-    # 3 pre-explode repartitions of the pruned doc frame (one per branch);
-    # every post-explode window/agg/join runs exchange-free on hash(doc_id)
-    "doc_repetition_stats": 3,
+    # round 11: every signal folds in-row over the doc's own word array —
+    # one projection over the scan, no explode/window/agg/join at all
+    "doc_repetition_stats": 0,
     "doc_bpe_merges": 2,
     "dedup_source_matrix": 8,  # 7 inherited from dedup_minhash_lsh + 1 rollup
     "events_attribution": 2,
