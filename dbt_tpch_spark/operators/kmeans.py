@@ -121,28 +121,29 @@ def _fit(ctx):
             )
             .select("vec_id", F.col("a.cell_id").alias("cell_id"), "emb")
         )
-        # round-11: per-dimension means as DIMS column aggregates in ONE
-        # groupBy(cell_id) pass instead of posexplode -> (cell, pos)
-        # aggregate -> re-assemble: the explode generated n*DIMS rows and a
-        # second shuffle every round. dsum over emb[i] accumulates exactly
-        # the terms the (cell_id, pos=i) group did (order-free decimal),
-        # count(1) per cell equals the old per-(cell,pos) row count (every
-        # member contributes exactly one pos=i row), and array() rebuilds
-        # cent in pos order — bit-identical centroids, 2 shuffles -> 1 and
-        # no n*DIMS expansion.
-        _s = assigned.groupBy("cell_id").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                dsum(F.col("emb")[i].cast("double")).alias(f"_s{i}")
-                for i in range(DIMS)
-            ],
-        )
+        # centroid means via posexplode -> (cell, pos) aggregate ->
+        # re-assemble. A column-wise form (ONE groupBy(cell_id) with DIMS
+        # separate dsum aggregates) was tried in round 11 to drop the
+        # second shuffle — and MEASURED 3x slower per round (2.4-4.4 s vs
+        # 0.7-1.1 s isolated A/B at sf0.1): 64 wide-decimal aggregate
+        # buffers fall off the hash-aggregate fast path and the generated
+        # code is enormous, while the "saved" re-assemble shuffle only
+        # ever carries K_CELLS*DIMS rows (~1k) after partial aggregation,
+        # at ANY corpus size. The explode's shuffle is equally bounded:
+        # map-side partial aggregation reduces it to K*DIMS groups per
+        # task, so bytes-on-the-wire stay O(K*DIMS*tasks), not O(n).
         cents = bounded_checkpoint(
-            _s.select(
-                "cell_id",
-                F.array(
-                    *[F.col(f"_s{i}") / F.col("_n") for i in range(DIMS)]
-                ).alias("cent"),
+            assigned.select("cell_id", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(
+                (dsum(F.col("val").cast("double")) / F.count(F.lit(1))).alias("m")
+            )
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent")
             )
         )
     return v, cents.withColumn("cc", F.expr(DOT_SPARK.format(a="cent", b="cent")))
