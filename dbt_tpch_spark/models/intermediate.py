@@ -13,6 +13,7 @@ from dbt_tpch_spark.functions import (
     days_between,
     dsum,
     gated_broadcast,
+    inrow_sorted_pairs,
     isum,
     rnd,
 )
@@ -353,13 +354,9 @@ def int_market_basket(ctx):
     )
     pairs = (
         baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) ->"
-                    " transform(slice(ps, i + 2, size(ps)),"
-                    " y -> struct(x AS part_a, y AS part_b))))"
-                )
-            ).alias("p")
+            # round-12: same expansion, now the shared helper pinned by
+            # the planted giant-basket fixture (tests/test_skew.py)
+            F.explode(inrow_sorted_pairs("ps", "part_a", "part_b")).alias("p")
         )
         .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")

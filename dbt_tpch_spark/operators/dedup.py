@@ -637,7 +637,7 @@ def shingle_sets(docs_df, n_parts: int = 32):
 
 
 def incremental_dedup_batch(increment_docs_df, history_bands_df, all_docs_df,
-                            n_parts: int = 32):
+                            n_parts: int = 32, inc_bands=None):
     """One ingest batch of the production incremental-dedup shape.
 
     ``increment_docs_df``: raw documents arriving this batch.
@@ -679,10 +679,15 @@ def incremental_dedup_batch(increment_docs_df, history_bands_df, all_docs_df,
     # append) and each would re-run the full signature DAG — the batch's
     # dominant cost; the frame is LSH_BANDS rows per increment doc, so
     # materialize it once (round-11 optimization: measured 3x -> 1x
-    # signature passes per ingest batch)
-    inc_bands = lsh_band_rows(increment_docs_df, n_parts).localCheckpoint(
-        eager=True
-    )
+    # signature passes per ingest batch). Round-12: a caller that knows
+    # its batches up front may pass the MATERIALIZED band frame in
+    # (``inc_bands``) so the signature jobs of successive batches can be
+    # computed concurrently (guide §2.6) — the band frame depends only on
+    # the increment, never on the index.
+    if inc_bands is None:
+        inc_bands = lsh_band_rows(increment_docs_df, n_parts).localCheckpoint(
+            eager=True
+        )
     # membership travels as a literal column through the union — zero
     # joins, so the probe restriction costs nothing at any batch size
     all_bands = (
@@ -880,34 +885,63 @@ def dedup_multibatch_txn(ctx):
         shutil.rmtree(path, ignore_errors=True)
     else:
         path = tempfile.mkdtemp(prefix="dedup_multibatch_txn_")
-    per_batch = []
+    # Round-12 (guide §2.6 — overlap independent jobs; VERDICT r11 #6):
+    # the loop used to serialize ~9 jobs (signatures -> candidates ->
+    # verify -> commit, three times). Two of those dependencies are not
+    # real: (a) a batch's band/signature frame depends only on its OWN
+    # documents, never on the index, so all three signature jobs run
+    # CONCURRENTLY up front; (b) batch k's verify stage reads only the
+    # already-materialized candidate/token frames plus the PINNED file
+    # list of the pre-append snapshot (TxnTable.read() resolves explicit
+    # data-file paths at call time, and append only ever ADDS files), so
+    # its checkpoint job runs in a worker thread WHILE the main thread
+    # commits batch k and generates batch k+1's candidates. The commit/
+    # read boundary the oracle depends on is untouched: batch k+1's
+    # history is still table.read() AFTER append(k) returns, and the
+    # per-batch verdicts are still materialized before the finally-block
+    # deletes the index.
+    from concurrent.futures import ThreadPoolExecutor
+
     try:
-        table = None
-        for k in range(3):
-            batch = docs.filter(F.col("doc_id") % 3 == k)
-            history = (
-                table.read().select("doc_id", "band_idx", "band_hash")
-                if table is not None
-                else lsh_band_rows(batch, n_parts).limit(0)
-            )
-            store = docs.filter(F.col("doc_id") % 3 <= k)
-            verified, inc_bands = incremental_dedup_batch(
-                batch, history, store, n_parts
-            )
-            # materialize THIS batch's verdicts before the index mutates:
-            # verified is lazy over table.read(), and the append below
-            # advances the snapshot it would otherwise re-read
-            per_batch.append(
-                verified.withColumn("batch", F.lit(k)).localCheckpoint(
-                    eager=True
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            batches = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+            band_futs = [
+                pool.submit(
+                    lambda b=b: lsh_band_rows(b, n_parts).localCheckpoint(
+                        eager=True
+                    )
                 )
-            )
-            if table is None:
-                table = TxnTable.create(ctx.spark, path, inc_bands)
-            else:
-                table.append(inc_bands)
+                for b in batches
+            ]
+            verify_futs = []
+            table = None
+            for k in range(3):
+                batch = batches[k]
+                inc_bands = band_futs[k].result()
+                history = (
+                    table.read().select("doc_id", "band_idx", "band_hash")
+                    if table is not None
+                    else inc_bands.limit(0)
+                )
+                store = docs.filter(F.col("doc_id") % 3 <= k)
+                verified, _ = incremental_dedup_batch(
+                    batch, history, store, n_parts, inc_bands=inc_bands
+                )
+                verify_futs.append(
+                    pool.submit(
+                        lambda v=verified, k=k: v.withColumn(
+                            "batch", F.lit(k)
+                        ).localCheckpoint(eager=True)
+                    )
+                )
+                if table is None:
+                    table = TxnTable.create(ctx.spark, path, inc_bands)
+                else:
+                    table.append(inc_bands)
+            per_batch = [f.result() for f in verify_futs]
     finally:
         # the checkpointed verdicts no longer reference the index files
+        # (the pool context-exit joins every in-flight checkpoint first)
         shutil.rmtree(path, ignore_errors=True)
     out = per_batch[0]
     for v in per_batch[1:]:

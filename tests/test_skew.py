@@ -88,3 +88,42 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_inrow_pair_expansion_handles_giant_basket_tail(spark):
+    """VERDICT r11 #8: the int_market_basket in-row pair expansion under a
+    planted basket tail far beyond the TPC-H ≤7-lineitem bound (60- and
+    500-item baskets). The expansion must equal the order-key self-join it
+    replaced — same pair set, one row per (order, x<y pair) — and emit
+    exactly C(n,2) structs per basket."""
+    from dbt_tpch_spark.functions import inrow_sorted_pairs
+
+    rows = []
+    # normal TPC-H-shaped baskets plus the planted skew tail
+    for o, n in [(1, 1), (2, 2), (3, 7), (4, 60), (5, 500)]:
+        rows += [(o, 1000 * o + p) for p in range(n)]
+    items = spark.createDataFrame(rows, "order_key long, part_key long")
+    baskets = items.groupBy("order_key").agg(
+        F.sort_array(F.collect_set("part_key")).alias("ps")
+    )
+    expanded = baskets.select(
+        "order_key",
+        F.explode(inrow_sorted_pairs("ps", "part_a", "part_b")).alias("p"),
+    ).select("order_key", "p.part_a", "p.part_b")
+    # the self-join reference the rewrite replaced
+    a = items.withColumnsRenamed({"part_key": "part_a"})
+    b = items.withColumnsRenamed({"part_key": "part_b"})
+    ref = (
+        a.join(b, "order_key")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .distinct()
+        .select("order_key", "part_a", "part_b")
+    )
+    assert expanded.exceptAll(ref).count() == 0
+    assert ref.exceptAll(expanded).count() == 0
+    got_counts = {
+        r["order_key"]: r["n"]
+        for r in expanded.groupBy("order_key").agg(F.count("*").alias("n")).collect()
+    }
+    expect = {o: n * (n - 1) // 2 for o, n in [(2, 2), (3, 7), (4, 60), (5, 500)]}
+    assert got_counts == expect
