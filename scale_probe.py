@@ -87,6 +87,11 @@ PROBE_QUERIES = [
     # round-11: the excision rewrite shares dup_spans' census/islands but
     # adds the checkpointed span materialization + token-cut + reassembly
     "docs_excise_spans",
+    # round-12 (VERDICT r11 #8): the round-11 in-row basket expansion —
+    # prove the per-order C(basket,2) fan-out stays linear in orders
+    # (replicated corpora repeat the ≤7-item TPC-H basket distribution;
+    # the >7-item skew tail is pinned separately in tests/test_skew.py)
+    "int_market_basket",
 ]
 
 
