@@ -112,10 +112,24 @@ def test_no_unexplained_empty_gates():
     """Round-8 guard: the full-surface vacuity audit as a permanent CI
     property. Runs off the row counts the parity sweep above already
     recorded (zero extra compute); a new query whose sf0.001 output is
-    empty must either gain rows or register a witnessed allowlist entry."""
-    n_expected = sum(1 for n in QUERIES if n in ORACLES)
+    empty must either gain rows or register a witnessed allowlist entry.
+
+    Round-12: the default pytest run deselects a fixed, named set of slow
+    parity cases (tests/conftest.py SLOW_TESTS), so the audit's
+    completeness bar is the DEFAULT sweep breadth — every parity result
+    the session was supposed to record. A NEW query's parity test is
+    never in the static slow list, so new queries always land inside the
+    audited set; the slow-marked ones are re-audited whenever a full
+    sweep runs (the per-round PARITY artifact regeneration)."""
+    from tests.conftest import SLOW_TESTS
+
+    n_slow_parity = sum(
+        1 for t in SLOW_TESTS
+        if t.startswith("test_parity.py::test_query_matches_oracle[")
+    )
+    n_expected = sum(1 for n in QUERIES if n in ORACLES) - n_slow_parity
     if len(_PARITY_RESULTS) < n_expected:
-        pytest.skip("needs the full parity sweep in this session")
+        pytest.skip("needs at least the default parity sweep in this session")
     empty = sorted(
         n for n, r in _PARITY_RESULTS.items() if r["pass"] and r["rows"] == 0
     )
