@@ -172,20 +172,35 @@ def dedup_ppjoin(ctx):
         # Round-12 (VERDICT r11 #1, guide §2.2/§5): cands is deliberately
         # NOT checkpointed. The round-11 eager barrier here serialized the
         # verify stage behind candidate generation and regressed the
-        # in-suite wall ~+18% (6.48 -> 7.63 s); letting both `cands`
-        # consumers (the id semi-join and the verify join) share one lazy
-        # plan under the `scored` barrier lets their stages overlap again.
-        # The pair list is tiny, so its duplicated subtree is cheap — and
-        # the prefix frame feeding it is still the eager `pref` checkpoint
-        # above, so the expensive window pipeline runs once either way.
-        # In-suite A/B on a 0.03%-steal window (bench_runs_r12/): base
-        # (r11 pre-barrier) 6.48 s, both-barriers 7.63 s, THIS form
-        # 5.45 s; isolated interleave agrees (min 9.76 vs 11.07 s).
+        # in-suite wall ~+18% (6.48 -> 7.63 s); keeping the pair join lazy
+        # under the `scored` barrier lets its stages overlap the verify
+        # side again. The prefix frame feeding it is still the eager
+        # `pref` checkpoint above, so the expensive window pipeline runs
+        # once either way. In-suite A/B on a 0.03%-steal window
+        # (bench_runs_r12/): base (r11 pre-barrier) 6.48 s, both-barriers
+        # 7.63 s, THIS form 5.45 s; isolated interleave agrees (min 9.76
+        # vs 11.07 s). The pair list is tiny, so the duplicated subtree
+        # its two consumers share is cheap at bench scale (the 10x probe
+        # priced the duplication at +33-64% CPU there — the documented
+        # trade; see the rejected alternative below).
     )
     # shingle ONLY candidate partners for the verify (round-11): the old
     # plan re-shingled the ENTIRE corpus twice (once per join side) for a
     # candidate set touching a handful of docs — the same semi-join
-    # restriction incremental_dedup_batch uses
+    # restriction incremental_dedup_batch uses.
+    # Round-12: tried and REVERTED — deriving the partner set from `pref`
+    # alone (docs holding a prefix shingle with >=2 prefix postings — a
+    # provable superset of the docs in `cands`, so semantically free)
+    # would make `cands` single-consumer and delete the 10x pair-join
+    # recompute, but it measured SLOWER in-suite at sf0.1: ppjoin
+    # 5.04 -> 6.37 s min-of-legs (+2 s exec-CPU; bench_runs_r12/
+    # head_c_x* vs head_f_*, steal <=0.18%). The superset is ~the whole
+    # corpus here (5000/5000 docs vs 4801 exact), so the "restriction"
+    # re-shingles everything anyway while its aggregate + semi-join +
+    # distinct land on the critical path; the recomputed pair join it
+    # saves is cheaper than that at any SF where near-dup partners are
+    # dense. The isolated profile had predicted the opposite (bench_total
+    # 12.67 -> 10.51 s) — in-suite adjudication per VERDICT r11 #7.
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
